@@ -9,7 +9,8 @@ import graft.queries._
   * built with the DataFrame API; [[oracleSql]] carries the equivalent ANSI
   * SQL the driver runs in DuckDB over the same parquet tables. Column names
   * are aliased identically on both sides (the driver sorts columns by name
-  * before hashing).
+  * before hashing). Queries without an oracle entry are non-SQL-expressible
+  * (hash/sketch-based) and get the driver's rows-only check.
   */
 object SparkEntry {
 
@@ -19,12 +20,70 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (CoreQueries.q1PricingSummary _)
+    // §2.4 aggregations
+    "q1_pricing_summary" -> (CoreQueries.q1PricingSummary _),
+    "q12_grouping_sets" -> (AggQueries.q12GroupingSets _),
+    "q13_distinct_aggs" -> (AggQueries.q13DistinctAggs _),
+    "q14_argminmax" -> (AggQueries.q14ArgMinMax _),
+    "q15_stats" -> (AggQueries.q15Stats _),
+    // §2.3 joins / §2.11 set ops
+    "q3_revenue_by_region_month" -> (JoinQueries.q3RevenueByRegionMonth _),
+    "q4_segments_with_orders" -> (JoinQueries.q4SegmentsWithOrders _),
+    "q5_customers_no_orders" -> (JoinQueries.q5CustomersNoOrders _),
+    "q6_full_outer_daily" -> (JoinQueries.q6FullOuterDaily _),
+    "q7_priority_region_matrix" -> (JoinQueries.q7PriorityRegionMatrix _),
+    "q25_asof_view_before_purchase" -> (JoinQueries.q25AsofViewBeforePurchase _),
+    "q26_union_counts" -> (JoinQueries.q26UnionCounts _),
+    "q27_quantity_bands" -> (JoinQueries.q27QuantityBands _),
+    // §2.5 windows
+    "q2_latest_order_per_customer" -> (WindowQueries.q2LatestOrderPerCustomer _),
+    "q8_event_gaps" -> (WindowQueries.q8EventGaps _),
+    "q9_sessions" -> (WindowQueries.q9Sessions _),
+    "q10_rolling_revenue" -> (WindowQueries.q10RollingRevenue _),
+    "q11_retention_flags" -> (WindowQueries.q11RetentionFlags _),
+    "q16_first_last_per_user" -> (WindowQueries.q16FirstLastPerUser _),
+    "q28_revenue_share" -> (WindowQueries.q28RevenueShare _),
+    // §2.6 generators / §2.7 scalar families / §2.8 functions
+    "q17_date_spine" -> (ScalarQueries.q17DateSpine _),
+    "q18_word_pairs" -> (ScalarQueries.q18WordPairs _),
+    "q19_strings" -> (ScalarQueries.q19Strings _),
+    "q20_datetime" -> (ScalarQueries.q20Datetime _),
+    "q21_json" -> (ScalarQueries.q21Json _),
+    "q22_array_hof" -> (ScalarQueries.q22ArrayHof _),
+    "q23_map_struct" -> (ScalarQueries.q23MapStruct _),
+    "q24_msk_dates" -> (ScalarQueries.q24MskDates _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> CoreQueries.q1OracleSql
+    "q1_pricing_summary" -> CoreQueries.q1OracleSql,
+    "q12_grouping_sets" -> AggQueries.q12Oracle,
+    "q13_distinct_aggs" -> AggQueries.q13Oracle,
+    "q14_argminmax" -> AggQueries.q14Oracle,
+    "q15_stats" -> AggQueries.q15Oracle,
+    "q3_revenue_by_region_month" -> JoinQueries.q3Oracle,
+    "q4_segments_with_orders" -> JoinQueries.q4Oracle,
+    "q5_customers_no_orders" -> JoinQueries.q5Oracle,
+    "q6_full_outer_daily" -> JoinQueries.q6Oracle,
+    "q7_priority_region_matrix" -> JoinQueries.q7Oracle,
+    "q25_asof_view_before_purchase" -> JoinQueries.q25Oracle,
+    "q26_union_counts" -> JoinQueries.q26Oracle,
+    "q27_quantity_bands" -> JoinQueries.q27Oracle,
+    "q2_latest_order_per_customer" -> WindowQueries.q2Oracle,
+    "q8_event_gaps" -> WindowQueries.q8Oracle,
+    "q9_sessions" -> WindowQueries.q9Oracle,
+    "q10_rolling_revenue" -> WindowQueries.q10Oracle,
+    "q11_retention_flags" -> WindowQueries.q11Oracle,
+    "q16_first_last_per_user" -> WindowQueries.q16Oracle,
+    "q28_revenue_share" -> WindowQueries.q28Oracle,
+    "q17_date_spine" -> ScalarQueries.q17Oracle,
+    "q18_word_pairs" -> ScalarQueries.q18Oracle,
+    "q19_strings" -> ScalarQueries.q19Oracle,
+    "q20_datetime" -> ScalarQueries.q20Oracle,
+    "q21_json" -> ScalarQueries.q21Oracle,
+    "q22_array_hof" -> ScalarQueries.q22Oracle,
+    "q23_map_struct" -> ScalarQueries.q23Oracle,
+    "q24_msk_dates" -> ScalarQueries.q24Oracle
   )
 }
