@@ -51,7 +51,9 @@ object SparkEntry {
     "q21_json" -> (ScalarQueries.q21Json _),
     "q22_array_hof" -> (ScalarQueries.q22ArrayHof _),
     "q23_map_struct" -> (ScalarQueries.q23MapStruct _),
-    "q24_msk_dates" -> (ScalarQueries.q24MskDates _)
+    "q24_msk_dates" -> (ScalarQueries.q24MskDates _),
+    // §2.9 dbt-runtime engine end-to-end (DAG + incremental insert_overwrite)
+    "q30_gold_orders_pipeline" -> (PipelineQueries.q30GoldOrdersPipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,6 +86,7 @@ object SparkEntry {
     "q21_json" -> ScalarQueries.q21Oracle,
     "q22_array_hof" -> ScalarQueries.q22Oracle,
     "q23_map_struct" -> ScalarQueries.q23Oracle,
-    "q24_msk_dates" -> ScalarQueries.q24Oracle
+    "q24_msk_dates" -> ScalarQueries.q24Oracle,
+    "q30_gold_orders_pipeline" -> PipelineQueries.q30Oracle
   )
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.runtime._
+
+/** End-to-end engine pipeline as an oracle-checked query: a gold_orders-style
+  * model DAG (reference archetype: models/spark/gold/gold_orders.sql — staging
+  * view → partitioned incremental gold table + duplicate-key singular test,
+  * SURVEY.md §7 step 4) executed through the DagRunner with a full run, then
+  * an incremental insert-overwrite run with a lookback window (reference:
+  * `WHERE order_month >= trunc(start_date - interval 200 days, 'MM')`,
+  * macros/gold_active_users_and_devices_with_ephemeral.sql:85-87).
+  *
+  * The incremental pass recomputes and dynamically overwrites only recent
+  * month partitions with identical data, so the final table equals the
+  * full-rebuild semantics — which is exactly what the DuckDB oracle checks.
+  */
+object PipelineQueries {
+
+  def q30GoldOrdersPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
+      vars = Map("start_date_ymd" -> "2001-06-01"))
+
+    val stg = Model("stg_orders",
+      c => c.source("default", "orders")
+        .join(c.source("default", "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c.source("default", "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("c_mktsegment"), col("n_name"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month")),
+      Materialization.View)
+
+    val gold = Model("gold_orders",
+      c => {
+        val items = c.source("default", "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(22,6)")).cast("double").as("revenue"))
+        val base = c.ref("stg_orders")
+          .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("order_month"), col("c_mktsegment"),
+            col("n_name"), coalesce(col("n_items"), lit(0L)).as("n_items"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        if (c.isIncremental)
+          base.filter(col("order_month") >=
+            date_format(add_months(trunc(to_date(lit(c.startDate)), "MM"), -6), "yyyy-MM"))
+        else base
+      },
+      Materialization.IncrementalInsertOverwrite(Seq("order_month")),
+      deps = Seq("stg_orders"))
+
+    val dag = new DagRunner(Seq(stg, gold))
+    val r1 = dag.run(ctx)
+    val r2 = dag.run(ctx) // incremental: 6-month lookback, dynamic overwrite
+    (r1 ++ r2).collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"pipeline model $n failed: $e") }
+
+    val dupTest = SingularTest("gold_orders_dup_check", c =>
+      c.ref("gold_orders").groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1))
+    val failures = SingularTests.run(ctx, Seq(dupTest)).filterNot(_.passed)
+    if (failures.nonEmpty) throw new RuntimeException(s"singular tests failed: $failures")
+
+    ctx.ref("gold_orders")
+      .select("o_orderkey", "order_month", "c_mktsegment", "n_name", "n_items", "revenue")
+  }
+
+  val q30Oracle: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  c_mktsegment, n_name,
+      |  COALESCE(n_items, 0) AS n_items, COALESCE(revenue, 0.0) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN (
+      |  SELECT l_orderkey, COUNT(*) AS n_items,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |  FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey""".stripMargin
+}

@@ -1,0 +1,147 @@
+package graft.runtime
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Managed-table store: the engine's stand-in for the reference's Hive
+  * metastore + S3 warehouse (reference: CTAS through
+  * macros/spark_adapter_patch/create_table.sql:23-43).
+  *
+  * Tables are parquet directories under `root`; views are named lazy plans.
+  * A `_schema.json` sidecar pins each table's canonical column set so
+  * `on_schema_change` policies (sync/append/ignore) work over immutable
+  * parquet files: reads merge file schemas, then project to the canonical
+  * schema (null-filling dropped/added columns).
+  *
+  * Scale note: all writes `repartition` on the partition columns first —
+  * the automatic equivalent of the reference's 28 hand-written
+  * `DISTRIBUTE BY` sites (SURVEY.md §4) — so each output partition is
+  * written by few tasks and small-file explosion is avoided.
+  */
+final class Warehouse(val spark: SparkSession, val root: String) {
+
+  private val views = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def tablePath(name: String): String = s"$root/$name"
+  private def schemaPath(name: String): Path = Paths.get(tablePath(name), "_schema.json")
+
+  def tableExists(name: String): Boolean =
+    views.contains(name) || Files.exists(Paths.get(tablePath(name)))
+
+  def registerView(name: String, df: DataFrame): Unit = views.put(name, df)
+
+  /** Read a managed table or view. Tables are read with schema merge then
+    * projected to the canonical schema (so sync'd/append'd columns behave). */
+  def read(name: String): DataFrame = views.get(name) match {
+    case Some(df) => df
+    case None =>
+      val df = spark.read.option("mergeSchema", "true").parquet(tablePath(name))
+      canonicalSchema(name) match {
+        case Some(schema) =>
+          val present = df.columns.toSet
+          df.select(schema.fields.toSeq.map { f =>
+            if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+        case None => df
+      }
+  }
+
+  def canonicalSchema(name: String): Option[StructType] = {
+    val p = schemaPath(name)
+    if (Files.exists(p)) Some(DataType.fromJson(Files.readString(p)).asInstanceOf[StructType])
+    else None
+  }
+
+  private def writeSchema(name: String, schema: StructType): Unit = {
+    Files.createDirectories(Paths.get(tablePath(name)))
+    Files.writeString(schemaPath(name), schema.json)
+  }
+
+  private def distributeForWrite(df: DataFrame, partitionBy: Seq[String],
+                                 hashSpread: Option[(String, Int)]): DataFrame =
+    (partitionBy, hashSpread) match {
+      case (Nil, _) => df
+      case (cols, None) => df.repartition(cols.map(col): _*)
+      case (cols, Some((spreadCol, n))) =>
+        df.repartition((cols.map(col) :+ (abs(hash(col(spreadCol))) % n)): _*)
+    }
+
+  /** Full-rebuild CTAS (reference: materialized='table'). */
+  def createTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+                  hashSpread: Option[(String, Int)] = None): Unit = {
+    val out = distributeForWrite(df, partitionBy, hashSpread)
+    val w = out.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
+    writeSchema(name, df.schema)
+  }
+
+  /** Dynamic-partition insert-overwrite: only partitions present in `df` are
+    * replaced (reference: incremental_strategy='insert_overwrite' + the
+    * spark.sql.sources.partitionOverwriteMode=dynamic conf). */
+  def insertOverwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String],
+                                onSchemaChange: OnSchemaChange,
+                                hashSpread: Option[(String, Int)] = None): Unit = {
+    require(partitionBy.nonEmpty, s"insert_overwrite on $name needs partition columns")
+    val aligned = alignSchema(name, df, onSchemaChange)
+    val out = distributeForWrite(aligned, partitionBy, hashSpread)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(tablePath(name))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Row append (reference: incremental_strategy='append'). */
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val aligned = alignSchema(name, df, OnSchemaChange.Ignore)
+    val w = aligned.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
+  }
+
+  /** Atomic-ish full replace used by SCD2 rewrites: stage to a tmp dir, then
+    * swap. (Prod-grade would use Delta/Iceberg commit protocols; parquet +
+    * rename is the local-FS equivalent — SURVEY.md §7 "SCD2 without Delta".) */
+  def replaceTable(name: String, df: DataFrame): Unit = {
+    val tmp = s"$root/.staging_$name"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(tablePath(name))
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    writeSchema(name, df.schema)
+  }
+
+  /** Apply the on_schema_change policy against the canonical schema, update
+    * the sidecar, and return the frame to write. */
+  private def alignSchema(name: String, df: DataFrame, policy: OnSchemaChange): DataFrame =
+    canonicalSchema(name) match {
+      case None =>
+        writeSchema(name, df.schema); df
+      case Some(existing) =>
+        val existingNames = existing.fieldNames.toSeq
+        val incomingNames = df.columns.toSeq
+        policy match {
+          case OnSchemaChange.Ignore =>
+            // project increment onto the existing schema; drop new columns
+            df.select(existing.fields.toSeq.map { f =>
+              if (incomingNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
+          case OnSchemaChange.AppendNewColumns =>
+            val newCols = df.schema.fields.filterNot(f => existingNames.contains(f.name))
+            writeSchema(name, StructType(existing.fields ++ newCols))
+            df
+          case OnSchemaChange.SyncAllColumns =>
+            writeSchema(name, df.schema)
+            df
+        }
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

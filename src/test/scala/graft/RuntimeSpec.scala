@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.runtime._
+
+class RuntimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def m(name: String, deps: Seq[String] = Nil,
+                mat: Materialization = Materialization.Table()) =
+    Model(name, ctx => spark.range(3).toDF("id"), mat, deps)
+
+  test("topo order respects deps; selectors and fillGaps work") {
+    val models = Seq(
+      m("a"), m("b", Seq("a")), m("c", Seq("a")), m("d", Seq("b", "c")), m("e"))
+    val dag = new DagRunner(models)
+    val order = dag.topoOrder(models.map(_.name).toSet).map(_.name)
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("d"))
+    assert(order.indexOf("c") < order.indexOf("d"))
+    assert(dag.select(Seq("+d")) == Set("a", "b", "c", "d"))
+    assert(dag.select(Seq("a+")) == Set("a", "b", "c", "d"))
+    // a and d selected -> fill the b/c gap nodes between them
+    assert(dag.fillGaps(Set("a", "d")) == Set("a", "b", "c", "d"))
+  }
+
+  test("cycle detection") {
+    val dag = new DagRunner(Seq(m("x", Seq("y")), m("y", Seq("x"))))
+    intercept[IllegalArgumentException](dag.topoOrder(Set("x", "y")))
+  }
+
+  test("table + view materialization, ref resolution, failure skips downstream") {
+    val ctx = freshCtx()
+    val models = Seq(
+      Model("base", c => c.source("any", "nation").select($"n_nationkey", $"n_name")),
+      Model("v", c => c.ref("base").filter($"n_nationkey" < 10), Materialization.View,
+        deps = Seq("base")),
+      Model("top", c => c.ref("v").agg(count(lit(1)).as("n")), deps = Seq("v")),
+      Model("boom", c => { throw new RuntimeException("kaboom") }, deps = Seq("base")),
+      Model("after_boom", c => c.ref("boom"), deps = Seq("boom")))
+    val res = new DagRunner(models).run(ctx).toMap
+    assert(res("base").isInstanceOf[RunStatus.Success])
+    assert(res("top").isInstanceOf[RunStatus.Success])
+    assert(res("boom").isInstanceOf[RunStatus.Failed])
+    assert(res("after_boom") == RunStatus.Skipped)
+    assert(ctx.ref("top").as[Long].head() == 10L)
+  }
+
+  test("incremental insert_overwrite replaces only incoming partitions") {
+    val ctx = freshCtx()
+    val mat = Materialization.IncrementalInsertOverwrite(Seq("part_col"))
+    val model = Model("inc", c => {
+      if (!c.isIncremental)
+        Seq(("p1", 1), ("p1", 2), ("p2", 10), ("p3", 100)).toDF("part_col", "v")
+      else
+        Seq(("p2", 99)).toDF("part_col", "v") // only p2 present in increment
+    }, mat)
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx) // full
+    dag.run(ctx) // incremental
+    val out = ctx.ref("inc").groupBy($"part_col").agg(sum($"v").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("p1" -> 3L, "p2" -> 99L, "p3" -> 100L))
+  }
+
+  test("on_schema_change: append_new_columns and ignore") {
+    val ctx = freshCtx()
+    // ignore: new column in increment is dropped
+    val ignoreModel = Model("inc_ignore", c =>
+      if (!c.isIncremental) Seq(("p1", 1)).toDF("part_col", "v")
+      else Seq(("p2", 2, "x")).toDF("part_col", "v", "extra"),
+      Materialization.IncrementalInsertOverwrite(Seq("part_col")))
+    val dag1 = new DagRunner(Seq(ignoreModel))
+    dag1.run(ctx); dag1.run(ctx)
+    assert(ctx.ref("inc_ignore").columns.toSet == Set("part_col", "v"))
+
+    // append_new_columns: old rows null-filled, new column visible
+    val appendModel = Model("inc_append", c =>
+      if (!c.isIncremental) Seq(("p1", 1)).toDF("part_col", "v")
+      else Seq(("p2", 2, "x")).toDF("part_col", "v", "extra"),
+      Materialization.IncrementalInsertOverwrite(Seq("part_col"),
+        OnSchemaChange.AppendNewColumns))
+    val dag2 = new DagRunner(Seq(appendModel))
+    dag2.run(ctx); dag2.run(ctx)
+    val rows = ctx.ref("inc_append").orderBy($"part_col")
+      .select($"part_col", $"v", $"extra").as[(String, Int, Option[String])]
+      .collect().toSeq
+    assert(rows == Seq(("p1", 1, None), ("p2", 2, Some("x"))))
+  }
+
+  test("incremental append appends rows") {
+    val ctx = freshCtx()
+    val model = Model("app", c =>
+      if (!c.isIncremental) Seq(1).toDF("v") else Seq(2).toDF("v"),
+      Materialization.IncrementalAppend())
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx); dag.run(ctx); dag.run(ctx)
+    assert(ctx.ref("app").as[Int].collect().sorted.toSeq == Seq(1, 2, 2))
+  }
+
+  test("seeds load typed CSV; singular tests fail on returned rows") {
+    val ctx = freshCtx()
+    Seeds.loadRows(ctx, "regions_seed",
+      Seq("country_code", "region_name"),
+      Seq(Seq("DE", "EU"), Seq("US", "NA"), Seq("FR", "EU")))
+    assert(ctx.ref("regions_seed").count() == 3)
+
+    val dupCheck = SingularTest("dup_check", c =>
+      c.ref("regions_seed").groupBy($"region_name").agg(count(lit(1)).as("n"))
+        .where($"n" > 1))
+    val nullCheck = SingularTest("null_check", c =>
+      c.ref("regions_seed").where($"country_code".isNull))
+    val res = SingularTests.run(ctx, Seq(dupCheck, nullCheck)).map(r => r.name -> r.passed).toMap
+    assert(res == Map("dup_check" -> false, "null_check" -> true))
+  }
+
+  test("sql templater: ref/source/var/is_incremental/this") {
+    val ctx0 = freshCtx(vars = Map("min_key" -> "5"))
+    val base = SqlTemplater.sqlModel("sql_base",
+      "SELECT n_nationkey, n_name FROM {{ source('default', 'nation') }}")
+    val incr = SqlTemplater.sqlModel("sql_incr",
+      """SELECT n_nationkey, n_name FROM {{ ref('sql_base') }}
+        |WHERE n_nationkey >= {{ var('min_key') }}
+        |{% if is_incremental() %} AND n_nationkey < (SELECT MAX(n_nationkey) FROM {{ this }}) {% endif %}
+        |""".stripMargin,
+      Materialization.IncrementalInsertOverwrite(Seq("n_nationkey")))
+    assert(incr.deps == Seq("sql_base"))
+    val dag = new DagRunner(Seq(base, incr))
+    val r1 = dag.run(ctx0).toMap
+    assert(r1.values.forall(_.isInstanceOf[RunStatus.Success]), r1.toString)
+    val full = ctx0.ref("sql_incr").count()
+    val r2 = dag.run(ctx0).toMap // incremental: strictly-below-max filter
+    assert(r2.values.forall(_.isInstanceOf[RunStatus.Success]), r2.toString)
+    assert(ctx0.ref("sql_incr").count() == full) // partitions below max overwritten with same data
+    assert(ctx0.ref("sql_incr").agg(min($"n_nationkey")).as[Int].head() == 5)
+  }
+}

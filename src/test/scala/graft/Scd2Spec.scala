@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.runtime._
+
+/** SCD2 snapshot scenarios from FIXTURES.md §B.2: new key, changed row,
+  * unchanged row, hard-deleted key, re-run idempotence — both strategies. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def snap(ctx: Ctx, name: String, df: DataFrame, strategy: Scd2Strategy,
+                   runTs: String, hardDeletes: Boolean = true): Unit =
+    Scd2.snapshot(ctx, name, df, "_id", strategy, hardDeletes, ts(runTs))
+
+  private def history(ctx: Ctx, name: String): Set[(String, String, String, String)] =
+    ctx.ref(name)
+      .select($"_id", $"payload",
+        date_trunc_s($"dbt_valid_from"), date_trunc_s($"dbt_valid_to"))
+      .as[(String, String, Option[String], Option[String])]
+      .collect().map(r => (r._1, r._2, r._3.getOrElse("-"), r._4.getOrElse("open"))).toSet
+
+  private def date_trunc_s(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  test("timestamp strategy: versions, hard deletes, idempotent re-runs") {
+    val ctx = freshCtx()
+    val t = "scd2_ts"
+    val strat = Scd2Strategy.Timestamp("updated_at")
+
+    // day 1: two keys
+    snap(ctx, t, Seq(
+      ("k1", "a", ts("2024-01-01 00:00:00")),
+      ("k2", "b", ts("2024-01-01 00:00:00"))).toDF("_id", "payload", "updated_at"),
+      strat, "2024-01-01 12:00:00")
+    assert(history(ctx, t) == Set(
+      ("k1", "a", "2024-01-01 00:00:00", "open"),
+      ("k2", "b", "2024-01-01 00:00:00", "open")))
+
+    // day 2: k1 changed, k2 unchanged, k3 new, (nothing deleted)
+    snap(ctx, t, Seq(
+      ("k1", "a2", ts("2024-01-02 00:00:00")),
+      ("k2", "b", ts("2024-01-01 00:00:00")),
+      ("k3", "c", ts("2024-01-02 00:00:00"))).toDF("_id", "payload", "updated_at"),
+      strat, "2024-01-02 12:00:00")
+    assert(history(ctx, t) == Set(
+      ("k1", "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+      ("k1", "a2", "2024-01-02 00:00:00", "open"),
+      ("k2", "b", "2024-01-01 00:00:00", "open"),
+      ("k3", "c", "2024-01-02 00:00:00", "open")))
+
+    // re-run same snapshot: idempotent (updated_at not advanced)
+    snap(ctx, t, Seq(
+      ("k1", "a2", ts("2024-01-02 00:00:00")),
+      ("k2", "b", ts("2024-01-01 00:00:00")),
+      ("k3", "c", ts("2024-01-02 00:00:00"))).toDF("_id", "payload", "updated_at"),
+      strat, "2024-01-02 18:00:00")
+    assert(history(ctx, t).count(_._4 == "open") == 3)
+
+    // day 3: k2 hard-deleted
+    snap(ctx, t, Seq(
+      ("k1", "a2", ts("2024-01-02 00:00:00")),
+      ("k3", "c", ts("2024-01-02 00:00:00"))).toDF("_id", "payload", "updated_at"),
+      strat, "2024-01-03 12:00:00")
+    assert(history(ctx, t) == Set(
+      ("k1", "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+      ("k1", "a2", "2024-01-02 00:00:00", "open"),
+      ("k2", "b", "2024-01-01 00:00:00", "2024-01-03 12:00:00"),
+      ("k3", "c", "2024-01-02 00:00:00", "open")))
+
+    // day 4: deleted key re-appears -> fresh open row
+    snap(ctx, t, Seq(
+      ("k1", "a2", ts("2024-01-02 00:00:00")),
+      ("k2", "b9", ts("2024-01-04 00:00:00")),
+      ("k3", "c", ts("2024-01-02 00:00:00"))).toDF("_id", "payload", "updated_at"),
+      strat, "2024-01-04 12:00:00")
+    assert(history(ctx, t).contains(("k2", "b9", "2024-01-04 00:00:00", "open")))
+    assert(history(ctx, t).size == 5)
+  }
+
+  test("check strategy on all columns: change detection without updated_at") {
+    val ctx = freshCtx()
+    val t = "scd2_check"
+    val strat = Scd2Strategy.Check(Nil) // check_cols='all'
+
+    snap(ctx, t, Seq(("k1", "a"), ("k2", "b")).toDF("_id", "payload"),
+      strat, "2024-02-01 00:00:00", hardDeletes = false)
+    snap(ctx, t, Seq(("k1", "a"), ("k2", "b2")).toDF("_id", "payload"),
+      strat, "2024-02-02 00:00:00", hardDeletes = false)
+    // k2 versioned at run ts; k1 untouched; hard deletes off -> nothing closes on absence
+    snap(ctx, t, Seq(("k1", "a")).toDF("_id", "payload"),
+      strat, "2024-02-03 00:00:00", hardDeletes = false)
+    assert(history(ctx, t) == Set(
+      ("k1", "a", "2024-02-01 00:00:00", "open"),
+      ("k2", "b", "2024-02-01 00:00:00", "2024-02-02 00:00:00"),
+      ("k2", "b2", "2024-02-02 00:00:00", "open")))
+  }
+
+  test("check strategy with explicit cols ignores other columns") {
+    val ctx = freshCtx()
+    val t = "scd2_check_cols"
+    val strat = Scd2Strategy.Check(Seq("payload"))
+    snap(ctx, t, Seq(("k1", "a", "noise1")).toDF("_id", "payload", "noise"),
+      strat, "2024-03-01 00:00:00")
+    // noise changes, payload doesn't -> no new version
+    snap(ctx, t, Seq(("k1", "a", "noise2")).toDF("_id", "payload", "noise"),
+      strat, "2024-03-02 00:00:00")
+    assert(ctx.ref(t).count() == 1)
+    // payload changes -> new version
+    snap(ctx, t, Seq(("k1", "A", "noise2")).toDF("_id", "payload", "noise"),
+      strat, "2024-03-03 00:00:00")
+    assert(ctx.ref(t).count() == 2)
+  }
+}
