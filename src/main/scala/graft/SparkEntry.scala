@@ -53,7 +53,19 @@ object SparkEntry {
     "q23_map_struct" -> (ScalarQueries.q23MapStruct _),
     "q24_msk_dates" -> (ScalarQueries.q24MskDates _),
     // §2.9 dbt-runtime engine end-to-end (DAG + incremental insert_overwrite)
-    "q30_gold_orders_pipeline" -> (PipelineQueries.q30GoldOrdersPipeline _)
+    "q30_gold_orders_pipeline" -> (PipelineQueries.q30GoldOrdersPipeline _),
+    // north star: dedup / text analysis / similarity / multimodal
+    "q31_dedup_exact" -> (NorthStarQueries.q31DedupExact _),
+    "q32_ngram_jaccard" -> (NorthStarQueries.q32NgramJaccard _),
+    "q33_minhash_lsh" -> (NorthStarQueries.q33MinhashLsh _),
+    "q34_simhash_neardup" -> (NorthStarQueries.q34SimhashNearDup _),
+    "q35_text_stats" -> (NorthStarQueries.q35TextStats _),
+    "q36_lang_profile" -> (NorthStarQueries.q36LangProfile _),
+    "q37_fingerprint" -> (NorthStarQueries.q37Fingerprint _),
+    "q38_ann_brute_topk" -> (NorthStarQueries.q38AnnBruteTopK _),
+    "q39_ann_ivf" -> (NorthStarQueries.q39AnnIvf _),
+    "q40_embed_neardup" -> (NorthStarQueries.q40EmbedNearDup _),
+    "q41_multimodal" -> (NorthStarQueries.q41Multimodal _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +99,12 @@ object SparkEntry {
     "q22_array_hof" -> ScalarQueries.q22Oracle,
     "q23_map_struct" -> ScalarQueries.q23Oracle,
     "q24_msk_dates" -> ScalarQueries.q24Oracle,
-    "q30_gold_orders_pipeline" -> PipelineQueries.q30Oracle
+    "q30_gold_orders_pipeline" -> PipelineQueries.q30Oracle,
+    "q31_dedup_exact" -> NorthStarQueries.q31Oracle,
+    "q32_ngram_jaccard" -> NorthStarQueries.q32Oracle,
+    "q35_text_stats" -> NorthStarQueries.q35Oracle,
+    "q38_ann_brute_topk" -> NorthStarQueries.q38Oracle,
+    "q40_embed_neardup" -> NorthStarQueries.q40Oracle,
+    "q41_multimodal" -> NorthStarQueries.q41Oracle
   )
 }

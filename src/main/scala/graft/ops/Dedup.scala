@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (BASELINE.json north
+  * star), each designed for 100TB:
+  *
+  *  - exact: hash-groupBy on the content hash — one shuffle on a 256-bit key,
+  *    never on the full text.
+  *  - MinHash+LSH: shingle → k minhashes → banded bucket-join; candidate
+  *    generation is an equi-join on (band, bucket), NOT an all-pairs product.
+  *    Oversized buckets (degenerate content) are dropped by a cap, the
+  *    standard skew guard.
+  *  - SimHash: 64-bit signature, near-dups via 16-bit chunk banding + popcount
+  *    verify — again equi-join candidates only.
+  *  - n-gram Jaccard: inverted-index join on shared shingles (equi-join on the
+  *    shingle string), exact verification.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: representative = min id.
+    * (At scale the 64-char sha2 hex is the shuffle key; texts stay put.) */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Per-(id, distinct shingle) long-format relation. */
+  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index equi-join. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, shingleSize)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs, exact-Jaccard verified.
+    *
+    * @param maxBucketSize skew guard: LSH buckets larger than this (boiler-
+    *   plate/degenerate shingles) are dropped rather than joined — at 100TB a
+    *   single hot bucket would otherwise quadratically explode one task.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sh = shingleSet(docs, idCol, textCol, shingleSize)
+
+    val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = sh.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
+
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}"))): _*).as(s"b$b")
+    }
+    val buckets = sig.select(col("id") +: bandHashes: _*)
+      .select(col("id"), posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
+        .as(Seq("band_id", "bucket")))
+
+    val safeBuckets = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
+    val candidates = safeBuckets.toDF("id_a", "band_id", "bucket")
+      .join(safeBuckets.toDF("id_b", "band_id", "bucket"), Seq("band_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    // exact verification of candidates only
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val shared = candidates
+      .join(sh.toDF("id_a", "sh"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sh2"), Seq("id_b"))
+      .filter(col("sh") === col("sh2"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash signature per document. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = w.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (guarantees recall for hamming <= 3), verified by popcount of xor. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val chunked = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_id", "chunk")))
+    chunked.toDF("id_a", "sim_a", "chunk_id", "chunk")
+      .join(chunked.toDF("id_b", "sim_b", "chunk_id", "chunk"), Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (BASELINE.json north star). All vector math is pure Column expressions
+  * (`zip_with` + `aggregate`) in double precision — codegen'd, no UDFs.
+  *
+  * Scale design: brute force is the exactness baseline (queries broadcast,
+  * one pass over the corpus, top-k via per-query window). The IVF variant is
+  * the 100TB path: corpus partitioned by nearest coarse centroid, queries
+  * probe `nProbe` cells, so each query scans corpus/|C|·nProbe instead of
+  * everything; recall measured against brute force in the spec.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two float/double array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors per query vector (queries must be small enough to
+    * broadcast; ties broken by neighbor id). Excludes self-matches. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine_sim"))
+  }
+
+  /** IVF-style ANN: assign corpus to nearest of `centroids` (broadcast),
+    * queries probe their `nProbe` closest cells, exact search within cells.
+    * Deterministic: centroids are caller-provided (e.g. a fixed id sample —
+    * a k-means refinement drops in without changing the query shape). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")))
+
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cent_cos").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .select(col(id), col(v),
+          cosine(col(v), col("cent_v")).as("cent_cos"), col("cent_id"))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= keep)
+        .drop("cent_cos", "cr")
+    }
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv", 1)
+    val queryCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", nProbe)
+
+    val scored = queryCells.join(corpusCells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine_sim"))
+  }
+
+  /** Exact embedding near-duplicate pairs above a cosine threshold. At the
+    * test scale this is a block self-join; the LSH path for 100TB is
+    * [[signBucketNearDup]]. */
+  def embeddingNearDupExact(vecs: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine_sim"))
+  }
+
+  /** Random-hyperplane LSH near-dup: bucket by the sign pattern of `nBits`
+    * deterministic pseudo-random projections; only same-bucket pairs are
+    * verified — the equi-join candidate pattern that survives 100TB. */
+  def signBucketNearDup(vecs: DataFrame, threshold: Double, nBits: Int = 8,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic "random" plane component: hash(bit, dim) mapped to [-1, 1)
+    def planeComponent(bit: Int, dim: Column): Column =
+      (pmod(xxhash64(lit(bit), dim), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+    val sigBits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
+    bucketed.toDF("id_a", "va", "bucket")
+      .join(bucketed.toDF("id_b", "vb", "bucket"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine_sim"))
+  }
+}

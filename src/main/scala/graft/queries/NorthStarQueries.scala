@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Similarity}
+
+/** Training-data-pipeline operators (BASELINE.json north star): dedup,
+  * similarity search, text analysis, multimodal — over the `documents` and
+  * `embeddings` tables. Sketch/hash-based variants (minhash/simhash/IVF/
+  * fingerprint/langid) have no DuckDB oracle (driver rows-only check); their
+  * correctness is cross-checked in OpsSpec against the exact operators.
+  */
+object NorthStarQueries {
+
+  /** Exact dedup verdict per document: keep_id = min doc_id sharing the same
+    * content; is_dup marks members of multi-doc groups (non-representative). */
+  def q31DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = Window.partitionBy(col("text"))
+    d.select(col("doc_id"),
+        min(col("doc_id")).over(w).as("keep_id"),
+        (count(lit(1)).over(w) > 1 && col("doc_id") =!= min(col("doc_id")).over(w))
+          .cast("int").as("is_dup"))
+  }
+
+  val q31Oracle: String =
+    """SELECT doc_id,
+      |  MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY text) > 1
+      |       AND doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS INT) AS is_dup
+      |FROM documents""".stripMargin
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  def q32NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+
+  val q32Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |w AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+      |  WHERE ws[i] <> '' AND ws[i+1] <> '' AND ws[i+2] <> ''),
+      |s AS (SELECT DISTINCT doc_id, sh FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ns
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(ns::DOUBLE / (x.n + y.n - ns), 6) AS jaccard
+      |FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+      |WHERE ns::DOUBLE / (x.n + y.n - ns) >= 0.5""".stripMargin
+
+  /** MinHash+LSH near-dup pairs (no oracle: xxhash sketches). */
+  def q33MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+
+  /** SimHash signatures + chunk-banded near-dup pairs (no oracle). */
+  def q34SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 6)
+
+  /** Text quality statistics: token/punct/stopword counts + composite score. */
+  def q35TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.punctCount(col("text")).as("punct_cnt"),
+      TextFunctions.stopwordCount(col("text")).as("stop_cnt"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+  }
+
+  val q35Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, n_chars,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS INT) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_cnt,
+      |  CAST(len(list_filter(ws, w -> list_contains(
+      |    ['the','a','of','and','to','in','is','for','on','with'], w))) AS INT) AS stop_cnt,
+      |  ROUND(0.5 * least(n_chars / 500.0, 1.0)
+      |    + 0.4 * least(len(list_filter(ws, w -> list_contains(
+      |        ['the','a','of','and','to','in','is','for','on','with'], w)))::DOUBLE
+      |        / greatest(len(ws)::DOUBLE, 1.0) * 3.0, 1.0)
+      |    + 0.1 * (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+      |        / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)), 6) AS quality
+      |FROM t""".stripMargin
+
+  /** Language-ID heuristic + per-language aggregates (no oracle: heuristic). */
+  def q36LangProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(TextFunctions.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_label"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+      .groupBy(col("lang_pred"), col("lang_label"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("total_subwords"))
+  }
+
+  /** Order-sensitive fingerprint dup groups (no oracle: xxhash-based). */
+  def q37Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+  }
+
+  /** Brute-force exact cosine top-5 for query vectors vec_id < 10. */
+  def q38AnnBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val q38Oracle: String =
+    """SELECT q.vec_id AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |             c.vec_id) AS INT) AS rank,
+      |  c.vec_id AS neighbor_id,
+      |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine_sim
+      |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5""".stripMargin
+
+  /** IVF ANN: 16 fixed coarse cells, 2 probes (no oracle: approximate; recall
+    * vs brute force asserted in NorthStarSpec). */
+  def q39AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+      centroids = e.filter(col("vec_id") % 31 === 0).limit(16), k = 5, nProbe = 2)
+  }
+
+  /** Exact embedding near-dup pairs at cosine >= 0.4. */
+  def q40EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupExact(Tables(spark, dir, "embeddings"), 0.4)
+
+  val q40Oracle: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
+
+  /** Multimodal plumbing: pack text→binary media, stub-decode features,
+    * frame-sample, aggregate per source. Decode is a deterministic fake
+    * (see Multimodal scaladoc); byte/frame accounting is real. */
+  def q41Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.packFromText(Tables(spark, dir, "documents"), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media)
+    val frames = Multimodal.frameSample(media, everyN = 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("total_frames"))
+    feats.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("first_byte")).as("sum_first_byte"))
+      .join(frames, Seq("source"))
+  }
+
+  val q41Oracle: String =
+    """SELECT source, COUNT(*) AS n_media,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(ascii(substring(text, 1, 1))) AS BIGINT) AS sum_first_byte,
+      |  CAST(SUM(doc_id % 30 + 1) AS BIGINT) AS total_frames
+      |FROM documents GROUP BY 1""".stripMargin
+}

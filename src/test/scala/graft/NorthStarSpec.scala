@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Similarity}
+
+/** Cross-checks for the sketch/approximate operators that have no DuckDB
+  * oracle: minhash-LSH vs exact jaccard, simhash recall on duplicated docs,
+  * IVF recall vs brute force, multimodal batch plumbing. */
+class NorthStarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val docs = Tables(spark, dir, "documents")
+  private lazy val embeddings = Tables(spark, dir, "embeddings")
+
+  test("minhash-LSH finds the strong exact-jaccard pairs (high recall, no false positives)") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain strong near-dups")
+    // verification step makes LSH a subset of exact; banding should recall all
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash near-dup finds exact duplicates (hamming 0) of injected copies") {
+    val dup = docs.limit(5).withColumn("doc_id", $"doc_id" + 1000000L)
+    val withDups = docs.unionByName(dup)
+    val found = Dedup.simhashNearDup(withDups, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    val expected = (0 until 5).map(i => (i.toLong, i + 1000000L))
+    assert(expected.forall { case (a, b) =>
+      found.exists(r => r._1 == a && r._2 == b && r._3 == 0) },
+      s"missing exact-copy pairs; found=${found.toSeq}")
+  }
+
+  test("fingerprint equals iff token sequence equals") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha"), (4L, "alpha beta")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L)) // order-sensitive
+    assert(fps(1L) != fps(4L))
+  }
+
+  test("langId picks the stopword-matching language deterministically") {
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog"),
+      (2L, "der hund ist mit der katze auf ein baum"),
+      (3L, "el gato es para el perro con una casa"),
+      (4L, "布 豆 腐"),
+      (5L, "zzz qqq www")).toDF("id", "t")
+    val out = df.select($"id", TextFunctions.langId($"t").as("l")).as[(Long, String)]
+      .collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "zh", 5L -> "und"))
+  }
+
+  test("IVF ANN: probing all cells recovers brute force exactly; partial probes trade recall") {
+    val queries = embeddings.filter($"vec_id" < 10)
+    val centroids = embeddings.filter($"vec_id" % 31 === 0).limit(16)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(embeddings, queries, centroids, k = 5, nProbe = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "IVF with all cells probed must equal brute force")
+    val partial = Similarity.ivfTopK(embeddings, queries, centroids, k = 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect partial).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 at 4/16 probes unreasonably low: $recall")
+  }
+
+  test("multimodal batch embed: one vector per media row, deterministic") {
+    val media = Multimodal.packFromText(docs.limit(100), "doc_id", "text")
+    val a = Multimodal.batchEmbed(media, batchSize = 16)
+      .as[(Long, Array[Float])].collect().toMap
+    val b = Multimodal.batchEmbed(media, batchSize = 64)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(a.size == 100)
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k, v) => v.toSeq == b(k).toSeq }, "batch size changed results")
+  }
+}
