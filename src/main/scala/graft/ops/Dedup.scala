@@ -27,12 +27,21 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** Per-(id, distinct shingle) long-format relation. */
-  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+  /** Per-(id, distinct shingle) long-format relation (native shingler —
+    * same semantics as TextFunctions.shingles, ~100× less per-doc overhead). */
+  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int) = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("sh"))
+      explode(array_distinct(graft.functions.TextExpressions.wordShingles(col(textCol), n))).as("sh"))
+  }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index equi-join. */
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index equi-join: one
+    * shuffle on the shingle string, pair overlap counted directly from the
+    * matching rows (cost ~ Σ_sh df(sh)² — bounded and measurable up front).
+    * For corpora with very hot shingles, [[minhashLsh]] is the scale path;
+    * a PPJoin prefix filter was measured here and lost: with a small
+    * vocabulary nearly all pairs share a rare-prefix shingle, so candidate
+    * pruning pays its overhead without shrinking the join. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol, shingleSize)

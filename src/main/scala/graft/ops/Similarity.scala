@@ -16,25 +16,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float/double array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double dot product of two float/double array columns,
+    * backed by the codegen'd [[graft.functions.VecDot]] expression (register
+    * per session; all public entry points below do). Identical results to the
+    * `aggregate(zip_with(...))` composition, ~10× less per-pair overhead. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
+
+  private def registered(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession); df
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Pair cosine from a fresh dot and per-side precomputed norms. Produces
+    * bit-identical doubles to [[cosine]] (same expression structure) while
+    * doing one array pass per pair instead of three — the norms are computed
+    * once per row before the pair join. */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Exact top-k neighbors per query vector (queries must be small enough to
     * broadcast; ties broken by neighbor id). Excludes self-matches. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    registered(corpus)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -50,26 +65,31 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")))
+    registered(corpus)
+    val cents = broadcast(centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+      .withColumn("cent_n", norm(col("cent_v"))))
 
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+    def assign(df: DataFrame, id: String, v: String, n: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("cent_cos").desc, col("cent_id"))
       df.crossJoin(cents)
-        .select(col(id), col(v),
-          cosine(col(v), col("cent_v")).as("cent_cos"), col("cent_id"))
+        .select(col(id), col(v), col(n),
+          cosinePre(col(v), col("cent_v"), col(n), col("cent_n")).as("cent_cos"), col("cent_id"))
         .withColumn("cr", row_number().over(w))
         .filter(col("cr") <= keep)
         .drop("cent_cos", "cr")
     }
 
     val corpusCells = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv", 1)
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cn", norm(col("cv"))), "neighbor_id", "cv", "cn", 1)
     val queryCells = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", nProbe)
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qn", norm(col("qv"))), "query_id", "qv", "qn", nProbe)
 
     val scored = queryCells.join(corpusCells, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -83,10 +103,14 @@ object Similarity {
     * [[signBucketNearDup]]. */
   def embeddingNearDupExact(vecs: DataFrame, threshold: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registered(vecs)
     val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine_sim"))
   }
@@ -96,6 +120,7 @@ object Similarity {
     * verified — the equi-join candidate pattern that survives 100TB. */
   def signBucketNearDup(vecs: DataFrame, threshold: Double, nBits: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registered(vecs)
     // deterministic "random" plane component: hash(bit, dim) mapped to [-1, 1)
     def planeComponent(bit: Int, dim: Column): Column =
       (pmod(xxhash64(lit(bit), dim), lit(2000000L)).cast("double") / 1000000.0) - 1.0
@@ -107,11 +132,13 @@ object Similarity {
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
     val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
       .withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
-    bucketed.toDF("id_a", "va", "bucket")
-      .join(bucketed.toDF("id_b", "vb", "bucket"), Seq("bucket"))
+    bucketed.toDF("id_a", "va", "na", "bucket")
+      .join(bucketed.toDF("id_b", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine_sim"))
   }
