@@ -65,7 +65,14 @@ object SparkEntry {
     "q38_ann_brute_topk" -> (NorthStarQueries.q38AnnBruteTopK _),
     "q39_ann_ivf" -> (NorthStarQueries.q39AnnIvf _),
     "q40_embed_neardup" -> (NorthStarQueries.q40EmbedNearDup _),
-    "q41_multimodal" -> (NorthStarQueries.q41Multimodal _)
+    "q41_multimodal" -> (NorthStarQueries.q41Multimodal _),
+    // remaining §2 inventory coverage
+    "q42_predicates" -> (CoverageQueries.q42Predicates _),
+    "q43_generators" -> (CoverageQueries.q43Generators _),
+    "q44_scalar_misc" -> (CoverageQueries.q44ScalarMisc _),
+    "q45_window_first_last" -> (CoverageQueries.q45WindowFirstLast _),
+    "q47_sql_text_model" -> (CoverageQueries.q47SqlTextModel _),
+    "q48_approx_distinct" -> (CoverageQueries.q48ApproxDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,6 +112,11 @@ object SparkEntry {
     "q35_text_stats" -> NorthStarQueries.q35Oracle,
     "q38_ann_brute_topk" -> NorthStarQueries.q38Oracle,
     "q40_embed_neardup" -> NorthStarQueries.q40Oracle,
-    "q41_multimodal" -> NorthStarQueries.q41Oracle
+    "q41_multimodal" -> NorthStarQueries.q41Oracle,
+    "q42_predicates" -> CoverageQueries.q42Oracle,
+    "q43_generators" -> CoverageQueries.q43Oracle,
+    "q44_scalar_misc" -> CoverageQueries.q44Oracle,
+    "q45_window_first_last" -> CoverageQueries.q45Oracle,
+    "q47_sql_text_model" -> CoverageQueries.q47Oracle
   )
 }

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is a pure daily-batch
+  * warehouse (SURVEY.md §2.12 — no streams anywhere), so nothing here is
+  * parity work; it is the engine's forward path: the same event tables as
+  * unbounded streams, with watermarks + session/tumbling windows mirroring
+  * the batch operators (Sessionize, windowed aggs).
+  */
+object Streaming {
+
+  /** Schema of the raw events parquet (ts stored as TIMESTAMP(NANOS), read
+    * as nanos BIGINT under spark.sql.legacy.parquet.nanosAsLong). */
+  val rawEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The events table as an unbounded stream (file source), normalized to
+    * the same (ts: timestamp, ts_ns: long) convention as graft.Tables. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a directory
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+
+  /** Gap-based sessionization via native session_window — the streaming twin
+    * of [[graft.ops.Sessionize]] (reference batch shape:
+    * models/spark/onfy/onfy_sessions.sql:120-180). State is bounded by the
+    * watermark; at scale this shuffles once on user_id like the batch window. */
+  def sessionAggs(events: DataFrame, gap: String = "30 minutes",
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Tumbling-window per-type counts with late-data watermark. */
+  def minuteCounts(events: DataFrame, window: String = "5 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("v"))
+
+  /** Drive a (bounded) stream to completion into an in-memory table and
+    * return its content — batch parquet drives the streaming query, the
+    * local smoke pattern for streaming jobs. */
+  def runToMemory(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    df.sparkSession.table(name)
+  }
+}

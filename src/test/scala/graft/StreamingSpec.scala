@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sessionize
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming session_window matches batch sessionization per user") {
+    // batch sessions at micros precision (same clock the stream sees)
+    val batch = Sessionize(
+      Tables(spark, dir, "events").withColumn("us", expr("ts_ns div 1000")),
+      "user_id", "ts_ns", "us", 1800L * 1000000)
+      .groupBy($"user_id").agg(countDistinct($"session_num").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+
+    val streamed = Streaming.runToMemory(
+      Streaming.sessionAggs(Streaming.eventsStream(spark, dir)), "sess_out")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(streamed == batch,
+      s"streaming vs batch session counts differ: ${streamed.toSeq.sorted} vs ${batch.toSeq.sorted}")
+  }
+
+  test("tumbling-window counts conserve totals") {
+    val out = Streaming.runToMemory(
+      Streaming.minuteCounts(Streaming.eventsStream(spark, dir)), "win_out")
+    val streamTotal = out.agg(sum($"n")).as[Long].head()
+    val batchTotal = Tables(spark, dir, "events").count()
+    assert(streamTotal == batchTotal)
+  }
+}
