@@ -72,7 +72,10 @@ object SparkEntry {
     "q44_scalar_misc" -> (CoverageQueries.q44ScalarMisc _),
     "q45_window_first_last" -> (CoverageQueries.q45WindowFirstLast _),
     "q47_sql_text_model" -> (CoverageQueries.q47SqlTextModel _),
-    "q48_approx_distinct" -> (CoverageQueries.q48ApproxDistinct _)
+    "q48_approx_distinct" -> (CoverageQueries.q48ApproxDistinct _),
+    // §2.8 parameterized model-template macro, two instantiations
+    "q49_active_users_retention" -> (graft.models.ActiveRetention.activeUsers _),
+    "q50_active_devices_retention" -> (graft.models.ActiveRetention.activeDevices _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,6 +120,8 @@ object SparkEntry {
     "q43_generators" -> CoverageQueries.q43Oracle,
     "q44_scalar_misc" -> CoverageQueries.q44Oracle,
     "q45_window_first_last" -> CoverageQueries.q45Oracle,
-    "q47_sql_text_model" -> CoverageQueries.q47Oracle
+    "q47_sql_text_model" -> CoverageQueries.q47Oracle,
+    "q49_active_users_retention" -> graft.models.ActiveRetention.usersOracle,
+    "q50_active_devices_retention" -> graft.models.ActiveRetention.devicesOracle
   )
 }
