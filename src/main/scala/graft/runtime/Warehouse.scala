@@ -104,6 +104,25 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
   }
 
+  /** Bucketed CTAS via the session catalog: both sides of a repeated join
+    * bucketed on the join key scan-align and skip the shuffle entirely — the
+    * engine's answer to the reference's hand-bucketed theta joins and the
+    * standard co-location tool at 100TB (SURVEY.md §4). Bucketing requires a
+    * catalog table; the data still lives under the warehouse root. */
+  def createBucketedTable(name: String, df: DataFrame, bucketCols: Seq[String],
+                          numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tablePath(name))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    ws.saveAsTable(name)
+  }
+
+  /** Read a bucketed catalog table (bucketing metadata only survives through
+    * the catalog, not a bare parquet read). */
+  def readBucketed(name: String): DataFrame = spark.table(name)
+
   /** Atomic-ish full replace used by SCD2 rewrites: stage to a tmp dir, then
     * swap. (Prod-grade would use Delta/Iceberg commit protocols; parquet +
     * rename is the local-FS equivalent — SURVEY.md §7 "SCD2 without Delta".) */

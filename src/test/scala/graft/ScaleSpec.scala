@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.ops.SkewJoin
+import graft.runtime._
+
+/** Scale-posture checks: bucketed co-located joins plan without a shuffle,
+  * salted skew joins preserve results, empty increments leave partitioned
+  * tables untouched (SURVEY.md §7 "subtle correctness around empty
+  * increments"), and the four reference test archetypes behave. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val ctx = freshCtx()
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    ctx.warehouse.createBucketedTable("b_orders", o, Seq("o_orderkey"), 8)
+    ctx.warehouse.createBucketedTable("b_lineitem", li, Seq("l_orderkey"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ctx.warehouse.readBucketed("b_lineitem")
+        .join(ctx.warehouse.readBucketed("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // only the final groupBy may shuffle; the join itself must not
+      assert(shuffles.size <= 1, s"expected bucketed join without exchange, got:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted skew join returns the same rows as a plain join") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .as[(String, Long, BigDecimal)].collect().toSet
+    val salted = SkewJoin.saltedJoin(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), o, Seq("o_orderkey"),
+      spreadExpr = xxhash64(col("l_partkey"), col("l_linenumber")), n = 7)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .as[(String, Long, BigDecimal)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("empty incremental run leaves all partitions untouched") {
+    val ctx = freshCtx()
+    val model = Model("inc_empty", c =>
+      if (!c.isIncremental) Seq(("p1", 1), ("p2", 2)).toDF("part_col", "v")
+      else Seq.empty[(String, Int)].toDF("part_col", "v"),
+      Materialization.IncrementalInsertOverwrite(Seq("part_col")))
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx)
+    dag.run(ctx) // empty increment
+    val out = ctx.ref("inc_empty").as[(String, Int)].collect().toSet
+    assert(out == Set(("p1", 1), ("p2", 2)))
+  }
+
+  test("reference test archetypes: dup, null-fraction, volume band, referential") {
+    val ctx = freshCtx()
+    Seq((1, Option("a"), 10.0), (1, Option("b"), 20.0), (2, None, 500.0))
+      .toDF("id", "name", "gmv").createOrReplaceTempView("t")
+    new DagRunner(Seq(
+      Model("child", c => Seq(1, 2, 99).toDF("id")),
+      Model("parent", c => Seq(1, 2, 3).toDF("id")),
+      Model("facts", c => c.spark.table("t")))).run(ctx)
+
+    val results = SingularTests.run(ctx, Seq(
+      TestArchetypes.dupKeyCheck("facts", Seq("id")),                    // dup id=1 -> fail
+      TestArchetypes.nullCheck("facts", "gmv"),                          // no nulls -> pass
+      TestArchetypes.nullFractionCheck("facts", "name", 0.5),            // 1/3 null -> pass
+      TestArchetypes.nullFractionCheck("facts", "name", 0.2),            // 1/3 > 0.2 -> fail
+      TestArchetypes.volumeBandCheck("gmv_band", "facts", "id",
+        sum(col("gmv")), 5.0, 100.0),                                    // id=2 gmv 500 -> fail
+      TestArchetypes.referentialCheck("child", "id", "parent", "id")     // 99 orphan -> fail
+    )).map(r => r.name -> r.passed).toMap
+    assert(results("facts_dup_id") == false)
+    assert(results("facts_null_gmv") == true)
+    assert(results("facts_nullfrac_name_gt0.5") == true)
+    assert(results("facts_nullfrac_name_gt0.2") == false)
+    assert(results("gmv_band") == false)
+    assert(results("child_id_in_parent") == false)
+    assert(results.count(_._2 == false) == 4, results.toString)
+  }
+}
