@@ -71,6 +71,7 @@ object SparkEntry {
     "q43_generators" -> (CoverageQueries.q43Generators _),
     "q44_scalar_misc" -> (CoverageQueries.q44ScalarMisc _),
     "q45_window_first_last" -> (CoverageQueries.q45WindowFirstLast _),
+    "q46_struct_json_extras" -> (CoverageQueries.q46StructJsonExtras _),
     "q47_sql_text_model" -> (CoverageQueries.q47SqlTextModel _),
     "q48_approx_distinct" -> (CoverageQueries.q48ApproxDistinct _),
     // §2.8 parameterized model-template macro, two instantiations
@@ -120,6 +121,7 @@ object SparkEntry {
     "q43_generators" -> CoverageQueries.q43Oracle,
     "q44_scalar_misc" -> CoverageQueries.q44Oracle,
     "q45_window_first_last" -> CoverageQueries.q45Oracle,
+    "q46_struct_json_extras" -> CoverageQueries.q46Oracle,
     "q47_sql_text_model" -> CoverageQueries.q47Oracle,
     "q49_active_users_retention" -> graft.models.ActiveRetention.usersOracle,
     "q50_active_devices_retention" -> graft.models.ActiveRetention.devicesOracle

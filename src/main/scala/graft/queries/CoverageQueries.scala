@@ -143,6 +143,48 @@ object CoverageQueries {
       |    lpad(CAST(l_orderkey % 90000 % 60 AS VARCHAR), 2, '0') AS fmt_time
       |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin
 
+  /** ARRAYS_ZIP + explode-style field access (reference: models/spark/
+    * b2b_mart/scd2/scd2_mongo_order.sql:31), MAP_FILTER (ss_events_by_
+    * session.sql:33), TO_JSON (ss_events_by_session.sql:32), PARSE_URL. */
+  def q46StructJsonExtras(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """WITH t AS (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    split(p_name, ' ') AS ws,
+        |    transform(split(p_name, ' '), w -> length(w)) AS sizes,
+        |    concat('https://shop.example.com/parts/', lower(p_type),
+        |           '?brand=', translate(p_brand, '#', '-')) AS url
+        |  FROM part)
+        |SELECT p_partkey,
+        |  array_join(transform(arrays_zip(ws, sizes), s -> concat(s.ws, ':', s.sizes)), ',') AS zipped,
+        |  CAST(size(map_filter(map('x', p_size, 'y', p_size * 2), (k, v) -> v > 20)) AS INT) AS n_big,
+        |  to_json(named_struct('key', p_partkey, 'brand', p_brand)) AS js,
+        |  parse_url(url, 'HOST') AS host,
+        |  parse_url(url, 'PATH') AS path,
+        |  parse_url(url, 'QUERY', 'brand') AS brand_q
+        |FROM t""".stripMargin)
+  }
+
+  val q46Oracle: String =
+    """WITH t AS (
+      |  SELECT p_partkey, p_brand, p_size,
+      |    string_split(p_name, ' ') AS ws,
+      |    list_transform(string_split(p_name, ' '), w -> length(w)) AS sizes,
+      |    'https://shop.example.com/parts/' || lower(p_type) ||
+      |      '?brand=' || translate(p_brand, '#', '-') AS url
+      |  FROM part)
+      |SELECT p_partkey,
+      |  array_to_string(list_transform(list_zip(ws, sizes),
+      |    s -> struct_extract(s, 1) || ':' || CAST(struct_extract(s, 2) AS VARCHAR)), ',') AS zipped,
+      |  CAST((CASE WHEN p_size > 20 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN p_size * 2 > 20 THEN 1 ELSE 0 END) AS INT) AS n_big,
+      |  '{"key":' || p_partkey || ',"brand":"' || p_brand || '"}' AS js,
+      |  'shop.example.com' AS host,
+      |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, 'brand=([^&#]*)', 1) AS brand_q
+      |FROM t""".stripMargin
+
   /** FIRST_VALUE / LAST_VALUE over windows incl. ignoreNulls and the
     * LAST_VALUE default-frame gotcha (reference: SURVEY.md §7 "What's hard";
     * models/spark/onfy/onfy_sessions.sql:156-158, gold_products.sql:25), plus

@@ -21,11 +21,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `DISTRIBUTE BY` sites (SURVEY.md §4) — so each output partition is
   * written by few tasks and small-file explosion is avoided.
   */
-final class Warehouse(val spark: SparkSession, val root: String) {
+final class Warehouse(val spark: SparkSession, val root: String,
+                      namer: String => String = identity) {
 
   private val views = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def tablePath(name: String): String = s"$root/$name"
+  /** `namer` is the generate_schema_name / generate_alias_name hook
+    * (reference: macros/get_custom_schema.sql:1-22,
+    * macros/generate_alias_name.sql:1-28 — dev runs prefix relations). */
+  def tablePath(name: String): String = s"$root/${namer(name)}"
   private def schemaPath(name: String): Path = Paths.get(tablePath(name), "_schema.json")
 
   def tableExists(name: String): Boolean =
@@ -102,6 +106,32 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val aligned = alignSchema(name, df, OnSchemaChange.Ignore)
     val w = aligned.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
+  }
+
+  /** Docs persistence (reference: persist_docs + alter_column_comment,
+    * dbt_project.yml:43-45, macros/spark_adapter_patch/alter_column_comment.sql):
+    * table + column comments stored in a sidecar and surfaced as field
+    * metadata (`comment`) on read. */
+  def setDocs(name: String, tableComment: String,
+              columnComments: Map[String, String]): Unit = {
+    val payload = (Seq("\"__table__\": " + quote(tableComment)) ++
+      columnComments.map { case (k, v) => quote(k) + ": " + quote(v) })
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(tablePath(name), "_docs.json"), payload)
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  def docs(name: String): Map[String, String] = {
+    val p = Paths.get(tablePath(name), "_docs.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val re = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      re.findAllMatchIn(Files.readString(p)).map(m =>
+        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
+          m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")).toMap
+    }
   }
 
   /** Bucketed CTAS via the session catalog: both sides of a repeated join

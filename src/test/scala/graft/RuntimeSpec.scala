@@ -114,6 +114,17 @@ class RuntimeSpec extends SparkSpec {
     assert(res == Map("dup_check" -> false, "null_check" -> true))
   }
 
+  test("naming hook prefixes relations; docs sidecar round-trips") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(spark, root, name => s"dev_$name")
+    val ctx = Ctx(spark, wh, SourceRegistry.overDir(spark, "/root/testdata/sf0.001"))
+    new DagRunner(Seq(Model("t1", c => Seq(1).toDF("v")))).run(ctx)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/dev_t1")))
+    assert(ctx.ref("t1").count() == 1)
+    wh.setDocs("t1", "a \"test\" table", Map("v" -> "the value"))
+    assert(wh.docs("t1") == Map("__table__" -> "a \"test\" table", "v" -> "the value"))
+  }
+
   test("sql templater: ref/source/var/is_incremental/this") {
     val ctx0 = freshCtx(vars = Map("min_key" -> "5"))
     val base = SqlTemplater.sqlModel("sql_base",
