@@ -76,7 +76,9 @@ object SparkEntry {
     "q48_approx_distinct" -> (CoverageQueries.q48ApproxDistinct _),
     // §2.8 parameterized model-template macro, two instantiations
     "q49_active_users_retention" -> (graft.models.ActiveRetention.activeUsers _),
-    "q50_active_devices_retention" -> (graft.models.ActiveRetention.activeDevices _)
+    "q50_active_devices_retention" -> (graft.models.ActiveRetention.activeDevices _),
+    "q51_nested_mongo" -> (CoverageQueries.q51NestedMongo _),
+    "q52_wilson_ci" -> (CoverageQueries.q52WilsonCi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +126,8 @@ object SparkEntry {
     "q46_struct_json_extras" -> CoverageQueries.q46Oracle,
     "q47_sql_text_model" -> CoverageQueries.q47Oracle,
     "q49_active_users_retention" -> graft.models.ActiveRetention.usersOracle,
-    "q50_active_devices_retention" -> graft.models.ActiveRetention.devicesOracle
+    "q50_active_devices_retention" -> graft.models.ActiveRetention.devicesOracle,
+    "q51_nested_mongo" -> CoverageQueries.q51Oracle,
+    "q52_wilson_ci" -> CoverageQueries.q52Oracle
   )
 }

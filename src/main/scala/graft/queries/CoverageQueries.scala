@@ -265,6 +265,90 @@ object CoverageQueries {
       |  PARTITION BY user_id, CAST(epoch_ms(epoch_ns(ts) // 1000000 + 10800000) AS DATE)
       |  ORDER BY epoch_ns(ts) DESC) = 1""".stripMargin
 
+  /** The Mongo-daily-snapshot nested shape (FIXTURES.md §B.1; reference:
+    * models/spark/b2b_mart/scd2/scd2_mongo_order.sql:26-36, gold_orders.sql:70):
+    * nested struct/array/map built per order, then consumed with dotted
+    * access THROUGH an array (`state.statusHistory.status` → array<int>),
+    * ARRAYS_ZIP + explode, and chained map-of-map access
+    * (`metrics['cancelRate']['ignored']['value']`). */
+  def q51NestedMongo(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """WITH nested AS (
+        |  SELECT l_orderkey AS _id,
+        |    named_struct('statusHistory',
+        |      array_sort(collect_list(named_struct(
+        |        'status', CAST(l_linenumber AS INT),
+        |        'updatedTimeMs', CAST(l_quantity * 1000 AS BIGINT))))) AS state,
+        |    named_struct('advancePercent', ROUND(MAX(l_discount) * 100, 2),
+        |                 'clientCurrency', MAX(l_returnflag)) AS payment,
+        |    map('cancelRate', map('ignored',
+        |        named_struct('value', COUNT(*) > 3))) AS metrics
+        |  FROM lineitem GROUP BY 1),
+        |unwrapped AS (
+        |  SELECT _id,
+        |    size(state.statusHistory) AS n_status,
+        |    state.statusHistory.status AS statuses,           -- dotted through array
+        |    element_at(state.statusHistory.status, 1) AS first_status,
+        |    payment.advancePercent AS advance_pct,
+        |    payment.clientCurrency AS currency,
+        |    metrics['cancelRate']['ignored']['value'] AS cancel_ignored
+        |  FROM nested),
+        |zipped AS (
+        |  SELECT _id, z.status AS status, z.updatedTimeMs AS ms
+        |  FROM nested
+        |  LATERAL VIEW EXPLODE(ARRAYS_ZIP(state.statusHistory.status,
+        |                                  state.statusHistory.updatedTimeMs)) t AS z)
+        |SELECT u._id, u.n_status, u.first_status, u.advance_pct, u.currency,
+        |  u.cancel_ignored,
+        |  CAST(SUM(z.status) AS BIGINT) AS sum_status,
+        |  CAST(SUM(CAST(z.ms AS DECIMAL(18,0))) AS DOUBLE) AS sum_ms
+        |FROM unwrapped u JOIN zipped z ON u._id = z._id
+        |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)
+  }
+
+  val q51Oracle: String =
+    """SELECT l_orderkey AS _id,
+      |  CAST(COUNT(*) AS INT) AS n_status,
+      |  CAST(MIN(l_linenumber) AS INT) AS first_status,
+      |  ROUND(MAX(l_discount) * 100, 2) AS advance_pct,
+      |  MAX(l_returnflag) AS currency,
+      |  COUNT(*) > 3 AS cancel_ignored,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_status,
+      |  CAST(SUM(CAST(CAST(l_quantity * 1000 AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS sum_ms
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Wilson confidence interval — the reference's statistical query shape
+    * (reference: models/spark/search/success_by_relevance/
+    * search_success_aggregated.sql:106 with CAST(1.96 AS DOUBLE)). */
+  def q52WilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val z = lit(1.96)
+    li.groupBy(col("l_returnflag"))
+      .agg(count_if(col("l_discount") > 0.05).as("hits"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("hits"), col("n"),
+        round({
+          val n = col("n").cast("double"); val p = col("hits").cast("double") / n
+          (p + z * z / (lit(2) * n)
+            - z * sqrt((p * (lit(1) - p) + z * z / (lit(4) * n)) / n)) /
+            (lit(1) + z * z / n)
+        }, 6).as("wilson_lower"))
+  }
+
+  val q52Oracle: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(count_if(l_discount > 0.05) AS BIGINT) AS hits, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, hits, n,
+      |  ROUND((CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+      |      - 1.96 * sqrt(((CAST(hits AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (1 - CAST(hits AS DOUBLE) / CAST(n AS DOUBLE))
+      |          + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+      |    / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS wilson_lower
+      |FROM agg""".stripMargin
+
   /** APPROX_COUNT_DISTINCT / HLL (reference: models/spark/onfy/
     * onfy_unique_querying_devices.sql:36) — sketch-based, rows-only check. */
   def q48ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {

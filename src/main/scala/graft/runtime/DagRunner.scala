@@ -76,9 +76,15 @@ final class DagRunner(models: Seq[Model]) {
   }
 
   /** Run the (selected) DAG. Failures skip their downstream but not
-    * independent branches. Returns per-model status. */
+    * independent branches. Returns per-model status.
+    *
+    * @param fullRefresh rebuild incremental models from scratch (dbt
+    *   `--full-refresh`). Per-model weekly reloads also trigger when
+    *   `meta("full_reload_on")` equals `var("run_dow")` (reference:
+    *   `'full_reload_on': '6'`, models/spark/gold/gold_orders.sql:15). */
   def run(ctx: Ctx, selectors: Seq[String] = Nil,
-          fillIntermediate: Boolean = false): Seq[(String, RunStatus)] = {
+          fillIntermediate: Boolean = false,
+          fullRefresh: Boolean = false): Seq[(String, RunStatus)] = {
     TimeFunctions.register(ctx.spark)
     val base = select(selectors)
     val subset = if (fillIntermediate) fillGaps(base) else base
@@ -90,7 +96,9 @@ final class DagRunner(models: Seq[Model]) {
       } else {
         val t0 = System.nanoTime()
         try {
-          materialize(ctx, m)
+          val reload = fullRefresh ||
+            m.meta.get("full_reload_on").exists(ctx.vars.get("run_dow").contains(_))
+          materialize(ctx, m, reload)
           m.name -> RunStatus.Success((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Exception =>
@@ -105,20 +113,21 @@ final class DagRunner(models: Seq[Model]) {
     ctx.vars.get("run_ts").map(Timestamp.valueOf)
       .getOrElse(new Timestamp(System.currentTimeMillis()))
 
-  def materialize(ctx: Ctx, m: Model): Unit = m.materialization match {
+  def materialize(ctx: Ctx, m: Model, fullRefresh: Boolean = false): Unit =
+    m.materialization match {
     case Materialization.Table(partitionBy) =>
       ctx.warehouse.createTable(m.name, m.build(ctx), partitionBy)
     case Materialization.View =>
       ctx.warehouse.registerView(m.name, m.build(ctx))
     case Materialization.IncrementalInsertOverwrite(partitionBy, onSchemaChange, spread) =>
-      if (!ctx.warehouse.tableExists(m.name))
+      if (fullRefresh || !ctx.warehouse.tableExists(m.name))
         ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)),
           partitionBy, spread)
       else
         ctx.warehouse.insertOverwritePartitions(m.name,
           m.build(ctx.copy(isIncremental = true)), partitionBy, onSchemaChange, spread)
     case Materialization.IncrementalAppend(partitionBy) =>
-      if (!ctx.warehouse.tableExists(m.name))
+      if (fullRefresh || !ctx.warehouse.tableExists(m.name))
         ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)
       else
         ctx.warehouse.append(m.name, m.build(ctx.copy(isIncremental = true)), partitionBy)

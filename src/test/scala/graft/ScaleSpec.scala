@@ -63,6 +63,26 @@ class ScaleSpec extends SparkSpec {
     assert(out == Set(("p1", 1), ("p2", 2)))
   }
 
+  test("full refresh rebuilds incremental models; full_reload_on meta triggers per-model") {
+    val ctx0 = freshCtx()
+    var calls = List.empty[Boolean] // records isIncremental per build
+    val model = Model("inc_fr", c => {
+      calls :+= c.isIncremental
+      if (!c.isIncremental) Seq(("p1", 1), ("p2", 2)).toDF("part_col", "v")
+      else Seq(("p2", 99)).toDF("part_col", "v")
+    }, Materialization.IncrementalInsertOverwrite(Seq("part_col")),
+      meta = Map("full_reload_on" -> "6"))
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx0)                                    // first run: full
+    dag.run(ctx0)                                    // incremental
+    dag.run(ctx0, fullRefresh = true)                // forced full
+    dag.run(ctx0.copy(vars = Map("run_dow" -> "6"))) // weekly reload day
+    dag.run(ctx0.copy(vars = Map("run_dow" -> "3"))) // normal day
+    assert(calls == List(false, true, false, false, true))
+    val out = ctx0.ref("inc_fr").as[(String, Int)].collect().toSet
+    assert(out == Set(("p1", 1), ("p2", 99)))
+  }
+
   test("reference test archetypes: dup, null-fraction, volume band, referential") {
     val ctx = freshCtx()
     Seq((1, Option("a"), 10.0), (1, Option("b"), 20.0), (2, None, 500.0))
