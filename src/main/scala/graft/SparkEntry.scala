@@ -78,7 +78,8 @@ object SparkEntry {
     "q49_active_users_retention" -> (graft.models.ActiveRetention.activeUsers _),
     "q50_active_devices_retention" -> (graft.models.ActiveRetention.activeDevices _),
     "q51_nested_mongo" -> (CoverageQueries.q51NestedMongo _),
-    "q52_wilson_ci" -> (CoverageQueries.q52WilsonCi _)
+    "q52_wilson_ci" -> (CoverageQueries.q52WilsonCi _),
+    "q53_scd2_pipeline" -> (Scd2Queries.q53Scd2Pipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,6 +129,7 @@ object SparkEntry {
     "q49_active_users_retention" -> graft.models.ActiveRetention.usersOracle,
     "q50_active_devices_retention" -> graft.models.ActiveRetention.devicesOracle,
     "q51_nested_mongo" -> CoverageQueries.q51Oracle,
-    "q52_wilson_ci" -> CoverageQueries.q52Oracle
+    "q52_wilson_ci" -> CoverageQueries.q52Oracle,
+    "q53_scd2_pipeline" -> Scd2Queries.q53Oracle
   )
 }

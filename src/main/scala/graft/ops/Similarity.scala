@@ -98,6 +98,35 @@ object Similarity {
         round(col("cos"), 6).as("cosine_sim"))
   }
 
+  /** Deterministic Lloyd (k-means) refinement of IVF centroids — pure
+    * DataFrame ops, no driver-side math: assign to nearest centroid, then
+    * element-wise mean per cell via posexplode + groupBy(cell, dim). Empty
+    * cells drop out (k shrinks). Plugs straight into [[ivfTopK]]. */
+  def kmeansCentroids(vecs: DataFrame, init: DataFrame, iters: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registered(vecs)
+    val points = vecs.select(col(idCol).as("pid"), col(vecCol).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+    var cents = init.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    for (_ <- 0 until iters) {
+      val c = broadcast(cents.withColumn("cent_n", norm(col("cent_v"))))
+      val w = Window.partitionBy(col("pid")).orderBy(col("cc").desc, col("cent_id"))
+      val assigned = points.crossJoin(c)
+        .select(col("pid"), col("pv"),
+          cosinePre(col("pv"), col("cent_v"), col("pn"), col("cent_n")).as("cc"),
+          col("cent_id"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("pv")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cent_id"),
+          transform(col("dm"), s => s.getField("m")).as("cent_v"))
+    }
+    cents.withColumnRenamed("cent_id", idCol).withColumnRenamed("cent_v", vecCol)
+  }
+
   /** Exact embedding near-duplicate pairs above a cosine threshold. At the
     * test scale this is a block self-join; the LSH path for 100TB is
     * [[signBucketNearDup]]. */

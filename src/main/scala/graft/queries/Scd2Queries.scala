@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.runtime._
+
+/** SCD2 snapshot engine on the oracle gate: two consecutive dbt-style
+  * snapshot runs (timestamp strategy) over per-customer "current state"
+  * derived from orders, then the resulting dbt_valid_from/to history is
+  * checked against a closed-form SQL reconstruction (reference semantics:
+  * snapshots/spark/b2b_mart/scd2_orders_v2_snapshot.sql:1-17).
+  *
+  * Day 1 stages the state as of 1998-01-01; day 2 stages the final state.
+  * Expected history: customers whose state advanced get a closed v1 row
+  * (valid_to = v2.updated_at) + an open v2 row; unchanged customers keep one
+  * open v1 row; customers first active after day 1 appear as open v2 only.
+  */
+object Scd2Queries {
+
+  private def stateAsOf(orders: DataFrame, cutoff: Option[String]): DataFrame = {
+    val base = cutoff.fold(orders)(c => orders.filter(col("o_orderdate") <= lit(c)))
+    // unique argmax key: day number * 1e10 + orderkey
+    val key = unix_date(to_date(col("o_orderdate"))).cast("long") * 10000000000L +
+      col("o_orderkey")
+    base.groupBy(col("o_custkey").as("_id"))
+      .agg(
+        max_by(col("o_orderstatus"), key).as("status"),
+        max_by(col("o_totalprice"), key).as("last_price"),
+        max(to_date(col("o_orderdate"))).as("updated_at"))
+  }
+
+  def q53Scd2Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val orders = Tables(spark, dir, "orders")
+    val strat = Scd2Strategy.Timestamp("updated_at")
+    Scd2.snapshot(ctx, "cust_scd2", stateAsOf(orders, Some("1998-01-01")),
+      "_id", strat, invalidateHardDeletes = false, Timestamp.valueOf("1998-01-02 00:00:00"))
+    Scd2.snapshot(ctx, "cust_scd2", stateAsOf(orders, None),
+      "_id", strat, invalidateHardDeletes = false, Timestamp.valueOf("2002-01-01 00:00:00"))
+    ctx.ref("cust_scd2").select(
+      col("_id"), col("status"), col("last_price"),
+      date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
+      date_format(col("dbt_valid_from"), "yyyy-MM-dd").as("valid_from"),
+      coalesce(date_format(col("dbt_valid_to"), "yyyy-MM-dd"), lit("open")).as("valid_to"))
+  }
+
+  val q53Oracle: String =
+    """WITH keyed AS (
+      |  SELECT o_custkey, o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS od,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |      * 10000000000 + o_orderkey AS k
+      |  FROM orders),
+      |v1 AS (
+      |  SELECT o_custkey AS _id, arg_max(o_orderstatus, k) AS status,
+      |    arg_max(o_totalprice, k) AS last_price, MAX(od) AS updated_at
+      |  FROM keyed WHERE od <= DATE '1998-01-01' GROUP BY 1),
+      |v2 AS (
+      |  SELECT o_custkey AS _id, arg_max(o_orderstatus, k) AS status,
+      |    arg_max(o_totalprice, k) AS last_price, MAX(od) AS updated_at
+      |  FROM keyed GROUP BY 1)
+      |SELECT v1._id, v1.status, v1.last_price,
+      |  strftime(v1.updated_at, '%Y-%m-%d') AS updated_at,
+      |  strftime(v1.updated_at, '%Y-%m-%d') AS valid_from,
+      |  CASE WHEN v2.updated_at > v1.updated_at
+      |       THEN strftime(v2.updated_at, '%Y-%m-%d') ELSE 'open' END AS valid_to
+      |FROM v1 JOIN v2 ON v1._id = v2._id
+      |UNION ALL
+      |SELECT v2._id, v2.status, v2.last_price,
+      |  strftime(v2.updated_at, '%Y-%m-%d') AS updated_at,
+      |  strftime(v2.updated_at, '%Y-%m-%d') AS valid_from,
+      |  'open' AS valid_to
+      |FROM v2 LEFT JOIN v1 ON v1._id = v2._id
+      |WHERE v1._id IS NULL OR v2.updated_at > v1.updated_at""".stripMargin
+}

@@ -73,6 +73,17 @@ class NorthStarSpec extends SparkSpec {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect partial).size.toDouble / brute.size
     assert(recall >= 0.3, s"IVF recall@5 at 4/16 probes unreasonably low: $recall")
+
+    // k-means-refined centroids keep the exactness invariant and stay usable
+    val refined = Similarity.kmeansCentroids(embeddings, centroids, iters = 2)
+    val refinedFull = Similarity.ivfTopK(embeddings, queries, refined, k = 5, nProbe = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(refinedFull == brute, "refined IVF with all cells probed must equal brute force")
+    val refinedPartial = Similarity.ivfTopK(embeddings, queries, refined, k = 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val refinedRecall = (brute intersect refinedPartial).size.toDouble / brute.size
+    info(s"IVF recall@5 4/16 probes: raw=$recall refined=$refinedRecall")
+    assert(refinedRecall >= 0.3)
   }
 
   test("multimodal batch embed: one vector per media row, deterministic") {
