@@ -79,7 +79,8 @@ object SparkEntry {
     "q50_active_devices_retention" -> (graft.models.ActiveRetention.activeDevices _),
     "q51_nested_mongo" -> (CoverageQueries.q51NestedMongo _),
     "q52_wilson_ci" -> (CoverageQueries.q52WilsonCi _),
-    "q53_scd2_pipeline" -> (Scd2Queries.q53Scd2Pipeline _)
+    "q53_scd2_pipeline" -> (Scd2Queries.q53Scd2Pipeline _),
+    "q54_conditionals" -> (CoverageQueries.q54Conditionals _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,6 +131,7 @@ object SparkEntry {
     "q50_active_devices_retention" -> graft.models.ActiveRetention.devicesOracle,
     "q51_nested_mongo" -> CoverageQueries.q51Oracle,
     "q52_wilson_ci" -> CoverageQueries.q52Oracle,
-    "q53_scd2_pipeline" -> Scd2Queries.q53Oracle
+    "q53_scd2_pipeline" -> Scd2Queries.q53Oracle,
+    "q54_conditionals" -> CoverageQueries.q54Oracle
   )
 }

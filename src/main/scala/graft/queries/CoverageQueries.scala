@@ -265,6 +265,29 @@ object CoverageQueries {
       |  PARTITION BY user_id, CAST(epoch_ms(epoch_ns(ts) // 1000000 + 10800000) AS DATE)
       |  ORDER BY epoch_ns(ts) DESC) = 1""".stripMargin
 
+  /** IF / NVL / NULLIF conditionals (reference: IF 748×, COALESCE 892×,
+    * NULLIF 9×, NVL 2× — models/spark/base/active_devices.sql:32) and
+    * TO_UTC_TIMESTAMP round-trip (reference: 4×). */
+  def q54Conditionals(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  IF(o_totalprice > 100000, 'big', 'small') AS size_class,
+        |  NULLIF(o_orderstatus, 'O') AS status_or_null,
+        |  NVL(NULLIF(o_orderstatus, 'O'), 'open') AS status_defaulted,
+        |  date_format(to_utc_timestamp(from_utc_timestamp(CAST(o_orderdate AS TIMESTAMP),
+        |    'Europe/Berlin'), 'Europe/Berlin'), 'yyyy-MM-dd HH:mm') AS roundtrip
+        |FROM orders""".stripMargin)
+  }
+
+  val q54Oracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
+      |  NULLIF(o_orderstatus, 'O') AS status_or_null,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_defaulted,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M') AS roundtrip
+      |FROM orders""".stripMargin
+
   /** The Mongo-daily-snapshot nested shape (FIXTURES.md §B.1; reference:
     * models/spark/b2b_mart/scd2/scd2_mongo_order.sql:26-36, gold_orders.sql:70):
     * nested struct/array/map built per order, then consumed with dotted

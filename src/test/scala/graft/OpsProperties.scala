@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based cross-checks of the scale-shaped operators against naive
+  * per-row reference implementations on randomized small inputs. */
+object OpsProperties extends Properties("graft.ops") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rowGen = for {
+    k <- Gen.choose(0, 3)
+    t <- Gen.choose(0L, 50L)
+    id <- Gen.choose(0L, 1000L)
+  } yield (s"k$k", t, id)
+
+  private val sideGen = Gen.listOfN(25, rowGen)
+
+  property("asOfJoin.backward == naive latest-right-at-or-before") = forAll(sideGen, sideGen) {
+    (leftRows, rightRowsRaw) =>
+      import spark.implicits._
+      // right must be unique per (key, t): keep max id
+      val rightRows = rightRowsRaw.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+      val leftUnique = leftRows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val left = leftUnique.toDF("k", "t", "lid")
+      val right = rightRows.toDF("k", "t", "rid")
+      val got = graft.ops.AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+        .select($"lid", $"r_rid").as[(Long, Option[Long])].collect().toMap
+      val expected = leftUnique.map { case (k, t, lid) =>
+        val cand = rightRows.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (cand.isEmpty) None
+                else Some(cand.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == expected
+  }
+
+  private val evGen = Gen.listOfN(30, for {
+    k <- Gen.choose(0, 2)
+    t <- Gen.choose(0L, 200L)
+  } yield (s"u$k", t))
+
+  property("sessionize == naive gap fold") = forAll(evGen, Gen.choose(1L, 40L)) {
+    (rows, gap) =>
+      import spark.implicits._
+      // unique order key per row to make ordering deterministic under ties
+      val uniq = rows.zipWithIndex.map { case ((k, t), i) => (k, t * 1000 + i, t) }
+      val df = uniq.toDF("k", "ord", "es")
+      val got = graft.ops.Sessionize(df, "k", "ord", "es", gap)
+        .select($"k", $"ord", $"session_num").as[(String, Long, Long)]
+        .collect().map { case (k, o, s) => (k, o) -> s }.toMap
+      val expected = uniq.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        var sess = 0L; var prev = Option.empty[Long]
+        sorted.map { case (_, ord, es) =>
+          if (prev.isEmpty || es - prev.get > gap) sess += 1
+          prev = Some(es)
+          (k, ord) -> sess
+        }
+      }
+      got == expected
+  }
+}
