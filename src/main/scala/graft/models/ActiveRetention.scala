@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object ActiveRetention {
 
-  /** Daily activity rollup for any entity id expression over `events`. */
+  /** Daily activity rollup for any entity id expression over `events`.
+    *
+    * The per-entity-day distinct is done as collect_set + explode so the
+    * single shuffle lands on entity_id alone — a plain `.distinct()` hashes
+    * on (entity, day) and forces the downstream entity-keyed windows to
+    * re-shuffle everything (verified with PlanCheck: 3 exchanges → 2). */
   def dailyStats(events: DataFrame, idExpr: Column): DataFrame = {
     val days = events
       .select(idExpr.as("entity_id"), unix_date(to_date(col("ts"))).as("d"))
-      .distinct()
+      .groupBy(col("entity_id")).agg(collect_set(col("d")).as("ds"))
+      .select(col("entity_id"), explode(col("ds")).as("d"))
     val w = Window.partitionBy(col("entity_id")).orderBy(col("d"))
     def frame(lo: Int, hi: Int) = count(lit(1)).over(w.rangeBetween(lo, hi))
     val flagged = days

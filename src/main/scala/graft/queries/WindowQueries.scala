@@ -123,7 +123,12 @@ object WindowQueries {
     * models/spark/gold/gold_active_real_users.sql:172-177 — rd1/rd7/rw4). */
   def q11RetentionFlags(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
-    val days = e.select(col("user_id"), unix_date(to_date(col("ts"))).as("d")).distinct()
+    // collect_set+explode distinct: one shuffle on user_id that the windows
+    // below reuse (a plain .distinct() would shuffle on (user_id, d) and
+    // force a second exchange for the user-keyed windows)
+    val days = e.select(col("user_id"), unix_date(to_date(col("ts"))).as("d"))
+      .groupBy(col("user_id")).agg(collect_set(col("d")).as("ds"))
+      .select(col("user_id"), explode(col("ds")).as("d"))
     def frame(lo: Int, hi: Int) =
       count(lit(1)).over(Window.partitionBy(col("user_id")).orderBy(col("d")).rangeBetween(lo, hi))
     days
