@@ -77,7 +77,9 @@ object ScalarQueries {
       translate(col("p_brand"), "#", "-").as("brand_tr"),
       regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
       instr(col("p_name"), "widget").as("pos_widget"),
-      concat(col("p_name"), lit("/"), col("p_brand")).as("name_slash_brand"))
+      concat(col("p_name"), lit("/"), col("p_brand")).as("name_slash_brand"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+      expr("conv(hex(p_partkey), 16, 10)").as("key_roundtrip"))
   }
 
   val q19Oracle: String =
@@ -91,7 +93,9 @@ object ScalarQueries {
       |  translate(p_brand, '#', '-') AS brand_tr,
       |  COALESCE(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num,
       |  CAST(COALESCE(instr(p_name, 'widget'), 0) AS INT) AS pos_widget,
-      |  p_name || '/' || p_brand AS name_slash_brand
+      |  p_name || '/' || p_brand AS name_slash_brand,
+      |  trim('  ' || p_name || '  ') AS name_trim,
+      |  CAST(p_partkey AS VARCHAR) AS key_roundtrip
       |FROM part""".stripMargin
 
   /** Date/time-function battery (reference: SURVEY.md §2.7 Date/time family).
@@ -109,6 +113,8 @@ object ScalarQueries {
         .cast("int").as("months_since_95"),
       date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
       dayofweek(col("o_orderdate")).cast("int").as("dow"),
+      date_format(col("o_orderdate"), "EEEE").as("weekday_name"),
+      date_format(date_add(col("o_orderdate"), 45), "yyyy-MM-dd").as("plus45d"),
       year(col("o_orderdate")).cast("int").as("yr"),
       quarter(col("o_orderdate")).cast("int").as("qtr"),
       unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_sec"))
@@ -122,6 +128,8 @@ object ScalarQueries {
       |  CAST(date_diff('month', DATE '1995-01-01', date_trunc('month', o_orderdate)) AS INT) AS months_since_95,
       |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
       |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+      |  dayname(o_orderdate) AS weekday_name,
+      |  strftime(CAST(o_orderdate AS DATE) + 45, '%Y-%m-%d') AS plus45d,
       |  CAST(year(o_orderdate) AS INT) AS yr,
       |  CAST(quarter(o_orderdate) AS INT) AS qtr,
       |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec

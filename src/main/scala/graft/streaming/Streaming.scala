@@ -51,6 +51,30 @@ object Streaming {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("v"))
 
+  /** Custom streaming state via mapGroupsWithState: per-user running event
+    * count + first-seen timestamp, emitted as an update stream — the
+    * arbitrary-stateful-processing shape (e.g. online feature aggregation)
+    * that windows can't express. */
+  def statefulUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").as[Long], col("ts_ns").as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val batch = rows.toSeq
+          val (prevN, prevFirst) =
+            state.getOption.getOrElse((0L, Long.MaxValue))
+          val next = (prevN + batch.size, math.min(prevFirst, batch.map(_._2).min))
+          state.update(next)
+          (user, next._1, next._2)
+      }
+      .toDF("user_id", "n_events", "first_ts_ns")
+  }
+
   /** Drive a (bounded) stream to completion into an in-memory table and
     * return its content — batch parquet drives the streaming query, the
     * local smoke pattern for streaming jobs. */

@@ -26,6 +26,23 @@ class StreamingSpec extends SparkSpec {
       s"streaming vs batch session counts differ: ${streamed.toSeq.sorted} vs ${batch.toSeq.sorted}")
   }
 
+  test("mapGroupsWithState running counts match batch aggregates") {
+    val out = Streaming.statefulUserCounts(Streaming.eventsStream(spark, dir))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user = final state
+    val got = spark.table("state_out")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n"), min($"first_ts_ns").as("f"))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), min($"ts_ns").as("f"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("tumbling-window counts conserve totals") {
     val out = Streaming.runToMemory(
       Streaming.minuteCounts(Streaming.eventsStream(spark, dir)), "win_out")
