@@ -114,6 +114,26 @@ class RuntimeSpec extends SparkSpec {
     assert(res == Map("dup_check" -> false, "null_check" -> true))
   }
 
+  test("two-level partitioning: incremental overwrite replaces one cell only") {
+    // reference: partition_by=['table_name','partition_date'],
+    // models/spark/mart/fact_table_update.sql:9
+    val ctx = freshCtx()
+    val model = Model("fact_update", c =>
+      if (!c.isIncremental)
+        Seq(("t1", "2024-01-01", 1L), ("t1", "2024-01-02", 2L),
+            ("t2", "2024-01-01", 3L)).toDF("table_name", "part_date", "rows_loaded")
+      else
+        Seq(("t1", "2024-01-02", 99L)).toDF("table_name", "part_date", "rows_loaded"),
+      Materialization.IncrementalInsertOverwrite(Seq("table_name", "part_date")))
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx); dag.run(ctx)
+    val out = ctx.ref("fact_update")
+      .select($"table_name", $"part_date", $"rows_loaded")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("t1", "2024-01-01", 1L), ("t1", "2024-01-02", 99L),
+      ("t2", "2024-01-01", 3L)))
+  }
+
   test("naming hook prefixes relations; docs sidecar round-trips") {
     val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val wh = new Warehouse(spark, root, name => s"dev_$name")
