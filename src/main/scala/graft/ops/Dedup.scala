@@ -112,18 +112,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash signature per document. */
+  /** 64-bit SimHash signature per document — native single-pass expression
+    * (graft.functions.SimHash64); bit votes use the same xxhash64(token)
+    * values as the composable explode + 64-aggregate formulation. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitAggs = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
-    }
-    val sums = w.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
-    sums.select(col("id"), sig.as("simhash"))
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.simhash64(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
