@@ -20,7 +20,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any stale output so a failed query can't pass on old files
+        val dir = java.nio.file.Paths.get(s"$outDir/$name")
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+        System.err.println(s"[verify] $name failed: $e")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

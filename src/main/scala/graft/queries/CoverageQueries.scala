@@ -307,26 +307,21 @@ object CoverageQueries {
         |                 'clientCurrency', MAX(l_returnflag)) AS payment,
         |    map('cancelRate', map('ignored',
         |        named_struct('value', COUNT(*) > 3))) AS metrics
-        |  FROM lineitem GROUP BY 1),
-        |unwrapped AS (
-        |  SELECT _id,
-        |    size(state.statusHistory) AS n_status,
-        |    state.statusHistory.status AS statuses,           -- dotted through array
-        |    element_at(state.statusHistory.status, 1) AS first_status,
-        |    payment.advancePercent AS advance_pct,
-        |    payment.clientCurrency AS currency,
-        |    metrics['cancelRate']['ignored']['value'] AS cancel_ignored
-        |  FROM nested),
-        |zipped AS (
-        |  SELECT _id, z.status AS status, z.updatedTimeMs AS ms
-        |  FROM nested
-        |  LATERAL VIEW EXPLODE(ARRAYS_ZIP(state.statusHistory.status,
-        |                                  state.statusHistory.updatedTimeMs)) t AS z)
-        |SELECT u._id, u.n_status, u.first_status, u.advance_pct, u.currency,
-        |  u.cancel_ignored,
+        |  FROM lineitem GROUP BY 1)
+        |-- single pass: per-_id scalars ride along as grouping expressions, so
+        |-- the nested CTE is scanned once (a separate unwrapped⋈zipped self-join
+        |-- would compute the collect_list aggregation twice)
+        |SELECT _id,
+        |  size(state.statusHistory) AS n_status,
+        |  element_at(state.statusHistory.status, 1) AS first_status,  -- dotted through array
+        |  payment.advancePercent AS advance_pct,
+        |  payment.clientCurrency AS currency,
+        |  metrics['cancelRate']['ignored']['value'] AS cancel_ignored,
         |  CAST(SUM(z.status) AS BIGINT) AS sum_status,
-        |  CAST(SUM(CAST(z.ms AS DECIMAL(18,0))) AS DOUBLE) AS sum_ms
-        |FROM unwrapped u JOIN zipped z ON u._id = z._id
+        |  CAST(SUM(CAST(z.updatedTimeMs AS DECIMAL(18,0))) AS DOUBLE) AS sum_ms
+        |FROM nested
+        |LATERAL VIEW EXPLODE(ARRAYS_ZIP(state.statusHistory.status,
+        |                                state.statusHistory.updatedTimeMs)) t AS z
         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)
   }
 
