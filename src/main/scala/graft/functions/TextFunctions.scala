@@ -31,7 +31,7 @@ object TextFunctions {
     size(filter(split(lower(c), "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])"),
       t => length(trim(t)) > 0))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "mit", "für", "auf", "ein", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "un", "une", "sur"),

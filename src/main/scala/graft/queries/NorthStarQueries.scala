@@ -94,8 +94,9 @@ object NorthStarQueries {
 
   /** Language-ID heuristic + per-language aggregates (no oracle: heuristic). */
   def q36LangProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
     val d = Tables(spark, dir, "documents")
-    d.select(TextFunctions.langId(col("text")).as("lang_pred"),
+    d.select(graft.functions.TextExpressions.langId(col("text")).as("lang_pred"),
         col("lang").as("lang_label"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))
       .groupBy(col("lang_pred"), col("lang_label"))

@@ -17,6 +17,8 @@ import graft.functions.TimeFunctions
   */
 object SqlTemplater {
 
+  private val ConfigRe = """(?s)\{\{\s*config\(.*?\)\s*\}\}""".r
+  private val CommentRe = """(?s)\{#.*?#\}""".r
   private val RefRe = """\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
   private val SourceRe = """\{\{\s*source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
   private val VarRe = """\{\{\s*var\(\s*['"]([^'"]+)['"](?:\s*,\s*['"]([^'"]*)['"])?\s*\)\s*\}\}""".r
@@ -31,7 +33,12 @@ object SqlTemplater {
   def runSql(ctx: Ctx, modelName: String, sql: String): DataFrame = {
     TimeFunctions.register(ctx.spark)
 
-    var text = IncrRe.replaceAllIn(sql, m =>
+    // reference model bodies open with {{ config(...) }} and may carry
+    // {# jinja comments #}; config is engine-side metadata here (the Model
+    // carries materialization), so both are stripped for near-verbatim runs
+    val stripped = CommentRe.replaceAllIn(ConfigRe.replaceAllIn(sql, ""), "")
+
+    var text = IncrRe.replaceAllIn(stripped, m =>
       scala.util.matching.Regex.quoteReplacement(
         if (ctx.isIncremental) m.group(1) else Option(m.group(2)).getOrElse("")))
 

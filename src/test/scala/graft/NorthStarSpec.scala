@@ -59,6 +59,14 @@ class NorthStarSpec extends SparkSpec {
     val out = df.select($"id", TextFunctions.langId($"t").as("l")).as[(Long, String)]
       .collect().toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "zh", 5L -> "und"))
+
+    // native LangId expression must agree with the composable form everywhere
+    graft.functions.TextExpressions.register(spark)
+    val disagree = docs.select(
+        TextFunctions.langId($"text").as("a"),
+        graft.functions.TextExpressions.langId($"text").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(disagree == 0)
   }
 
   test("IVF ANN: probing all cells recovers brute force exactly; partial probes trade recall") {

@@ -114,6 +114,20 @@ class RuntimeSpec extends SparkSpec {
     assert(res == Map("dup_check" -> false, "null_check" -> true))
   }
 
+  test("sql templater strips config blocks and jinja comments") {
+    val ctx = freshCtx()
+    val model = SqlTemplater.sqlModel("cfg_model",
+      """{{ config(
+        |    materialized='incremental',
+        |    partition_by=['d'],
+        |    meta={'bigquery_load': 'true'}
+        |) }}
+        |{# ported near-verbatim from the reference #}
+        |SELECT n_nationkey, n_name FROM {{ source('default', 'nation') }}""".stripMargin)
+    new DagRunner(Seq(model)).run(ctx)
+    assert(ctx.ref("cfg_model").count() == 25)
+  }
+
   test("two-level partitioning: incremental overwrite replaces one cell only") {
     // reference: partition_by=['table_name','partition_date'],
     // models/spark/mart/fact_table_update.sql:9
