@@ -44,10 +44,13 @@ object Dedup {
     * pruning pays its overhead without shrinking the join. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // join on the shingle's 64-bit hash, not the string: same join (collision
+    // odds ~|shingles|²/2⁶⁵), fixed-width shuffle keys instead of strings
     val sh = shingleSet(docs, idCol, textCol, shingleSize)
+      .select(col("id"), xxhash64(col("sh")).as("shh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val shared = sh.toDF("id_a", "sh")
-      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+    val shared = sh.toDF("id_a", "shh")
+      .join(sh.toDF("id_b", "shh"), Seq("shh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
     shared
@@ -95,12 +98,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
-    // exact verification of candidates only
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // exact verification of candidates only (hashed shingle keys, as in ngramJaccard)
+    val shHashed = sh.select(col("id"), xxhash64(col("sh")).as("shh"))
+    val sizes = shHashed.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val shared = candidates
-      .join(sh.toDF("id_a", "sh"), Seq("id_a"))
-      .join(sh.toDF("id_b", "sh2"), Seq("id_b"))
-      .filter(col("sh") === col("sh2"))
+      .join(shHashed.toDF("id_a", "shh"), Seq("id_a"))
+      .join(shHashed.toDF("id_b", "shh2"), Seq("id_b"))
+      .filter(col("shh") === col("shh2"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
