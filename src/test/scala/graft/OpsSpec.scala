@@ -35,6 +35,10 @@ class OpsSpec extends SparkSpec {
       ("u1", 5301L, 2L), ("u2", 10L, 1L)))
   }
 
+  test("driver entry point returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("queries smoke: every SparkEntry query runs and returns rows at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries) {
