@@ -40,15 +40,19 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_items"),
             sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
               .cast("decimal(22,6)")).cast("double").as("revenue"))
-        val base = c.ref("stg_orders")
-          .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        // lookback filter applied at the SOURCE (o_orderdate), not only on the
+        // derived month string — so static pruning/pushdown reaches the orders
+        // scan instead of recomputing everything and discarding rows post-join
+        // (reference models filter source partitions the same way,
+        // macros/gold_active_users_and_devices_with_ephemeral.sql:85-87)
+        val cutoff = add_months(trunc(to_date(lit(c.startDate)), "MM"), -6)
+        val stg = if (c.isIncremental)
+          c.ref("stg_orders").filter(col("o_orderdate") >= cutoff)
+        else c.ref("stg_orders")
+        stg.join(items, col("o_orderkey") === col("l_orderkey"), "left")
           .select(col("o_orderkey"), col("order_month"), col("c_mktsegment"),
             col("n_name"), coalesce(col("n_items"), lit(0L)).as("n_items"),
             coalesce(col("revenue"), lit(0.0)).as("revenue"))
-        if (c.isIncremental)
-          base.filter(col("order_month") >=
-            date_format(add_months(trunc(to_date(lit(c.startDate)), "MM"), -6), "yyyy-MM"))
-        else base
       },
       Materialization.IncrementalInsertOverwrite(Seq("order_month")),
       deps = Seq("stg_orders"))
