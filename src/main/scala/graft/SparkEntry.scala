@@ -80,7 +80,9 @@ object SparkEntry {
     "q51_nested_mongo" -> (CoverageQueries.q51NestedMongo _),
     "q52_wilson_ci" -> (CoverageQueries.q52WilsonCi _),
     "q53_scd2_pipeline" -> (Scd2Queries.q53Scd2Pipeline _),
-    "q54_conditionals" -> (CoverageQueries.q54Conditionals _)
+    "q54_conditionals" -> (CoverageQueries.q54Conditionals _),
+    "q55_rollup_cube" -> (AggQueries.q55RollupCube _),
+    "q56_ann_lsh_neardup" -> (NorthStarQueries.q56AnnLshNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,6 +134,7 @@ object SparkEntry {
     "q51_nested_mongo" -> CoverageQueries.q51Oracle,
     "q52_wilson_ci" -> CoverageQueries.q52Oracle,
     "q53_scd2_pipeline" -> Scd2Queries.q53Oracle,
-    "q54_conditionals" -> CoverageQueries.q54Oracle
+    "q54_conditionals" -> CoverageQueries.q54Oracle,
+    "q55_rollup_cube" -> AggQueries.q55Oracle
   )
 }

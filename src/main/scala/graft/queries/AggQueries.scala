@@ -32,6 +32,26 @@ object AggQueries {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 
+  /** ROLLUP + CUBE (engine extension — the reference stops at GROUPING SETS,
+    * SURVEY.md §2.4 "No native CUBE/ROLLUP"; both engines support them). */
+  def q55RollupCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+  }
+
+  val q55Oracle: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
   /** Multi COUNT(DISTINCT) (reference: models/spark/search/success_by_relevance/
     * search_success_aggregated.sql:26-27) + HAVING (tests/spark/b2b_mart/
     * procurement_order_id_duplicates_check.sql:4). */

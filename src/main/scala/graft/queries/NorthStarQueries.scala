@@ -145,6 +145,12 @@ object NorthStarQueries {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
 
+  /** Sign-bucket (random-hyperplane) LSH near-dup — the 100TB path whose
+    * candidates come from an equi-join on the sign pattern; always a subset
+    * of the exact pairs (spec-checked), no oracle (approximate). */
+  def q56AnnLshNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.signBucketNearDup(Tables(spark, dir, "embeddings"), 0.35, nBits = 4)
+
   /** Multimodal plumbing: pack text→binary media, stub-decode features,
     * frame-sample, aggregate per source. Decode is a deterministic fake
     * (see Multimodal scaladoc); byte/frame accounting is real. */

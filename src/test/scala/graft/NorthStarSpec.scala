@@ -94,6 +94,15 @@ class NorthStarSpec extends SparkSpec {
     assert(refinedRecall >= 0.3)
   }
 
+  test("sign-bucket LSH near-dup pairs are a subset of exact pairs at the same threshold") {
+    val exact = Similarity.embeddingNearDupExact(embeddings, 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.signBucketNearDup(embeddings, 0.35, nBits = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "LSH should surface some candidate pairs at nBits=4")
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+  }
+
   test("multimodal batch embed: one vector per media row, deterministic") {
     val media = Multimodal.packFromText(docs.limit(100), "doc_id", "text")
     val a = Multimodal.batchEmbed(media, batchSize = 16)
