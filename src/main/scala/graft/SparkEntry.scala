@@ -82,7 +82,8 @@ object SparkEntry {
     "q53_scd2_pipeline" -> (Scd2Queries.q53Scd2Pipeline _),
     "q54_conditionals" -> (CoverageQueries.q54Conditionals _),
     "q55_rollup_cube" -> (AggQueries.q55RollupCube _),
-    "q56_ann_lsh_neardup" -> (NorthStarQueries.q56AnnLshNearDup _)
+    "q56_ann_lsh_neardup" -> (NorthStarQueries.q56AnnLshNearDup _),
+    "q57_funnel" -> (FunnelQueries.q57Funnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,6 +136,7 @@ object SparkEntry {
     "q52_wilson_ci" -> CoverageQueries.q52Oracle,
     "q53_scd2_pipeline" -> Scd2Queries.q53Oracle,
     "q54_conditionals" -> CoverageQueries.q54Oracle,
-    "q55_rollup_cube" -> AggQueries.q55Oracle
+    "q55_rollup_cube" -> AggQueries.q55Oracle,
+    "q57_funnel" -> FunnelQueries.q57Oracle
   )
 }

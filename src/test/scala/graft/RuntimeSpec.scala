@@ -98,6 +98,18 @@ class RuntimeSpec extends SparkSpec {
     assert(ctx.ref("app").as[Int].collect().sorted.toSeq == Seq(1, 2, 2))
   }
 
+  test("repo seed CSV files load with pinned schemas") {
+    import org.apache.spark.sql.types._
+    val ctx = freshCtx()
+    Seeds.load(ctx, "regions_source", "/root/repo/seeds/regions_source.csv",
+      Some(StructType(Seq(StructField("country_code", StringType),
+        StructField("country_name", StringType), StructField("region_name", StringType)))))
+    Seeds.load(ctx, "slo_tables", "/root/repo/seeds/slo_tables.csv")
+    assert(ctx.ref("regions_source").count() == 10)
+    assert(ctx.ref("slo_tables").schema("slo_hour").dataType == IntegerType) // inferred
+    assert(ctx.ref("regions_source").filter($"region_name" === "EUROPE").count() == 2)
+  }
+
   test("seeds load typed CSV; singular tests fail on returned rows") {
     val ctx = freshCtx()
     Seeds.loadRows(ctx, "regions_seed",
