@@ -73,6 +73,80 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Order-sensitive 64-bit document fingerprint — the rolling hash chain of
+  * [[TextFunctions.fingerprint]] (`aggregate(tokens, seed, xxhash64(acc, w))`)
+  * as one native call per row. Spark's multi-arg `xxhash64(acc, w)` folds
+  * left from seed 42 (`hash(w, hash(acc, 42))`), replicated here with
+  * XxHash64Function so native ≡ composable bit-for-bit (asserted in
+  * NorthStarSpec). The composable form pays an interpreted lambda invocation
+  * per token (~1 ms/doc measured) — this is the q37 hot path.
+  */
+case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split("\\s+")
+    var acc = 1469598103934665603L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val seed = XxHash64Function.hash(acc, LongType, 42L)
+        acc = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, seed)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+}
+
+/** MinHash signature (array of k longs) in one pass over the document.
+  * Element i equals the composable `min(xxhash64(lit(i), sh))` over the
+  * doc's exploded distinct shingles (min over a multiset = min over the set,
+  * so dedup is unnecessary): per shingle, seed_i = hash(i:int, 42) is
+  * precomputed once, then hash(shingle, seed_i) in a tight loop. Replaces
+  * k aggregate columns × an exploded shingle relation (k hash evals per
+  * shuffled row) with zero extra shuffle rows.
+  */
+case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
+      .split("\\s+").filter(_.nonEmpty)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val nSh = if (toks.length >= shingleSize) toks.length - shingleSize + 1 else 1
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < nSh) {
+      sb.setLength(0)
+      val end = math.min(s + shingleSize, toks.length)
+      var j = s
+      while (j < end) { if (j > s) sb.append(' '); sb.append(toks(j)); j += 1 }
+      val sh = UTF8String.fromString(sb.toString)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64Function.hash(sh, StringType, seeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
 /** Native language-ID: same semantics as the composable
   * [[TextFunctions.langId]] (stopword-hit argmax, earlier-name tie-break, CJK
   * override, 'und' fallback) in one pass per row instead of per-language
@@ -114,6 +188,14 @@ object TextExpressions {
       "simhash64", es => SimHash64(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", es => LangId(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint64", es => Fingerprint64(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      es => MinHashSig(es.head,
+        es(1).asInstanceOf[Literal].value.toString.toInt,
+        es(2).asInstanceOf[Literal].value.toString.toInt),
+      "built-in")
   }
 
   /** Column API (register per session first). */
@@ -126,4 +208,12 @@ object TextExpressions {
 
   def langId(c: Column): Column =
     org.apache.spark.sql.functions.call_function("lang_id", c)
+
+  def fingerprint64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("fingerprint64", c)
+
+  def minhashSig(c: Column, shingleSize: Int, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig", c,
+      org.apache.spark.sql.functions.lit(shingleSize),
+      org.apache.spark.sql.functions.lit(numHashes))
 }

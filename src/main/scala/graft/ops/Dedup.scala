@@ -76,22 +76,28 @@ object Dedup {
     val rows = numHashes / bands
     val sh = shingleSet(docs, idCol, textCol, shingleSize)
 
-    val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sig = sh.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
+    // one-pass native signature per doc (element i == the composable
+    // min(xxhash64(lit(i), sh)) over exploded distinct shingles) — no k-hash
+    // evals per exploded shingle row, no 32-column aggregate
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    val sig = docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
 
     val bandHashes = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}"))): _*).as(s"b$b")
+      xxhash64((lit(b) +: (0 until rows).map(r => col("sig").getItem(b * rows + r))): _*)
     }
-    val buckets = sig.select(col("id") +: bandHashes: _*)
-      .select(col("id"), posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
-        .as(Seq("band_id", "bucket")))
+    val buckets = sig
+      .select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band_id", "bucket")))
 
-    val safeBuckets = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // skew guard: oversized buckets are few by construction, so find them
+    // with a cheap partial-agg groupBy and anti-join their broadcast — not a
+    // window count (which costs a full sort-based exchange over every row)
+    val oversized = buckets.groupBy(col("band_id"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band_id"), col("bucket"))
+    val safeBuckets = buckets.join(broadcast(oversized), Seq("band_id", "bucket"), "left_anti")
+      .select(col("id"), col("band_id"), col("bucket")) // using-join put keys first; restore order for positional toDF below
 
     val candidates = safeBuckets.toDF("id_a", "band_id", "bucket")
       .join(safeBuckets.toDF("id_b", "band_id", "bucket"), Seq("band_id", "bucket"))
@@ -125,15 +131,23 @@ object Dedup {
       graft.functions.TextExpressions.simhash64(col(textCol)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
-    * (guarantees recall for hamming <= 3), verified by popcount of xor. */
+  /** SimHash near-dup pairs: the 64-bit signature is split into
+    * (maxHamming + 1) chunks, so by pigeonhole any pair within maxHamming
+    * shares at least one chunk intact — candidate recall is guaranteed for
+    * the requested radius, then verified by popcount of xor. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nChunks = maxHamming + 1
+    // chunk k covers bits [offsets(k), offsets(k+1)); widths differ by <=1 bit
+    val offsets = (0 to nChunks).map(k => k * 64 / nChunks)
     val sig = simhash(docs, idCol, textCol)
     val chunked = sig.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(k =>
-        shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_id", "chunk")))
+      posexplode(array((0 until nChunks).map { k =>
+        val width = offsets(k + 1) - offsets(k)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("simhash"), offsets(k)).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk_id", "chunk")))
     chunked.toDF("id_a", "sim_a", "chunk_id", "chunk")
       .join(chunked.toDF("id_b", "sim_b", "chunk_id", "chunk"), Seq("chunk_id", "chunk"))
       .filter(col("id_a") < col("id_b"))

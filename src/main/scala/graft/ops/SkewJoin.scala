@@ -21,6 +21,13 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  spreadExpr: Column, n: Int, joinType: String = "inner"): DataFrame = {
     require(n > 0)
+    // right/full outer would emit each unmatched small-side row once PER SALT
+    // (the small side is replicated n×) — silently wrong results, so refuse
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left join types only, got '$joinType': the " +
+        "replicated small side would duplicate unmatched rows under right/full outer")
     val bigS = big.withColumn("__salt", pmod(spreadExpr, lit(n.toLong)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))

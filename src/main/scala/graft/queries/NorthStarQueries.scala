@@ -20,11 +20,14 @@ object NorthStarQueries {
     * content; is_dup marks members of multi-doc groups (non-representative). */
   def q31DedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val w = Window.partitionBy(col("text"))
-    d.select(col("doc_id"),
-        min(col("doc_id")).over(w).as("keep_id"),
-        (count(lit(1)).over(w) > 1 && col("doc_id") =!= min(col("doc_id")).over(w))
-          .cast("int").as("is_dup"))
+    // shuffle on the 256-bit content hash, never on the raw text — at 100 TB
+    // a text-keyed exchange would move the whole corpus as shuffle keys
+    val hashed = d.select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+    val groups = hashed.groupBy(col("content_sha"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(groups, Seq("content_sha"))
+      .select(col("doc_id"), col("keep_id"),
+        (col("n_copies") > 1 && col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
   }
 
   val q31Oracle: String =
@@ -103,10 +106,14 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("total_subwords"))
   }
 
-  /** Order-sensitive fingerprint dup groups (no oracle: xxhash-based). */
+  /** Order-sensitive fingerprint dup groups (no oracle: xxhash-based).
+    * Native single-pass Fingerprint64 — bit-identical to the composable
+    * TextFunctions.fingerprint (equivalence asserted in NorthStarSpec),
+    * without the interpreted aggregate()-lambda cost per token. */
   def q37Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
     val d = Tables(spark, dir, "documents")
-    d.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    d.select(col("doc_id"), graft.functions.TextExpressions.fingerprint64(col("text")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
   }
 

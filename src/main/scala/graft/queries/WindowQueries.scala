@@ -89,7 +89,7 @@ object WindowQueries {
       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
       |  FROM m)
-      |SELECT user_id, session_num, COUNT(*) AS n_events,
+      |SELECT user_id, CAST(session_num AS BIGINT) AS session_num, COUNT(*) AS n_events,
       |  MAX(es) - MIN(es) AS duration_sec,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM s GROUP BY 1, 2""".stripMargin

@@ -77,10 +77,15 @@ final class Warehouse(val spark: SparkSession, val root: String,
   /** Full-rebuild CTAS (reference: materialized='table'). */
   def createTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
                   hashSpread: Option[(String, Int)] = None): Unit = {
+    // persisted docs survive a full rebuild (reference persists comments
+    // across runs); SaveMode.Overwrite wipes the directory incl. the sidecar
+    val docsPath = Paths.get(tablePath(name), "_docs.json")
+    val savedDocs = if (Files.exists(docsPath)) Some(Files.readString(docsPath)) else None
     val out = distributeForWrite(df, partitionBy, hashSpread)
     val w = out.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
     writeSchema(name, df.schema)
+    savedDocs.foreach(s => Files.writeString(docsPath, s))
   }
 
   /** Dynamic-partition insert-overwrite: only partitions present in `df` are

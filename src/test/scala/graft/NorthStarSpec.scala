@@ -49,6 +49,30 @@ class NorthStarSpec extends SparkSpec {
     assert(fps(1L) != fps(4L))
   }
 
+  test("native Fingerprint64 equals the composable aggregate-HOF chain everywhere") {
+    graft.functions.TextExpressions.register(spark)
+    val disagree = docs.select(
+        TextFunctions.fingerprint($"text").as("a"),
+        graft.functions.TextExpressions.fingerprint64($"text").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(disagree == 0)
+  }
+
+  test("native MinHashSig equals the composable min(xxhash64(i, shingle)) aggregates") {
+    graft.functions.TextExpressions.register(spark)
+    val k = 8
+    val sh = docs.select($"doc_id".as("id"),
+      explode(array_distinct(graft.functions.TextExpressions.wordShingles($"text", 3))).as("sh"))
+    val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), $"sh")).as(s"h$i"))
+    val composable = sh.groupBy($"id").agg(sigAggs.head, sigAggs.tail: _*)
+      .select($"id", array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val native = docs.select($"doc_id".as("id"),
+      graft.functions.TextExpressions.minhashSig($"text", 3, k).as("sig"))
+    val disagree = native.join(composable.withColumnRenamed("sig", "sig2"), Seq("id"))
+      .filter($"sig" =!= $"sig2").count()
+    assert(disagree == 0)
+  }
+
   test("langId picks the stopword-matching language deterministically") {
     val df = Seq(
       (1L, "the cat is on the mat and the dog"),

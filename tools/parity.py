@@ -41,6 +41,14 @@ def cmp(name, spark_df, duck_df):
     worst = 0.0
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver hash-compares values strictly: an int column on one side vs a
+        # float column on the other (e.g. DuckDB HUGEINT -> float64) is a FAIL
+        # there even when values are numerically equal — mirror that here.
+        a_int, b_int = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
+        a_flt, b_flt = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        if (a_int and b_flt) or (a_flt and b_int):
+            return (f"FAIL {name}: col {c} dtype-kind mismatch "
+                    f"spark={av.dtype} duck={bv.dtype} (driver hash would fail)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = av.astype("float64"); bv = bv.astype("float64")
             both_nan = av.isna() & bv.isna()
