@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: one JSON line with per-query seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * Timing discipline (round-2 verdict "What's wrong #1"): each query is run
+  * once to warm (codegen caches, parquet footers, JIT), then timed 3× and the
+  * MEDIAN reported. Materialization is a `noop`-sink write, which fully
+  * evaluates every output column — a single cold `.count()` both undercounts
+  * projection-only queries (Catalyst prunes unreferenced columns beneath a
+  * count) and is far too noisy to adjudicate round-over-round deltas.
+  */
 object Bench {
+
+  /** Fully materialize all output columns without collecting to the driver. */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,20 +31,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (JVM, codegen paths, parquet footers) so the first
-    // timed query is not charged for startup.
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec =
+        try {
+          once() // warm-up run, untimed
+          Seq(once(), once(), once()).sorted.apply(1)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            -1.0 // explicit failure marker — never a silent fast timing
+        }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    if (failed > 0) System.err.println(s"[bench] $failed queries FAILED")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -83,7 +83,13 @@ object SparkEntry {
     "q54_conditionals" -> (CoverageQueries.q54Conditionals _),
     "q55_rollup_cube" -> (AggQueries.q55RollupCube _),
     "q56_ann_lsh_neardup" -> (NorthStarQueries.q56AnnLshNearDup _),
-    "q57_funnel" -> (FunnelQueries.q57Funnel _)
+    "q57_funnel" -> (FunnelQueries.q57Funnel _),
+    // §2.4/§2.5 gap closers + templater/model-port + new engine gates (round 3)
+    "q58_funnel_ranking" -> (RankQueries.q58FunnelRanking _),
+    "q59_onfy_sessions" -> (TemplaterQueries.q59OnfySessions _),
+    "q60_scd2_check" -> (Scd2Queries.q60Scd2Check _),
+    "q61_interval_frame" -> (WindowQueries.q61IntervalFrame _),
+    "q62_append_overwrite" -> (PipelineQueries.q62AppendOverwrite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,6 +143,11 @@ object SparkEntry {
     "q53_scd2_pipeline" -> Scd2Queries.q53Oracle,
     "q54_conditionals" -> CoverageQueries.q54Oracle,
     "q55_rollup_cube" -> AggQueries.q55Oracle,
-    "q57_funnel" -> FunnelQueries.q57Oracle
+    "q57_funnel" -> FunnelQueries.q57Oracle,
+    "q58_funnel_ranking" -> RankQueries.q58Oracle,
+    "q59_onfy_sessions" -> TemplaterQueries.q59Oracle,
+    "q60_scd2_check" -> Scd2Queries.q60Oracle,
+    "q61_interval_frame" -> WindowQueries.q61Oracle,
+    "q62_append_overwrite" -> PipelineQueries.q62Oracle
   )
 }

@@ -178,11 +178,26 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
 }
 
 object TextExpressions {
+
+  /** Sizing args must be integer literals (they shape the expression, not the
+    * row); a non-literal SQL arg gets a standard analysis error instead of a
+    * raw ClassCastException. */
+  private def intLit(fn: String, param: String, e: Expression): Int = e match {
+    case Literal(v, org.apache.spark.sql.types.IntegerType |
+                    org.apache.spark.sql.types.LongType |
+                    org.apache.spark.sql.types.ShortType |
+                    org.apache.spark.sql.types.ByteType) if v != null =>
+      v.toString.toInt
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+  }
+
   /** Register `word_shingles(text, n)` and `simhash64(text)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
-      es => WordShingles(es.head, es(1).asInstanceOf[Literal].value.toString.toInt),
+      es => WordShingles(es.head, intLit("word_shingles", "n", es(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", es => SimHash64(es.head), "built-in")
@@ -193,8 +208,8 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       es => MinHashSig(es.head,
-        es(1).asInstanceOf[Literal].value.toString.toInt,
-        es(2).asInstanceOf[Literal].value.toString.toInt),
+        intLit("minhash_sig", "shingle_size", es(1)),
+        intLit("minhash_sig", "num_hashes", es(2))),
       "built-in")
   }
 

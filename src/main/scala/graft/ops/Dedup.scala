@@ -21,11 +21,18 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact duplicate groups by content hash: representative = min id.
-    * (At scale the 64-char sha2 hex is the shuffle key; texts stay put.) */
+    * (At scale the 64-char sha2 hex is the shuffle key; texts stay put.)
+    * NULL texts form their own group (SQL GROUP BY semantics): sha2(NULL) is
+    * NULL and null keys never equi-join, so they hash to a sentinel that no
+    * 64-char hex digest can collide with. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+    docs.groupBy(contentKey(col(textCol)).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
+
+  /** Null-safe content hash key (NULL → sentinel shorter than any digest). */
+  def contentKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(sha2(text, 256), lit("__null__"))
 
   /** Per-(id, distinct shingle) long-format relation (native shingler —
     * same semantics as TextFunctions.shingles, ~100× less per-doc overhead). */
@@ -90,13 +97,16 @@ object Dedup {
       .select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band_id", "bucket")))
 
     // skew guard: oversized buckets are few by construction, so find them
-    // with a cheap partial-agg groupBy and anti-join their broadcast — not a
-    // window count (which costs a full sort-based exchange over every row)
+    // with a cheap partial-agg groupBy and anti-join them away — not a
+    // window count (which costs a full sort-based exchange over every row).
+    // No forced broadcast: on degenerate corpora (tiny cap / heavy
+    // boilerplate) the oversized set itself can be large, so let AQE pick
+    // broadcast-vs-shuffle from the measured size at runtime.
     val oversized = buckets.groupBy(col("band_id"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
       .select(col("band_id"), col("bucket"))
-    val safeBuckets = buckets.join(broadcast(oversized), Seq("band_id", "bucket"), "left_anti")
+    val safeBuckets = buckets.join(oversized, Seq("band_id", "bucket"), "left_anti")
       .select(col("id"), col("band_id"), col("bucket")) // using-join put keys first; restore order for positional toDF below
 
     val candidates = safeBuckets.toDF("id_a", "band_id", "bucket")
@@ -104,8 +114,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
-    // exact verification of candidates only (hashed shingle keys, as in ngramJaccard)
+    // exact verification of candidates only (hashed shingle keys, as in
+    // ngramJaccard). Semi-join the shingle relation down to ids that appear
+    // in some candidate pair first: verification then shuffles candidate
+    // docs' shingles only, not the whole corpus's — at 100TB the candidate
+    // set is a sliver of the corpus, so this is the difference between
+    // re-scanning everything twice and touching only suspected dups.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
     val shHashed = sh.select(col("id"), xxhash64(col("sh")).as("shh"))
+      .join(candIds, Seq("id"), "left_semi")
     val sizes = shHashed.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val shared = candidates
       .join(shHashed.toDF("id_a", "shh"), Seq("id_a"))

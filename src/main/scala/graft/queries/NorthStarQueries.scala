@@ -21,8 +21,10 @@ object NorthStarQueries {
   def q31DedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     // shuffle on the 256-bit content hash, never on the raw text — at 100 TB
-    // a text-keyed exchange would move the whole corpus as shuffle keys
-    val hashed = d.select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+    // a text-keyed exchange would move the whole corpus as shuffle keys.
+    // contentKey is null-safe: the oracle's PARTITION BY text groups NULLs
+    // together, while sha2(NULL)=NULL would silently drop them at the join.
+    val hashed = d.select(col("doc_id"), Dedup.contentKey(col("text")).as("content_sha"))
     val groups = hashed.groupBy(col("content_sha"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     hashed.join(groups, Seq("content_sha"))

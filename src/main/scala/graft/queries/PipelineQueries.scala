@@ -73,6 +73,90 @@ object PipelineQueries {
       .select("o_orderkey", "order_month", "c_mktsegment", "n_name", "n_items", "revenue")
   }
 
+  /** Incremental `append` + two-level `['table_name','partition_date']`
+    * insert-overwrite on the oracle gate (reference:
+    * models/spark/mart/fact_table_update.sql:8-16 — a bookkeeping fact
+    * partitioned by (table_name, partition_date), appended per run, with
+    * per-cell dynamic overwrite).
+    *
+    * `fact_updates` (append): run 1 materializes day rows ≤ cutoff, run 2
+    * appends the disjoint remainder — final table covers every day exactly
+    * once, proving the append path composes with the incremental filter.
+    *
+    * `fact_cells` (two-level overwrite): run 1 writes all (table, day) cells
+    * with run_no=1; run 2 recomputes ONLY the ('orders_daily', day > cutoff)
+    * cells with run_no=2 — dynamic overwrite must replace exactly those cells
+    * and leave every other cell (other table_name, or ≤ cutoff) at run_no=1. */
+  def q62AppendOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_append").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val cutoff = "1997-01-01"
+
+    val factUpdates = Model("fact_updates",
+      c => {
+        val dated = c.source("default", "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("partition_date"))
+        val sliced = if (c.isIncremental) dated.filter(col("partition_date") > cutoff)
+                     else dated.filter(col("partition_date") <= cutoff)
+        sliced.groupBy(col("partition_date")).agg(count(lit(1)).as("appended_n"))
+          .select(lit("orders_daily").as("table_name"), col("partition_date"),
+            col("appended_n"))
+      },
+      Materialization.IncrementalAppend(Seq("table_name")))
+
+    val factCells = Model("fact_cells",
+      c => {
+        val o = c.source("default", "orders")
+        val daily = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("partition_date"))
+          .agg(count(lit(1)).as("metric"))
+          .select(lit("orders_daily").as("table_name"), col("partition_date"), col("metric"))
+        if (c.isIncremental)
+          daily.filter(col("partition_date") > cutoff).withColumn("run_no", lit(2))
+        else {
+          val monthly = o.groupBy(date_format(trunc(to_date(col("o_orderdate")), "MM"),
+              "yyyy-MM-dd").as("partition_date"))
+            .agg(count(lit(1)).as("metric"))
+            .select(lit("orders_monthly").as("table_name"), col("partition_date"),
+              col("metric"))
+          daily.unionByName(monthly).withColumn("run_no", lit(1))
+        }
+      },
+      Materialization.IncrementalInsertOverwrite(Seq("table_name", "partition_date")))
+
+    val dag = new DagRunner(Seq(factUpdates, factCells))
+    val r1 = dag.run(ctx)
+    val r2 = dag.run(ctx)
+    (r1 ++ r2).collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"pipeline model $n failed: $e") }
+
+    ctx.ref("fact_cells")
+      .join(ctx.ref("fact_updates"), Seq("table_name", "partition_date"), "left")
+      .select(col("table_name"), col("partition_date"), col("metric"),
+        col("run_no"), col("appended_n"))
+  }
+
+  val q62Oracle: String =
+    """WITH daily AS (
+      |  SELECT 'orders_daily' AS table_name, strftime(o_orderdate, '%Y-%m-%d') AS partition_date,
+      |    COUNT(*) AS metric
+      |  FROM orders GROUP BY 2),
+      |monthly AS (
+      |  SELECT 'orders_monthly' AS table_name,
+      |    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS partition_date,
+      |    COUNT(*) AS metric
+      |  FROM orders GROUP BY 2),
+      |cells AS (SELECT * FROM daily UNION ALL SELECT * FROM monthly),
+      |upd AS (
+      |  SELECT 'orders_daily' AS table_name, strftime(o_orderdate, '%Y-%m-%d') AS partition_date,
+      |    COUNT(*) AS appended_n
+      |  FROM orders GROUP BY 2)
+      |SELECT c.table_name, c.partition_date, c.metric,
+      |  CASE WHEN c.table_name = 'orders_daily' AND c.partition_date > '1997-01-01'
+      |       THEN 2 ELSE 1 END AS run_no,
+      |  u.appended_n
+      |FROM cells c
+      |LEFT JOIN upd u ON c.table_name = u.table_name AND c.partition_date = u.partition_date""".stripMargin
+
   val q30Oracle: String =
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month,
       |  c_mktsegment, n_name,

@@ -47,6 +47,73 @@ object Scd2Queries {
       coalesce(date_format(col("dbt_valid_to"), "yyyy-MM-dd"), lit("open")).as("valid_to"))
   }
 
+  /** SCD2 `check` strategy + invalidate_hard_deletes on the oracle gate
+    * (reference: snapshots/spark/b2b_mart/scd2_offer_products_snapshot.sql:11-14
+    * — `strategy='check', check_cols=[...], invalidate_hard_deletes=True`).
+    *
+    * Run 1 stages per-customer state from orders up to 1996-01-01; run 2
+    * stages full-range state but EXCLUDES the BUILDING segment (those keys
+    * hard-delete → their open rows close at run-2 ts). `loaded_label` is a
+    * run-audit column deliberately outside check_cols: it changes every run
+    * and must NOT open new versions — the whole point of the check strategy.
+    * valid_from/to are the run timestamps (not data timestamps), which is the
+    * strategy's defining difference from `timestamp`. */
+  def q60Scd2Check(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2chk").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val orders = Tables(spark, dir, "orders")
+    val building = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+
+    def state(cutoff: Option[String], exclBuilding: Boolean, label: String): DataFrame = {
+      val base0 = cutoff.fold(orders)(c => orders.filter(col("o_orderdate") <= lit(c)))
+      val base = if (exclBuilding)
+        base0.join(building, col("o_custkey") === col("c_custkey"), "left_anti")
+      else base0
+      val key = unix_date(to_date(col("o_orderdate"))).cast("long") * 10000000000L +
+        col("o_orderkey")
+      base.groupBy(col("o_custkey").as("_id"))
+        .agg(max_by(col("o_orderstatus"), key).as("status"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("loaded_label", lit(label))
+    }
+
+    val strat = Scd2Strategy.Check(Seq("status", "n_orders"))
+    Scd2.snapshot(ctx, "cust_check", state(Some("1996-01-01"), exclBuilding = false, "r1"),
+      "_id", strat, invalidateHardDeletes = true, Timestamp.valueOf("1998-06-01 00:00:00"))
+    Scd2.snapshot(ctx, "cust_check", state(None, exclBuilding = true, "r2"),
+      "_id", strat, invalidateHardDeletes = true, Timestamp.valueOf("2002-01-01 00:00:00"))
+    ctx.ref("cust_check").select(
+      col("_id"), col("status"), col("n_orders"), col("loaded_label"),
+      date_format(col("dbt_valid_from"), "yyyy-MM-dd").as("valid_from"),
+      coalesce(date_format(col("dbt_valid_to"), "yyyy-MM-dd"), lit("open")).as("valid_to"))
+  }
+
+  val q60Oracle: String =
+    """WITH keyed AS (
+      |  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS od,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |      * 10000000000 + o_orderkey AS k
+      |  FROM orders),
+      |v1 AS (
+      |  SELECT o_custkey AS _id, arg_max(o_orderstatus, k) AS status, COUNT(*) AS n_orders
+      |  FROM keyed WHERE od <= DATE '1996-01-01' GROUP BY 1),
+      |v2 AS (
+      |  SELECT o_custkey AS _id, arg_max(o_orderstatus, k) AS status, COUNT(*) AS n_orders
+      |  FROM keyed JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment <> 'BUILDING' GROUP BY 1)
+      |SELECT v1._id, v1.status, v1.n_orders, 'r1' AS loaded_label,
+      |  '1998-06-01' AS valid_from,
+      |  CASE WHEN v2._id IS NULL THEN '2002-01-01'
+      |       WHEN v1.status <> v2.status OR v1.n_orders <> v2.n_orders THEN '2002-01-01'
+      |       ELSE 'open' END AS valid_to
+      |FROM v1 LEFT JOIN v2 ON v1._id = v2._id
+      |UNION ALL
+      |SELECT v2._id, v2.status, v2.n_orders, 'r2' AS loaded_label,
+      |  '2002-01-01' AS valid_from, 'open' AS valid_to
+      |FROM v2 LEFT JOIN v1 ON v1._id = v2._id
+      |WHERE v1._id IS NULL OR v1.status <> v2.status OR v1.n_orders <> v2.n_orders""".stripMargin
+
   val q53Oracle: String =
     """WITH keyed AS (
       |  SELECT o_custkey, o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS od,

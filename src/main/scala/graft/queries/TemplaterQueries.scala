@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.runtime._
+
+/** A real reference model body run near-verbatim through the SQL templater —
+  * the session CTE chain of models/spark/onfy/onfy_sessions.sql:120-199
+  * re-targeted at the `events` source table:
+  *
+  *   sessions_predata → first_sessions (ROW_NUMBER()=1 OR LAG(ts) +
+  *   INTERVAL 30 MINUTES < ts) → sessions_calculation (COUNT(starter) OVER
+  *   cumulative) → output (FIRST_VALUE(x, TRUE) / MIN_BY / MAX_BY /
+  *   COUNT DISTINCT / SUM group aggregates + CONCAT_WS session_id) →
+  *   DISTRIBUTE BY session_start_date
+  *
+  * plus a project-macro call `{{ format_time(...) }}` expanded by
+  * [[SqlTemplater.parseMacros]]/expandMacros (reference:
+  * macros/format_time.sql:1-6 — fractional hours → 'HH:MM').
+  *
+  * Determinism: the reference's FIRST_VALUE-as-GROUP-BY-aggregate idiom works
+  * on Spark because the preceding `COUNT(...) OVER (PARTITION BY device_id
+  * ORDER BY ...)` window already exchanged on device_id and sorted each
+  * partition by (device_id, event_ts); the partial aggregate then consumes
+  * each (device, session) group's rows contiguously in event order (and any
+  * sort-aggregate fallback re-sorts only by the grouping key with a stable
+  * TimSort, preserving that order). Event timestamps are µs-unique per device
+  * in this data, so ordering is total.
+  *
+  * One deliberate re-expression: the reference's `COUNT(DISTINCT type)` in
+  * the SAME aggregate as FIRST_VALUE is latently nondeterministic on Spark —
+  * the distinct-rewrite splits the aggregate in two with an exchange keyed on
+  * (group, type), after which the FIRST buffers merge across type-subgroups
+  * in shuffle-arrival order (measured here: ~1.6% of sessions flip between
+  * runs). The engine form uses SIZE(COLLECT_SET(type)), which keeps the
+  * aggregate single-phase and the FIRST semantics exact.
+  */
+object TemplaterQueries {
+
+  /** Engine-side macros directory content (semantics of the reference's
+    * format_time: fractional-hours double → zero-padded 'HH:MM'). */
+  val macroDefs: String =
+    """{% macro format_time(field) -%}
+      |CASE
+      |  WHEN {{ field }} IS NOT NULL THEN CONCAT_WS(
+      |    ':',
+      |    LPAD(CAST({{ field }} AS INT), 2, '0'),
+      |    LPAD(CAST(({{ field }} % 1) * 60 AS INT), 2, '0'))
+      |  ELSE NULL
+      |END{%- endmacro %}""".stripMargin
+
+  /** The model body (dialect is Spark SQL, as in the reference). */
+  val modelSql: String =
+    """{{ config(materialized='table') }}
+      |
+      |WITH sessions_predata AS (
+      |    SELECT
+      |        user_id AS device_id,
+      |        event_type AS type,
+      |        IF(event_type = 'purchase', event_id, NULL) AS order_id,
+      |        IF(event_type = 'purchase', value, NULL) AS gmv_initial,
+      |        TIMESTAMP_MICROS(ts_ns div 1000) AS event_ts_cet,
+      |        ts_ns div 1000000000 AS es
+      |    FROM {{ source('default', 'events') }}
+      |),
+      |
+      |first_sessions AS (
+      |    SELECT
+      |        IF(
+      |            ROW_NUMBER() OVER (PARTITION BY device_id ORDER BY event_ts_cet) = 1
+      |            OR LAG(event_ts_cet) OVER (PARTITION BY device_id ORDER BY event_ts_cet)
+      |               + INTERVAL 30 MINUTES < event_ts_cet,
+      |            1, NULL
+      |        ) AS session_starter,
+      |        event_ts_cet,
+      |        device_id,
+      |        type,
+      |        order_id,
+      |        gmv_initial,
+      |        es
+      |    FROM sessions_predata
+      |),
+      |
+      |sessions_calculation AS (
+      |    SELECT
+      |        COUNT(session_starter) OVER (PARTITION BY device_id ORDER BY event_ts_cet) AS session_num,
+      |        *
+      |    FROM first_sessions
+      |),
+      |
+      |output AS (
+      |    SELECT
+      |        session_num,
+      |        device_id,
+      |        CONCAT_WS('-', device_id, CAST(FIRST_VALUE(es) AS STRING)) AS session_id,
+      |        FIRST_VALUE(gmv_initial, TRUE) AS first_purchase_gmv,
+      |        MIN(es) AS session_start_es,
+      |        MAX(es) AS session_end_es,
+      |        DATE_FORMAT(MIN(event_ts_cet), 'yyyy-MM-dd') AS session_start_date,
+      |        MIN_BY(type, event_ts_cet) AS starting_session_event,
+      |        MAX_BY(type, event_ts_cet) AS ending_session_event,
+      |        COUNT(type) AS events_in_session,
+      |        SIZE(COLLECT_SET(type)) AS unique_events_in_session,
+      |        COUNT(order_id) AS orders,
+      |        CAST(SUM(CAST(gmv_initial AS DECIMAL(8,2))) AS DOUBLE) AS gmv_initial,
+      |        {{ format_time('(MAX(es) - MIN(es)) / CAST(3600 AS DOUBLE)') }} AS session_duration_hhmm
+      |    FROM sessions_calculation
+      |    GROUP BY
+      |        session_num,
+      |        device_id
+      |)
+      |
+      |SELECT *
+      |FROM output
+      |DISTRIBUTE BY session_start_date""".stripMargin
+
+  def q59OnfySessions(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_templater").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
+      macros = SqlTemplater.parseMacros(macroDefs))
+    val model = SqlTemplater.sqlModel("onfy_sessions", modelSql)
+    val statuses = new DagRunner(Seq(model)).run(ctx)
+    statuses.collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"model $n failed: $e") }
+    ctx.ref("onfy_sessions")
+  }
+
+  val q59Oracle: String =
+    """WITH sp AS (
+      |  SELECT user_id AS device_id, event_type AS type,
+      |    CASE WHEN event_type = 'purchase' THEN event_id END AS order_id,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS gmv,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS ets,
+      |    epoch_ns(ts) // 1000000000 AS es
+      |  FROM events),
+      |fs AS (
+      |  SELECT *,
+      |    CASE WHEN row_number() OVER (PARTITION BY device_id ORDER BY ets) = 1
+      |           OR lag(ets) OVER (PARTITION BY device_id ORDER BY ets)
+      |              + INTERVAL 30 MINUTES < ets
+      |         THEN 1 END AS session_starter
+      |  FROM sp),
+      |sc AS (
+      |  SELECT *,
+      |    COUNT(session_starter) OVER (PARTITION BY device_id ORDER BY ets) AS session_num
+      |  FROM fs),
+      |agg AS (
+      |  SELECT session_num, device_id,
+      |    concat_ws('-', device_id::VARCHAR, (first(es ORDER BY ets))::VARCHAR) AS session_id,
+      |    first(gmv ORDER BY ets) FILTER (WHERE gmv IS NOT NULL) AS first_purchase_gmv,
+      |    MIN(es) AS session_start_es,
+      |    MAX(es) AS session_end_es,
+      |    strftime(MIN(ets), '%Y-%m-%d') AS session_start_date,
+      |    arg_min(type, ets) AS starting_session_event,
+      |    arg_max(type, ets) AS ending_session_event,
+      |    COUNT(type) AS events_in_session,
+      |    CAST(COUNT(DISTINCT type) AS INT) AS unique_events_in_session,
+      |    COUNT(order_id) AS orders,
+      |    CAST(SUM(CAST(gmv AS DECIMAL(8,2))) AS DOUBLE) AS gmv_initial,
+      |    (MAX(es) - MIN(es)) / CAST(3600 AS DOUBLE) AS dur_h
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT session_num, device_id, session_id, first_purchase_gmv,
+      |  session_start_es, session_end_es, session_start_date,
+      |  starting_session_event, ending_session_event, events_in_session,
+      |  unique_events_in_session, orders, gmv_initial,
+      |  concat_ws(':',
+      |    lpad(CAST(TRUNC(dur_h) AS INT)::VARCHAR, 2, '0'),
+      |    lpad(CAST(TRUNC((dur_h % 1) * 60) AS INT)::VARCHAR, 2, '0')) AS session_duration_hhmm
+      |FROM agg""".stripMargin
+}

@@ -118,6 +118,39 @@ object WindowQueries {
       |  COUNT(*) OVER (ORDER BY day_num RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS n_days_28d
       |FROM daily""".stripMargin
 
+  /** Timestamp-ordered interval RANGE frame — `RANGE BETWEEN INTERVAL 27 DAYS
+    * PRECEDING AND CURRENT ROW` over a TIMESTAMP sort key, the reference's
+    * literal frame (models/spark/search/success_by_relevance/
+    * search_success_aggregated.sql:82-90). Distinct codepath from the
+    * integer-day proxy in [[q10RollingRevenue]]: the frame boundary is a
+    * calendar interval evaluated against the timestamp ordering key, only
+    * expressible through the SQL window syntax (the DataFrame rangeBetween
+    * API takes longs). */
+  def q61IntervalFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val frame = "PARTITION BY o_orderpriority ORDER BY ots " +
+      "RANGE BETWEEN INTERVAL 27 DAYS PRECEDING AND CURRENT ROW"
+    o.groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("od"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("ots", col("od").cast("timestamp"))
+      .select(col("o_orderpriority"),
+        date_format(col("od"), "yyyy-MM-dd").as("order_day"),
+        expr(s"CAST(sum(rev) OVER ($frame) AS DOUBLE)").as("rev_28d"),
+        expr(s"count(*) OVER ($frame)").as("n_days_28d"))
+  }
+
+  val q61Oracle: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS od,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, strftime(od, '%Y-%m-%d') AS order_day,
+      |  CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY CAST(od AS TIMESTAMP)
+      |    RANGE BETWEEN INTERVAL 27 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_28d,
+      |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY CAST(od AS TIMESTAMP)
+      |    RANGE BETWEEN INTERVAL 27 DAYS PRECEDING AND CURRENT ROW) AS n_days_28d
+      |FROM daily""".stripMargin
+
   /** Retention flags via FOLLOWING-only RANGE frames over an integer day key
     * (reference: macros/gold_active_users_and_devices_with_ephemeral.sql:258-293,
     * models/spark/gold/gold_active_real_users.sql:172-177 — rd1/rd7/rw4). */

@@ -12,7 +12,11 @@ final case class Ctx(
     warehouse: Warehouse,
     sources: SourceRegistry,
     vars: Map[String, String] = Map.empty,
-    isIncremental: Boolean = false) {
+    isIncremental: Boolean = false,
+    /** Project macros callable from SQL-text models as `{{ name(args…) }}` —
+      * the engine's macros/ directory (reference: macros/format_time.sql:1-6);
+      * parse definitions with [[SqlTemplater.parseMacros]]. */
+    macros: Map[String, SqlTemplater.MacroDef] = Map.empty) {
 
   /** dbt `{{ ref('model') }}` — read another model's materialized output. */
   def ref(name: String): DataFrame = warehouse.read(name)

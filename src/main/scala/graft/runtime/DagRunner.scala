@@ -115,8 +115,8 @@ final class DagRunner(models: Seq[Model]) {
 
   def materialize(ctx: Ctx, m: Model, fullRefresh: Boolean = false): Unit =
     m.materialization match {
-    case Materialization.Table(partitionBy) =>
-      ctx.warehouse.createTable(m.name, m.build(ctx), partitionBy)
+    case Materialization.Table(partitionBy, orderBy) =>
+      ctx.warehouse.createTable(m.name, m.build(ctx), partitionBy, None, orderBy)
     case Materialization.View =>
       ctx.warehouse.registerView(m.name, m.build(ctx))
     case Materialization.IncrementalInsertOverwrite(partitionBy, onSchemaChange, spread) =>

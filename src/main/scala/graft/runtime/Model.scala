@@ -10,8 +10,12 @@ import org.apache.spark.sql.DataFrame
   */
 sealed trait Materialization
 object Materialization {
-  /** Full rebuild CTAS (reference: materialized='table', 153 models). */
-  final case class Table(partitionBy: Seq[String] = Nil) extends Materialization
+  /** Full rebuild CTAS (reference: materialized='table', 153 models).
+    * @param orderBy global ORDER BY sink — total output order across part
+    *   files (reference: ~690 trailing ORDER BY sites, e.g.
+    *   models/spark/onfy/onfy_sessions.sql:199 `DISTRIBUTE BY` tail). */
+  final case class Table(partitionBy: Seq[String] = Nil,
+                         orderBy: Seq[String] = Nil) extends Materialization
 
   /** Named lazy plan, re-expanded at read (reference: materialized='view', 108 models). */
   case object View extends Materialization

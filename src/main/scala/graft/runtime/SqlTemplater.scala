@@ -25,6 +25,88 @@ object SqlTemplater {
   private val IncrRe = """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
   private val ThisRe = """\{\{\s*this\s*\}\}""".r
 
+  /** A `{% macro name(params) %}body{% endmacro %}` definition: the body is
+    * substituted at `{{ name(args…) }}` call sites with each `{{ param }}`
+    * occurrence replaced by the caller's argument text (reference macro
+    * archetype: macros/format_time.sql:1-6). */
+  final case class MacroDef(params: Seq[String], body: String)
+
+  private val MacroDefRe =
+    """(?s)\{%-?\s*macro\s+(\w+)\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}""".r
+  // a call is any {{ name(...) }} whose name has a registered macro; ref/
+  // source/var/config never collide because they cannot be registered
+  private val CallRe = """\{\{\s*(\w+)\(([^{}]*)\)\s*\}\}""".r
+  private val reservedNames = Set("ref", "source", "var", "config", "this")
+  private val ParamRe = """\{\{\s*(\w+)\s*\}\}""".r
+
+  /** Parse every macro definition in `text` (a macros/-directory file). */
+  def parseMacros(text: String): Map[String, MacroDef] =
+    MacroDefRe.findAllMatchIn(text).map { m =>
+      require(!reservedNames.contains(m.group(1)), s"macro name ${m.group(1)} is reserved")
+      val params = m.group(2).split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map(_.takeWhile(c => c.isLetterOrDigit || c == '_'))
+      m.group(1) -> MacroDef(params, m.group(3).trim)
+    }.toMap
+
+  /** Split a macro-call argument list on top-level commas only (an argument
+    * may itself be a SQL expression containing commas inside parens). */
+  private def splitArgs(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var quote: Char = 0
+    for (i <- s.indices) s(i) match {
+      case q @ ('\'' | '"') if quote == 0 => quote = q
+      case q if quote == q => quote = 0
+      case '(' if quote == 0 => depth += 1
+      case ')' if quote == 0 => depth -= 1
+      case ',' if quote == 0 && depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim)
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      s.substring(1, s.length - 1)
+    else s
+
+  private val ExprRe = """\{\{[^{}]*\}\}""".r
+
+  /** Bind params into a macro body: standalone `{{ param }}` becomes the
+    * argument text; params referenced inside nested template expressions
+    * (e.g. a nested macro call's argument list) are replaced as whole-word
+    * tokens — mirroring Jinja, where parameter names only have meaning inside
+    * `{{ … }}` expressions, never in the surrounding SQL text. */
+  private def bindParams(body: String, bound: Map[String, String]): String = {
+    val standalone = ParamRe.replaceAllIn(body, pm =>
+      scala.util.matching.Regex.quoteReplacement(bound.getOrElse(pm.group(1), pm.matched)))
+    ExprRe.replaceAllIn(standalone, em => {
+      var e = em.matched
+      for ((p, a) <- bound)
+        e = e.replaceAll("(?<!['\"\\w])" + java.util.regex.Pattern.quote(p) + "(?!['\"\\w])",
+          scala.util.matching.Regex.quoteReplacement(a))
+      scala.util.matching.Regex.quoteReplacement(e)
+    })
+  }
+
+  /** Expand macro call sites until fixpoint (macros may call macros). */
+  def expandMacros(text: String, macros: Map[String, MacroDef], depth: Int = 0): String = {
+    if (macros.isEmpty) return text
+    require(depth < 16, "macro expansion exceeded depth 16 (recursive macro?)")
+    var changed = false
+    val out = CallRe.replaceAllIn(text, m =>
+      macros.get(m.group(1)) match {
+        case Some(d) =>
+          changed = true
+          val args = splitArgs(m.group(2)).map(stripQuotes)
+          scala.util.matching.Regex.quoteReplacement(
+            bindParams(d.body, d.params.zip(args).toMap))
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
+    if (changed) expandMacros(out, macros, depth + 1) else out
+  }
+
   /** Static dependency extraction for DAG wiring (the refs in the text). */
   def extractRefs(sql: String): Seq[String] =
     RefRe.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
@@ -38,7 +120,10 @@ object SqlTemplater {
     // carries materialization), so both are stripped for near-verbatim runs
     val stripped = CommentRe.replaceAllIn(ConfigRe.replaceAllIn(sql, ""), "")
 
-    var text = IncrRe.replaceAllIn(stripped, m =>
+    // macro-call expansion first: macro bodies may contain var()/ref() calls
+    val expanded = expandMacros(stripped, ctx.macros)
+
+    var text = IncrRe.replaceAllIn(expanded, m =>
       scala.util.matching.Regex.quoteReplacement(
         if (ctx.isIncremental) m.group(1) else Option(m.group(2)).getOrElse("")))
 

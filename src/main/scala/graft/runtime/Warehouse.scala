@@ -37,20 +37,24 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   def registerView(name: String, df: DataFrame): Unit = views.put(name, df)
 
-  /** Read a managed table or view. Tables are read with schema merge then
-    * projected to the canonical schema (so sync'd/append'd columns behave). */
+  /** Read a managed table or view. Tables with a `_schema.json` sidecar are
+    * read with that canonical schema applied directly — no per-file footer
+    * sweep (`mergeSchema`), which at 100TB is a full listing+footer read per
+    * query for information the engine already persisted. The parquet reader
+    * null-fills columns absent from older files (append_new_columns) and
+    * ignores file columns outside the canonical set (ignore policy), which is
+    * exactly what the old merge-then-project path computed. Only sidecar-less
+    * directories (externally created) fall back to mergeSchema. */
   def read(name: String): DataFrame = views.get(name) match {
     case Some(df) => df
     case None =>
-      val df = spark.read.option("mergeSchema", "true").parquet(tablePath(name))
       canonicalSchema(name) match {
         case Some(schema) =>
-          val present = df.columns.toSet
-          df.select(schema.fields.toSeq.map { f =>
-            if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*)
-        case None => df
+          // partition columns surface last regardless of the given schema;
+          // project back to canonical order (no extra I/O, plan-only)
+          spark.read.schema(schema).parquet(tablePath(name))
+            .select(schema.fieldNames.toSeq.map(col): _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(tablePath(name))
       }
   }
 
@@ -74,18 +78,35 @@ final class Warehouse(val spark: SparkSession, val root: String,
         df.repartition((cols.map(col) :+ (abs(hash(col(spreadCol))) % n)): _*)
     }
 
-  /** Full-rebuild CTAS (reference: materialized='table'). */
+  /** Full-rebuild CTAS (reference: materialized='table').
+    *
+    * @param orderBy global ORDER BY sink (reference: ~690 cosmetic trailing
+    *   `ORDER BY` sites): range-partition + per-partition sort, so part files
+    *   hold disjoint ordered ranges in file-name order. */
   def createTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-                  hashSpread: Option[(String, Int)] = None): Unit = {
+                  hashSpread: Option[(String, Int)] = None,
+                  orderBy: Seq[String] = Nil): Unit = {
     // persisted docs survive a full rebuild (reference persists comments
-    // across runs); SaveMode.Overwrite wipes the directory incl. the sidecar
+    // across runs); SaveMode.Overwrite wipes the directory incl. the sidecar.
+    // Restore happens in a finally (a failed write must not lose the docs),
+    // filtered to columns that still exist in the new schema.
     val docsPath = Paths.get(tablePath(name), "_docs.json")
-    val savedDocs = if (Files.exists(docsPath)) Some(Files.readString(docsPath)) else None
-    val out = distributeForWrite(df, partitionBy, hashSpread)
-    val w = out.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
-    writeSchema(name, df.schema)
-    savedDocs.foreach(s => Files.writeString(docsPath, s))
+    val savedDocs = docs(name)
+    try {
+      val out =
+        if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*)
+        else distributeForWrite(df, partitionBy, hashSpread)
+      val w = out.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
+      writeSchema(name, df.schema)
+    } finally {
+      val survivors = savedDocs.filter { case (k, _) =>
+        k == "__table__" || df.schema.fieldNames.contains(k) }
+      if (survivors.nonEmpty) {
+        Files.createDirectories(docsPath.getParent)
+        Files.writeString(docsPath, serializeDocs(survivors))
+      }
+    }
   }
 
   /** Dynamic-partition insert-overwrite: only partitions present in `df` are
@@ -118,12 +139,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * table + column comments stored in a sidecar and surfaced as field
     * metadata (`comment`) on read. */
   def setDocs(name: String, tableComment: String,
-              columnComments: Map[String, String]): Unit = {
-    val payload = (Seq("\"__table__\": " + quote(tableComment)) ++
-      columnComments.map { case (k, v) => quote(k) + ": " + quote(v) })
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(tablePath(name), "_docs.json"), payload)
-  }
+              columnComments: Map[String, String]): Unit =
+    Files.writeString(Paths.get(tablePath(name), "_docs.json"),
+      serializeDocs(Map("__table__" -> tableComment) ++ columnComments))
+
+  private def serializeDocs(m: Map[String, String]): String =
+    m.map { case (k, v) => quote(k) + ": " + quote(v) }.mkString("{", ",", "}")
 
   private def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -191,4 +191,74 @@ class RuntimeSpec extends SparkSpec {
     assert(ctx0.ref("sql_incr").count() == full) // partitions below max overwritten with same data
     assert(ctx0.ref("sql_incr").agg(min($"n_nationkey")).as[Int].head() == 5)
   }
+
+  test("macro definitions parse and expand at call sites (incl. nested args)") {
+    val defs = SqlTemplater.parseMacros(
+      """{% macro add_tax(amount, rate) -%}
+        |({{ amount }}) * (1 + {{ rate }})
+        |{%- endmacro %}
+        |{% macro taxed_total(col) -%}
+        |SUM({{ add_tax(col, '0.2') }})
+        |{%- endmacro %}""".stripMargin)
+    assert(defs.keySet == Set("add_tax", "taxed_total"))
+    // nested macro call + an argument containing a top-level-comma-free expr
+    val out = SqlTemplater.expandMacros(
+      "SELECT {{ taxed_total('COALESCE(a, b)') }} AS t FROM x", defs)
+    assert(out == "SELECT SUM((COALESCE(a, b)) * (1 + 0.2)) AS t FROM x")
+    // unknown calls are left intact; reserved names refuse to register
+    assert(SqlTemplater.expandMacros("{{ var('k') }}", defs) == "{{ var('k') }}")
+    intercept[IllegalArgumentException](
+      SqlTemplater.parseMacros("{% macro ref(x) %}{{ x }}{% endmacro %}"))
+  }
+
+  test("global ORDER BY sink writes totally-ordered part files") {
+    val ctx = freshCtx()
+    val shuffled = spark.range(1000).select((($"id" * 937) % 1000).as("k"))
+    // AQE would coalesce this tiny sort to one partition; hold it open so the
+    // cross-file ordering property is actually exercised
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try new DagRunner(Seq(Model("ordered", _ => shuffled,
+      Materialization.Table(orderBy = Seq("k"))))).run(ctx)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    val dir = ctx.warehouse.tablePath("ordered")
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(parts.length > 1) // range partitioning actually split the output
+    val perFile = parts.map(p => spark.read.parquet(p).as[Long].collect().toSeq)
+    val global = perFile.flatten.toSeq
+    assert(global == global.sorted, "rows not globally ordered across file order")
+  }
+
+  test("canonical-schema read ignores foreign files' columns (no footer merge)") {
+    val ctx = freshCtx()
+    new DagRunner(Seq(Model("canon", _ => Seq((1, "a"), (2, "b")).toDF("id", "s")))).run(ctx)
+    // drop a foreign parquet file with an extra column straight into the dir:
+    // a mergeSchema read would surface `extra`; the sidecar read must not
+    Seq((3, "c", 9.9)).toDF("id", "s", "extra").coalesce(1)
+      .write.mode("append").parquet(ctx.warehouse.tablePath("canon"))
+    val df = ctx.ref("canon")
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.count() == 3)
+  }
+
+  test("docs survive a rebuild filtered to surviving columns") {
+    val ctx = freshCtx()
+    val wh = ctx.warehouse
+    wh.createTable("doc_t", Seq((1, "x")).toDF("v", "gone_col"))
+    wh.setDocs("doc_t", "the table", Map("v" -> "kept", "gone_col" -> "dropped"))
+    wh.createTable("doc_t", Seq(2).toDF("v")) // rebuild without gone_col
+    assert(wh.docs("doc_t") == Map("__table__" -> "the table", "v" -> "kept"))
+  }
+
+  test("non-literal sizing args to native text functions raise AnalysisException") {
+    graft.functions.TextExpressions.register(spark)
+    val df = Seq(("hello world text", 3)).toDF("t", "n")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("word_shingles(t, n)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("minhash_sig(t, 3, n)").collect()
+    }
+  }
 }
