@@ -89,7 +89,8 @@ object SparkEntry {
     "q59_onfy_sessions" -> (TemplaterQueries.q59OnfySessions _),
     "q60_scd2_check" -> (Scd2Queries.q60Scd2Check _),
     "q61_interval_frame" -> (WindowQueries.q61IntervalFrame _),
-    "q62_append_overwrite" -> (PipelineQueries.q62AppendOverwrite _)
+    "q62_append_overwrite" -> (PipelineQueries.q62AppendOverwrite _),
+    "q63_active_devices" -> (TemplaterQueries.q63ActiveDevices _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,6 +149,7 @@ object SparkEntry {
     "q59_onfy_sessions" -> TemplaterQueries.q59Oracle,
     "q60_scd2_check" -> Scd2Queries.q60Oracle,
     "q61_interval_frame" -> WindowQueries.q61Oracle,
-    "q62_append_overwrite" -> PipelineQueries.q62Oracle
+    "q62_append_overwrite" -> PipelineQueries.q62Oracle,
+    "q63_active_devices" -> TemplaterQueries.q63Oracle
   )
 }

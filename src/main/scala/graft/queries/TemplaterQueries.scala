@@ -124,6 +124,70 @@ object TemplaterQueries {
     ctx.ref("onfy_sessions")
   }
 
+  /** The reference's single most load-bearing aggregate idiom — a block of
+    * consecutive `FIRST_VALUE(...)` GROUP BY aggregates per (device, day)
+    * (reference: models/spark/base/active_devices.sql:24-43, 15 in a row) —
+    * as a SQL-text model. The `DISTRIBUTE BY … SORT BY …` pre-stage is the
+    * reference's own §2.10 idiom and is what pins FIRST_VALUE to event
+    * order: group rows co-locate on one partition, sort locally, and the
+    * single partial aggregate consumes them in order (EliminateSorts keeps
+    * the local sort because First/Last are order-sensitive). */
+  val activeDevicesSql: String =
+    """{{ config(materialized='table') }}
+      |
+      |WITH events_src AS (
+      |    SELECT
+      |        user_id AS device_id,
+      |        DATE_FORMAT(ts, 'yyyy-MM-dd') AS day,
+      |        event_type,
+      |        value,
+      |        ts_ns
+      |    FROM {{ source('default', 'events') }}
+      |),
+      |
+      |ordered AS (
+      |    SELECT *
+      |    FROM events_src
+      |    DISTRIBUTE BY device_id, day
+      |    SORT BY device_id, day, ts_ns
+      |)
+      |
+      |SELECT
+      |    device_id,
+      |    day,
+      |    FIRST_VALUE(UPPER(event_type)) AS first_event_type,
+      |    FIRST_VALUE(IF(value > 50, 'high', 'low')) AS first_value_band,
+      |    FIRST_VALUE(value, TRUE) AS first_nonnull_value,
+      |    LAST_VALUE(event_type, TRUE) AS last_event_type,
+      |    MIN(ts_ns div 1000000000) AS first_es,
+      |    COUNT(*) AS n_events
+      |FROM ordered
+      |GROUP BY 1, 2""".stripMargin
+
+  def q63ActiveDevices(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_templater2").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val model = SqlTemplater.sqlModel("active_devices", activeDevicesSql)
+    val statuses = new DagRunner(Seq(model)).run(ctx)
+    statuses.collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"model $n failed: $e") }
+    ctx.ref("active_devices")
+  }
+
+  val q63Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id AS device_id, strftime(ts, '%Y-%m-%d') AS day,
+      |    event_type, value, epoch_ns(ts) AS tns
+      |  FROM events)
+      |SELECT device_id, day,
+      |  first(upper(event_type) ORDER BY tns) AS first_event_type,
+      |  first(CASE WHEN value > 50 THEN 'high' ELSE 'low' END ORDER BY tns) AS first_value_band,
+      |  first(value ORDER BY tns) FILTER (WHERE value IS NOT NULL) AS first_nonnull_value,
+      |  last(event_type ORDER BY tns) FILTER (WHERE event_type IS NOT NULL) AS last_event_type,
+      |  MIN(tns // 1000000000) AS first_es,
+      |  COUNT(*) AS n_events
+      |FROM ev GROUP BY 1, 2""".stripMargin
+
   val q59Oracle: String =
     """WITH sp AS (
       |  SELECT user_id AS device_id, event_type AS type,
