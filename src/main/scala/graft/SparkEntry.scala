@@ -137,6 +137,7 @@ object SparkEntry {
     "q45_window_first_last" -> CoverageQueries.q45Oracle,
     "q46_struct_json_extras" -> CoverageQueries.q46Oracle,
     "q47_sql_text_model" -> CoverageQueries.q47Oracle,
+    "q48_approx_distinct" -> CoverageQueries.q48Oracle,
     "q49_active_users_retention" -> graft.models.ActiveRetention.usersOracle,
     "q50_active_devices_retention" -> graft.models.ActiveRetention.devicesOracle,
     "q51_nested_mongo" -> CoverageQueries.q51Oracle,
