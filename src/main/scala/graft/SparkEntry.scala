@@ -128,6 +128,7 @@ object SparkEntry {
     "q31_dedup_exact" -> NorthStarQueries.q31Oracle,
     "q32_ngram_jaccard" -> NorthStarQueries.q32Oracle,
     "q35_text_stats" -> NorthStarQueries.q35Oracle,
+    "q37_fingerprint" -> NorthStarQueries.q37Oracle,
     "q38_ann_brute_topk" -> NorthStarQueries.q38Oracle,
     "q40_embed_neardup" -> NorthStarQueries.q40Oracle,
     "q41_multimodal" -> NorthStarQueries.q41Oracle,

@@ -108,16 +108,32 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("total_subwords"))
   }
 
-  /** Order-sensitive fingerprint dup groups (no oracle: xxhash-based).
-    * Native single-pass Fingerprint64 — bit-identical to the composable
-    * TextFunctions.fingerprint (equivalence asserted in NorthStarSpec),
-    * without the interpreted aggregate()-lambda cost per token. */
+  /** Order-sensitive fingerprint dedup, oracle-gated: grouping documents by
+    * the 64-bit rolling-xxhash fingerprint is equivalent to grouping by the
+    * normalized token sequence (lowercase, \s+ split, empties dropped) —
+    * which DuckDB CAN compute — modulo hash collisions (odds ~n²/2⁶⁴). The
+    * output carries per-doc group verdicts instead of raw hashes so the
+    * oracle comparison is sketch-free; the native Fingerprint64 ≡ composable
+    * chain equivalence is separately asserted in NorthStarSpec. */
   def q37Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     val d = Tables(spark, dir, "documents")
-    d.select(col("doc_id"), graft.functions.TextExpressions.fingerprint64(col("text")).as("fp"))
-      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+    val fp = d.select(col("doc_id"),
+      graft.functions.TextExpressions.fingerprint64(col("text")).as("fp"))
+    val groups = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+    fp.join(groups, Seq("fp")).select(col("doc_id"), col("keep_id"), col("n_docs"))
   }
+
+  val q37Oracle: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> w <> ''), ' ') AS norm
+      |  FROM documents)
+      |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS keep_id,
+      |  COUNT(*) OVER (PARTITION BY norm) AS n_docs
+      |FROM n""".stripMargin
 
   /** Brute-force exact cosine top-5 for query vectors vec_id < 10. */
   def q38AnnBruteTopK(spark: SparkSession, dir: String): DataFrame = {
