@@ -37,20 +37,37 @@ object ScaleProbe {
     replicate("lineitem", Seq("l_orderkey"), 10000000L)
     replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
     replicate("customer", Seq("c_custkey"), 10000000L)
+
+    // documents replicated with per-replica token salting: every token gets a
+    // replica prefix, so the within-replica duplicate/near-dup structure is
+    // preserved while cross-replica similarity drops to zero — the dedup
+    // workload then grows LINEARLY with data, as a real corpus's would
+    // (naive replication would instead multiply every dup group by `factor`
+    // and grow candidate pairs quadratically, probing the wrong thing).
+    val docs = Tables(spark, src, "documents")
+    (0 until factor).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(^|\\s)", "$1r" + i + "x"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
     println(s"replicated x$factor")
 
     def q1(dir: String) = queries.CoreQueries.q1PricingSummary(spark, dir).count()
     def q3(dir: String) = queries.JoinQueries.q3RevenueByRegionMonth(spark, dir).count()
     def q2(dir: String) = queries.WindowQueries.q2LatestOrderPerCustomer(spark, dir).count()
+    def qDedup(dir: String) = queries.NorthStarQueries.q31DedupExact(spark, dir).count()
+    def qLsh(dir: String) = queries.NorthStarQueries.q33MinhashLsh(spark, dir).count()
 
     // nation/region not replicated: copy through for the join chain
-    for (t <- Seq("nation", "region", "part", "supplier", "events", "documents", "embeddings"))
+    for (t <- Seq("nation", "region", "part", "supplier", "events", "embeddings"))
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
 
     for (r <- 1 to 2) {
       timed(s"q1_agg sf0.1 (r$r)")(q1(src)); timed(s"q1_agg x$factor (r$r)")(q1(big))
       timed(s"q3_join sf0.1 (r$r)")(q3(src)); timed(s"q3_join x$factor (r$r)")(q3(big))
       timed(s"q2_window sf0.1 (r$r)")(q2(src)); timed(s"q2_window x$factor (r$r)")(q2(big))
+      timed(s"q31_dedup sf0.1 (r$r)")(qDedup(src)); timed(s"q31_dedup x$factor (r$r)")(qDedup(big))
+      timed(s"q33_lsh sf0.1 (r$r)")(qLsh(src)); timed(s"q33_lsh x$factor (r$r)")(qLsh(big))
     }
     spark.stop()
   }
