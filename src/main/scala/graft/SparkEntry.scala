@@ -90,7 +90,8 @@ object SparkEntry {
     "q60_scd2_check" -> (Scd2Queries.q60Scd2Check _),
     "q61_interval_frame" -> (WindowQueries.q61IntervalFrame _),
     "q62_append_overwrite" -> (PipelineQueries.q62AppendOverwrite _),
-    "q63_active_devices" -> (TemplaterQueries.q63ActiveDevices _)
+    "q63_active_devices" -> (TemplaterQueries.q63ActiveDevices _),
+    "q64_skew_join" -> (JoinQueries.q64SkewJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +153,7 @@ object SparkEntry {
     "q60_scd2_check" -> Scd2Queries.q60Oracle,
     "q61_interval_frame" -> WindowQueries.q61Oracle,
     "q62_append_overwrite" -> PipelineQueries.q62Oracle,
-    "q63_active_devices" -> TemplaterQueries.q63Oracle
+    "q63_active_devices" -> TemplaterQueries.q63Oracle,
+    "q64_skew_join" -> JoinQueries.q64Oracle
   )
 }

@@ -221,4 +221,26 @@ object JoinQueries {
       |             (30.0, 40.0, 'b30_40'), (40.0, 60.0, 'b40_60')) AS bands(lo, hi, band)
       |  ON l_quantity >= lo AND l_quantity < hi
       |GROUP BY 1""".stripMargin
+
+  /** Salted skew join on the oracle gate: lineitem spread over 8 salts per
+    * part key, part side replicated 8× — identical results to the plain
+    * join, which is exactly what the DuckDB oracle checks (the engine form
+    * of the reference's `DISTRIBUTE BY month, ABS(HASH(id)) % 10` skew
+    * spread, models/spark/gold/gold_orders.sql:696). */
+  def q64SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    val parts = Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.ops.SkewJoin.saltedJoin(li, parts, Seq("p_partkey"),
+      xxhash64(col("l_orderkey"), col("l_linenumber")), n = 8, joinType = "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+  }
+
+  val q64Oracle: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
 }
