@@ -91,7 +91,9 @@ object SparkEntry {
     "q61_interval_frame" -> (WindowQueries.q61IntervalFrame _),
     "q62_append_overwrite" -> (PipelineQueries.q62AppendOverwrite _),
     "q63_active_devices" -> (TemplaterQueries.q63ActiveDevices _),
-    "q64_skew_join" -> (JoinQueries.q64SkewJoin _)
+    "q64_skew_join" -> (JoinQueries.q64SkewJoin _),
+    "q65_seed_join" -> (PipelineQueries.q65SeedJoin _),
+    "q66_schema_evolution" -> (PipelineQueries.q66SchemaEvolution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,6 +156,8 @@ object SparkEntry {
     "q61_interval_frame" -> WindowQueries.q61Oracle,
     "q62_append_overwrite" -> PipelineQueries.q62Oracle,
     "q63_active_devices" -> TemplaterQueries.q63Oracle,
-    "q64_skew_join" -> JoinQueries.q64Oracle
+    "q64_skew_join" -> JoinQueries.q64Oracle,
+    "q65_seed_join" -> PipelineQueries.q65Oracle,
+    "q66_schema_evolution" -> PipelineQueries.q66Oracle
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.runtime._
 
 /** End-to-end engine pipeline as an oracle-checked query: a gold_orders-style
@@ -162,6 +163,80 @@ object PipelineQueries {
       |  u.appended_n
       |FROM cells c
       |LEFT JOIN upd u ON c.table_name = u.table_name AND c.partition_date = u.partition_date""".stripMargin
+
+  /** Seed loading on the oracle gate (reference: 26 seeds under seeds/ with
+    * schemas pinned in seeds/properties.yml; gold_regions.sql joins
+    * gold_regions_source.csv into the warehouse). The repo seed CSV is
+    * loaded through [[Seeds.load]] with a pinned all-string schema, CTAS'd
+    * into the warehouse, then joined to nation/customer; the oracle inlines
+    * the same static rows as VALUES — a seed IS literal config data. */
+  def q65SeedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_seed").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("country_code", "country_name", "region_name", "nation_name").map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    val seed = Seeds.load(ctx, "regions_source", "/root/repo/seeds/regions_source.csv",
+      Some(schema))
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    broadcast(seed)
+      .join(n, col("nation_name") === col("n_name"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("country_code"), col("region_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+  }
+
+  val q65Oracle: String =
+    """SELECT country_code, region_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM (VALUES ('DE','EUROPE','NATION_0'), ('FR','EUROPE','NATION_1'),
+      |  ('US','AMERICA','NATION_2'), ('BR','AMERICA','NATION_3'),
+      |  ('JP','ASIA','NATION_4'), ('CN','ASIA','NATION_5'),
+      |  ('EG','AFRICA','NATION_6'), ('DZ','AFRICA','NATION_7'),
+      |  ('SA','MIDDLE EAST','NATION_8'), ('IR','MIDDLE EAST','NATION_9'))
+      |  AS s(country_code, region_name, nation_name)
+      |JOIN nation ON nation_name = n_name
+      |JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** on_schema_change='append_new_columns' on the oracle gate (reference:
+    * models/spark/gold/gold_orders.sql:8 — 6 append / 15 sync uses): run 1
+    * materializes (order_month, n_orders); run 2's increment adds a
+    * `revenue` column for months past the cutoff. The canonical schema
+    * grows, and partitions written before the change read NULL revenue —
+    * which is exactly the closed form the oracle states. */
+  def q66SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val cutoff = "1997-01"
+    val model = Model("orders_monthly",
+      c => {
+        val monthly = c.source("default", "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        if (!c.isIncremental)
+          monthly.agg(count(lit(1)).as("n_orders"))
+            .filter(col("order_month") <= cutoff)
+        else
+          monthly.agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+            .filter(col("order_month") > cutoff)
+      },
+      Materialization.IncrementalInsertOverwrite(Seq("order_month"),
+        OnSchemaChange.AppendNewColumns))
+    val dag = new DagRunner(Seq(model))
+    val rs = dag.run(ctx) ++ dag.run(ctx)
+    rs.collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"model $n failed: $e") }
+    ctx.ref("orders_monthly").select(col("order_month"), col("n_orders"), col("revenue"))
+  }
+
+  val q66Oracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS n_orders,
+      |  CASE WHEN strftime(o_orderdate, '%Y-%m') > '1997-01'
+      |       THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) END AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
 
   val q30Oracle: String =
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month,

@@ -103,7 +103,8 @@ class RuntimeSpec extends SparkSpec {
     val ctx = freshCtx()
     Seeds.load(ctx, "regions_source", "/root/repo/seeds/regions_source.csv",
       Some(StructType(Seq(StructField("country_code", StringType),
-        StructField("country_name", StringType), StructField("region_name", StringType)))))
+        StructField("country_name", StringType), StructField("region_name", StringType),
+        StructField("nation_name", StringType)))))
     Seeds.load(ctx, "slo_tables", "/root/repo/seeds/slo_tables.csv")
     assert(ctx.ref("regions_source").count() == 10)
     assert(ctx.ref("slo_tables").schema("slo_hour").dataType == IntegerType) // inferred
