@@ -93,7 +93,8 @@ object SparkEntry {
     "q63_active_devices" -> (TemplaterQueries.q63ActiveDevices _),
     "q64_skew_join" -> (JoinQueries.q64SkewJoin _),
     "q65_seed_join" -> (PipelineQueries.q65SeedJoin _),
-    "q66_schema_evolution" -> (PipelineQueries.q66SchemaEvolution _)
+    "q66_schema_evolution" -> (PipelineQueries.q66SchemaEvolution _),
+    "q67_bucketed_join" -> (JoinQueries.q67BucketedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,6 +159,7 @@ object SparkEntry {
     "q63_active_devices" -> TemplaterQueries.q63Oracle,
     "q64_skew_join" -> JoinQueries.q64Oracle,
     "q65_seed_join" -> PipelineQueries.q65Oracle,
-    "q66_schema_evolution" -> PipelineQueries.q66Oracle
+    "q66_schema_evolution" -> PipelineQueries.q66Oracle,
+    "q67_bucketed_join" -> JoinQueries.q67Oracle
   )
 }

@@ -243,4 +243,32 @@ object JoinQueries {
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
       |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
       |GROUP BY 1""".stripMargin
+
+  /** Bucketed co-located join on the oracle gate: both fact tables CTAS'd
+    * with `bucketBy(8, orderkey)` through the warehouse catalog, then joined
+    * on the bucket key — the physical plan runs zero-exchange (asserted in
+    * ScaleSpec; the reference's hand-bucketed theta joins, SURVEY.md §4) and
+    * the result must equal the plain SQL join. */
+  def q67BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val wh = new graft.runtime.Warehouse(spark, whDir)
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    wh.createBucketedTable("q67_b_orders", o, Seq("o_orderkey"), 8)
+    wh.createBucketedTable("q67_b_lineitem", li, Seq("l_orderkey"), 8)
+    wh.readBucketed("q67_b_orders")
+      .join(wh.readBucketed("q67_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+  }
+
+  val q67Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1""".stripMargin
 }
