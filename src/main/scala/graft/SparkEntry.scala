@@ -94,7 +94,8 @@ object SparkEntry {
     "q64_skew_join" -> (JoinQueries.q64SkewJoin _),
     "q65_seed_join" -> (PipelineQueries.q65SeedJoin _),
     "q66_schema_evolution" -> (PipelineQueries.q66SchemaEvolution _),
-    "q67_bucketed_join" -> (JoinQueries.q67BucketedJoin _)
+    "q67_bucketed_join" -> (JoinQueries.q67BucketedJoin _),
+    "q68_funnel_rank" -> (TemplaterQueries.q68FunnelRank _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,6 +161,7 @@ object SparkEntry {
     "q64_skew_join" -> JoinQueries.q64Oracle,
     "q65_seed_join" -> PipelineQueries.q65Oracle,
     "q66_schema_evolution" -> PipelineQueries.q66Oracle,
-    "q67_bucketed_join" -> JoinQueries.q67Oracle
+    "q67_bucketed_join" -> JoinQueries.q67Oracle,
+    "q68_funnel_rank" -> TemplaterQueries.q68Oracle
   )
 }

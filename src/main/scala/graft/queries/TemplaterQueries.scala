@@ -164,6 +164,61 @@ object TemplaterQueries {
       |FROM ordered
       |GROUP BY 1, 2""".stripMargin
 
+  /** The conversion-funnel RANK dedup tail as a SQL-text model (reference:
+    * models/spark/onfy/conversion_funnel_new.sql:230-255 — `RANK() OVER
+    * (PARTITION BY device_id, payment_dt ORDER BY session_start)` then an
+    * outer `WHERE rnk_session_payment = 1`, with a trailing DISTRIBUTE BY):
+    * first payment session per device per day. Event timestamps are unique
+    * per device, so the rank-1 row is well-defined. */
+  val funnelRankSql: String =
+    """{{ config(materialized='table') }}
+      |
+      |WITH payments AS (
+      |    SELECT
+      |        user_id AS device_id,
+      |        DATE_FORMAT(ts, 'yyyy-MM-dd') AS payment_dt,
+      |        ts_ns div 1000 AS session_start,
+      |        value AS payment_value
+      |    FROM {{ source('default', 'events') }}
+      |    WHERE event_type = 'purchase'
+      |),
+      |
+      |filter_double_payments AS (
+      |    SELECT
+      |        device_id,
+      |        payment_dt,
+      |        session_start,
+      |        payment_value,
+      |        RANK() OVER (PARTITION BY device_id, payment_dt ORDER BY session_start) AS rnk_session_payment
+      |    FROM payments
+      |)
+      |
+      |SELECT *
+      |FROM filter_double_payments
+      |WHERE rnk_session_payment = 1
+      |DISTRIBUTE BY payment_dt""".stripMargin
+
+  def q68FunnelRank(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_templater3").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val model = SqlTemplater.sqlModel("funnel_rank", funnelRankSql)
+    val statuses = new DagRunner(Seq(model)).run(ctx)
+    statuses.collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"model $n failed: $e") }
+    ctx.ref("funnel_rank")
+  }
+
+  val q68Oracle: String =
+    """WITH payments AS (
+      |  SELECT user_id AS device_id, strftime(ts, '%Y-%m-%d') AS payment_dt,
+      |    epoch_ns(ts) // 1000 AS session_start, value AS payment_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT device_id, payment_dt, session_start, payment_value,
+      |  CAST(rank() OVER (PARTITION BY device_id, payment_dt ORDER BY session_start) AS INT)
+      |    AS rnk_session_payment
+      |FROM payments
+      |QUALIFY rnk_session_payment = 1""".stripMargin
+
   def q63ActiveDevices(spark: SparkSession, dir: String): DataFrame = {
     val whDir = java.nio.file.Files.createTempDirectory("graft_templater2").toString
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
