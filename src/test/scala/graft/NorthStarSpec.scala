@@ -27,6 +27,22 @@ class NorthStarSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("minhash-LSH skew guard survives a degenerate corpus (tiny cap, heavy boilerplate)") {
+    // every doc shares one boilerplate sentence -> most LSH buckets oversize;
+    // with maxBucketSize=2 nearly the whole bucket relation is "oversized",
+    // which used to be force-broadcast (ADVICE r2: a degenerate corpus could
+    // blow the broadcast limit) and is now left to AQE. The op must still
+    // run and still return only true near-dups among the surviving buckets.
+    val boiler = docs.limit(50)
+      .withColumn("text", concat(lit("the quick brown fox jumps over the lazy dog again and again "), $"text"))
+    val out = Dedup.minhashLsh(boiler, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.9, maxBucketSize = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val exact = Dedup.ngramJaccard(boiler, "doc_id", "text", 3, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(out.toSet.subsetOf(exact), s"false positives: ${out.toSet -- exact}")
+  }
+
   test("simhash near-dup finds exact duplicates (hamming 0) of injected copies") {
     val dup = docs.limit(5).withColumn("doc_id", $"doc_id" + 1000000L)
     val withDups = docs.unionByName(dup)
