@@ -34,6 +34,32 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("order-pinned first/last aggregation plans exactly two exchanges") {
+    // q58's shape: repartition(user) + sortWithinPartitions feeds the
+    // aggregate with NO further exchange (hash(user) satisfies the groupBy
+    // distribution), then the cohort window adds exactly one more — the
+    // plan a 100TB run needs: one shuffle per re-keying, none wasted.
+    val df = graft.queries.RankQueries.q58FunnelRanking(spark, "/root/testdata/sf0.001")
+    df.count() // materialize through AQE so the final plan is real
+    val shuffles = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2,
+      s"expected 2 exchanges (user repartition + cohort window), got $shuffles:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("interval-frame window reuses the aggregation partitioning shape") {
+    // q61: exchange for the (priority, day) aggregate + exchange for the
+    // priority-keyed window — and nothing else.
+    val df = graft.queries.WindowQueries.q61IntervalFrame(spark, "/root/testdata/sf0.001")
+    df.count()
+    val shuffles = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2,
+      s"expected 2 exchanges (agg + window), got $shuffles:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("salted skew join returns the same rows as a plain join") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
