@@ -95,7 +95,9 @@ object SparkEntry {
     "q65_seed_join" -> (PipelineQueries.q65SeedJoin _),
     "q66_schema_evolution" -> (PipelineQueries.q66SchemaEvolution _),
     "q67_bucketed_join" -> (JoinQueries.q67BucketedJoin _),
-    "q68_funnel_rank" -> (TemplaterQueries.q68FunnelRank _)
+    "q68_funnel_rank" -> (TemplaterQueries.q68FunnelRank _),
+    "q69_pivot" -> (AggQueries.q69Pivot _),
+    "q70_window_ranks" -> (WindowQueries.q70WindowRanks _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,6 +164,8 @@ object SparkEntry {
     "q65_seed_join" -> PipelineQueries.q65Oracle,
     "q66_schema_evolution" -> PipelineQueries.q66Oracle,
     "q67_bucketed_join" -> JoinQueries.q67Oracle,
-    "q68_funnel_rank" -> TemplaterQueries.q68Oracle
+    "q68_funnel_rank" -> TemplaterQueries.q68Oracle,
+    "q69_pivot" -> AggQueries.q69Oracle,
+    "q70_window_ranks" -> WindowQueries.q70Oracle
   )
 }

@@ -120,4 +120,21 @@ object AggQueries {
       |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** PIVOT — wide conditional aggregation (engine extension; the reference
+    * hand-writes SUM(CASE WHEN ...) columns for the same shape, which is
+    * exactly what the oracle states): monthly revenue per order status. */
+  def q69Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+  }
+
+  val q69Oracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+      |FROM orders GROUP BY 1""".stripMargin
 }

@@ -210,6 +210,28 @@ object WindowQueries {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1""".stripMargin
 
+  /** NTILE / PERCENT_RANK / CUME_DIST — distribution-rank windows (engine
+    * extension beyond the reference's window inventory): account-balance
+    * quartiles and percentile position per market segment, ordered by a
+    * unique (balance, key) pair so every rank is deterministic. */
+  def q70WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    c.select(col("c_custkey"), col("c_mktsegment"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  val q70Oracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin
+
   /** Nested agg-in-window: revenue share of month — SUM(SUM(x)) OVER
     * (reference: macros/gold_active_users_and_devices_with_ephemeral.sql:81-82). */
   def q28RevenueShare(spark: SparkSession, dir: String): DataFrame = {
