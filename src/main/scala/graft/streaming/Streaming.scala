@@ -75,11 +75,38 @@ object Streaming {
       .toDF("user_id", "n_events", "first_ts_ns")
   }
 
+  /** Schema of the documents parquet (training-corpus table). */
+  val rawDocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The documents table as an unbounded stream — the ingestion-time view a
+    * continuously-crawled training corpus would present. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawDocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Ingestion-time exact dedup: first document per content hash survives —
+    * the streaming twin of [[graft.ops.Dedup.exact]]'s grouping, keyed on
+    * the same null-safe content hash so the shuffle key is 64 hex chars,
+    * never the text. dropDuplicates keeps per-key state; on an unbounded
+    * crawl pair it with `withWatermark` + dropDuplicatesWithinWatermark (or
+    * periodic state TTL) to bound state — exact global dedup at 100TB is a
+    * batch job by nature, and this operator is the stream-side guard that
+    * keeps obvious re-crawls out of the lake. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.ops.Dedup.contentKey(col("text")).as("content_sha"))
+      .dropDuplicates("content_sha")
+
   /** Drive a (bounded) stream to completion into an in-memory table and
     * return its content — batch parquet drives the streaming query, the
     * local smoke pattern for streaming jobs. */
-  def runToMemory(df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream.outputMode("complete")
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: String = "complete"): DataFrame = {
+    val q = df.writeStream.outputMode(outputMode)
       .format("memory").queryName(name).start()
     try { q.processAllAvailable() } finally { q.stop() }
     df.sparkSession.table(name)

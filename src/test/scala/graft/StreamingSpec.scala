@@ -43,6 +43,18 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming exact dedup keeps exactly one row per batch content group") {
+    val streamed = Streaming.runToMemory(
+      Streaming.dedupStream(Streaming.documentsStream(spark, dir)),
+      "dedup_out", outputMode = "append")
+    val batchGroups = Tables(spark, dir, "documents")
+      .select(graft.ops.Dedup.contentKey($"text")).distinct()
+      .as[String].collect().toSet
+    val streamedKeys = streamed.select($"content_sha").as[String].collect().toSeq
+    assert(streamedKeys.size == streamedKeys.toSet.size, "stream emitted duplicate keys")
+    assert(streamedKeys.toSet == batchGroups, "stream/batch content groups differ")
+  }
+
   test("tumbling-window counts conserve totals") {
     val out = Streaming.runToMemory(
       Streaming.minuteCounts(Streaming.eventsStream(spark, dir)), "win_out")
