@@ -127,18 +127,46 @@ object Similarity {
     cents.withColumnRenamed("cent_id", idCol).withColumnRenamed("cent_v", vecCol)
   }
 
-  /** Exact embedding near-duplicate pairs above a cosine threshold. At the
-    * test scale this is a block self-join; the LSH path for 100TB is
-    * [[signBucketNearDup]]. */
+  /** Exact embedding near-duplicate pairs above a cosine threshold, as a
+    * block-tiled self-join: ids hash into `numBlocks` blocks, each unordered
+    * block pair (i <= j) is one tile, and every row is replicated to the
+    * tiles its block touches, so candidate generation is a plain equi-join
+    * on the tile key. Exact all-pairs similarity is inherently O(n²)
+    * comparisons; the engineering question is whether that lands as ONE
+    * cartesian task or as B(B+1)/2 uniformly sized tiles of 2n/B rows each.
+    * This is the latter: shuffle volume (B+1)·n rows, per-task memory
+    * bounded by the tile, no CartesianProduct / BroadcastNestedLoopJoin
+    * node (plan-pinned in ScaleSpec). Pick B ≈ 2·sqrt(cluster cores) so
+    * tiles outnumber slots.
+    *
+    * Why not LSH candidates here: no fixed hyperplane family gives
+    * *provable* recall at cosine >= τ for τ as low as 0.4 — an adversarial
+    * pair at angle arccos(τ) can straddle every one of a fixed set of
+    * hyperplanes, so sign-bucket candidates (however multi-probed) cannot
+    * guarantee the bit-exact output this operator promises, and prefix /
+    * pivot filters provably prune ~nothing on dense low-dimension
+    * embeddings at this τ. [[signBucketNearDup]] is the approximate 100TB
+    * path; this is the exact one. */
   def embeddingNearDupExact(vecs: DataFrame, threshold: Double,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            numBlocks: Int = 16): DataFrame = {
     registered(vecs)
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      .withColumn("na", norm(col("va")))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-      .withColumn("nb", norm(col("vb")))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+    // a row in block p sits on the left of tiles (p, p..B-1) and on the
+    // right of tiles (0..p, p): pair (a∈i, b∈j), i<j meets exactly once in
+    // tile (i,j); same-block pairs meet twice in the diagonal tile and are
+    // halved by the id order filter. dot/norm products are commutative
+    // bit-exact, so which side a vector lands on never changes the cosine.
+    val lhs = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"),
+      col("blk").as("ti"), explode(sequence(col("blk"), lit(numBlocks - 1))).as("tj"))
+    val rhs = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"),
+      explode(sequence(lit(0), col("blk"))).as("ti"), col("blk").as("tj"))
+    lhs.join(rhs, Seq("ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine_sim"))

@@ -60,6 +60,16 @@ class ScaleSpec extends SparkSpec {
         df.queryExecution.executedPlan)
   }
 
+  test("q40 exact embedding near-dup plans as a tiled equi-join, never a cartesian") {
+    // the one former all-pairs operator: block tiling must keep the O(n²)
+    // compare out of a single CartesianProduct / BNLJ task at any scale
+    val df = graft.queries.NorthStarQueries.q40EmbedNearDup(spark, "/root/testdata/sf0.001")
+    df.count() // materialize through AQE so the final plan is real
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"expected tiled equi-join, got:\n$plan")
+  }
+
   test("salted skew join returns the same rows as a plain join") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
