@@ -97,7 +97,8 @@ object SparkEntry {
     "q67_bucketed_join" -> (JoinQueries.q67BucketedJoin _),
     "q68_funnel_rank" -> (TemplaterQueries.q68FunnelRank _),
     "q69_pivot" -> (AggQueries.q69Pivot _),
-    "q70_window_ranks" -> (WindowQueries.q70WindowRanks _)
+    "q70_window_ranks" -> (WindowQueries.q70WindowRanks _),
+    "q71_status_matrix" -> (TemplaterQueries.q71StatusMatrix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,6 +167,7 @@ object SparkEntry {
     "q67_bucketed_join" -> JoinQueries.q67Oracle,
     "q68_funnel_rank" -> TemplaterQueries.q68Oracle,
     "q69_pivot" -> AggQueries.q69Oracle,
-    "q70_window_ranks" -> WindowQueries.q70Oracle
+    "q70_window_ranks" -> WindowQueries.q70Oracle,
+    "q71_status_matrix" -> TemplaterQueries.q71Oracle
   )
 }

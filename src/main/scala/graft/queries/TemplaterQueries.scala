@@ -243,6 +243,50 @@ object TemplaterQueries {
       |  COUNT(*) AS n_events
       |FROM ev GROUP BY 1, 2""".stripMargin
 
+  /** Jinja control flow in a model body ({% set %} + {% for %} over a split
+    * var, loop.last comma control, | lower filter) — the code-generation
+    * idiom of the reference's own macros (generate_alias_name.sql:7 loops a
+    * split var; tblproperties_clause.sql:7-11 emits comma-separated pairs
+    * with `{%- if not loop.last -%},{%- endif -%}`), here driving a
+    * status-matrix aggregate so the expansion is oracle-checkable. */
+  val statusMatrixSql: String =
+    """{{ config(materialized='table') }}
+      |
+      |{% set statuses = var('status_list', 'O,F,P').split(',') %}
+      |SELECT
+      |    o_orderpriority,
+      |{% for s in statuses %}
+      |    CAST(SUM(IF(o_orderstatus = '{{ s }}', 1, 0)) AS BIGINT) AS n_{{ s | lower }},
+      |{% endfor %}
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM {{ source('default', 'orders') }}
+      |WHERE o_orderpriority IN (
+      |{% for p in var('prio_list', '1-URGENT,2-HIGH,5-LOW').split(',') %}
+      |    '{{ p }}'{% if not loop.last %},{% endif %}
+      |{% endfor %}
+      |)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  def q71StatusMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_templater4").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val model = SqlTemplater.sqlModel("status_matrix", statusMatrixSql)
+    val statuses = new DagRunner(Seq(model)).run(ctx)
+    statuses.collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"model $n failed: $e") }
+    ctx.ref("status_matrix")
+  }
+
+  val q71Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '5-LOW')
+      |GROUP BY o_orderpriority""".stripMargin
+
   val q59Oracle: String =
     """WITH sp AS (
       |  SELECT user_id AS device_id, event_type AS type,

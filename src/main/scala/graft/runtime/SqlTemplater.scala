@@ -14,6 +14,9 @@ import graft.functions.TimeFunctions
   *   - `{{ var('k') }}` / `{{ var('k', 'default') }}` → raw text substitution
   *   - `{% if is_incremental() %} … {% endif %}` (with optional `{% else %}`)
   *   - `{{ this }}` → temp view over the model's own current table
+  *   - `{% set %}` / `{% for %}` / general `{% if %}` / `{% do %}` control
+  *     flow via [[Jinja]] (the reference's generate_alias_name /
+  *     tblproperties_clause macro shapes)
   */
 object SqlTemplater {
 
@@ -71,13 +74,16 @@ object SqlTemplater {
       s.substring(1, s.length - 1)
     else s
 
-  private val ExprRe = """\{\{[^{}]*\}\}""".r
+  private val ExprRe = """\{\{[^{}]*\}\}|\{%[^{}]*%\}""".r
 
   /** Bind params into a macro body: standalone `{{ param }}` becomes the
-    * argument text; params referenced inside nested template expressions
-    * (e.g. a nested macro call's argument list) are replaced as whole-word
-    * tokens — mirroring Jinja, where parameter names only have meaning inside
-    * `{{ … }}` expressions, never in the surrounding SQL text. */
+    * argument text; params referenced inside nested template expressions or
+    * `{% %}` tags (e.g. a `{% set %}` right-hand side) are replaced as
+    * whole-word tokens — mirroring Jinja, where parameter names only have
+    * meaning inside template expressions, never in the surrounding SQL text.
+    * Because binding is textual, an argument that must stay a *string value*
+    * in an expression context is double-quoted at the call site
+    * (`m("'text'")`), while plain `m('sql text')` splices raw SQL. */
   private def bindParams(body: String, bound: Map[String, String]): String = {
     val standalone = ParamRe.replaceAllIn(body, pm =>
       scala.util.matching.Regex.quoteReplacement(bound.getOrElse(pm.group(1), pm.matched)))
@@ -123,7 +129,15 @@ object SqlTemplater {
     // macro-call expansion first: macro bodies may contain var()/ref() calls
     val expanded = expandMacros(stripped, ctx.macros)
 
-    var text = IncrRe.replaceAllIn(expanded, m =>
+    // control-flow interpretation ({% set %}/{% for %}/general {% if %}/
+    // {% do %} plus evaluable {{ … }} outputs); ref/source/this stay verbatim
+    // for the substitution passes below. `target.name` defaults to prod like
+    // the reference's profiles (var target_name overrides for dev runs).
+    val interpreted = Jinja.render(expanded, Jinja.Env(ctx.vars, ctx.isIncremental,
+      bindings = Map("target" -> Jinja.VMap(scala.collection.mutable.LinkedHashMap(
+        "name" -> Jinja.VStr(ctx.vars.getOrElse("target_name", "prod")))))))
+
+    var text = IncrRe.replaceAllIn(interpreted, m =>
       scala.util.matching.Regex.quoteReplacement(
         if (ctx.isIncremental) m.group(1) else Option(m.group(2)).getOrElse("")))
 

@@ -212,6 +212,54 @@ class RuntimeSpec extends SparkSpec {
       SqlTemplater.parseMacros("{% macro ref(x) %}{{ x }}{% endmacro %}"))
   }
 
+  test("jinja {% set %}/{% for %} dict guard selects alias (generate_alias_name shape)") {
+    // modeled on /root/reference/macros/generate_alias_name.sql:2-25: loop
+    // over a split var builds a dict guard, then target/membership if-logic
+    // with ternary + trim + ~ concat picks the emitted name. String-valued
+    // args are double-quoted at the call site (textual binding — see
+    // SqlTemplater.bindParams scaladoc).
+    val defs = SqlTemplater.parseMacros(
+      """{% macro alias_for(custom_alias_name, node_name, node_uid, node_schema) -%}
+        |{% set dev_override_all = true %}
+        |{% set dev_nodes_to_override = {} %}
+        |{% if var("dev_nodes_to_override", "") != "" %}
+        |    {% set dev_override_all = false %}
+        |    {% for t in var('dev_nodes_to_override', '').split(',') %}
+        |        {% do dev_nodes_to_override.update({t: 1}) %}
+        |    {% endfor %}
+        |{% endif %}
+        |{% set table_name = (custom_alias_name | trim) if custom_alias_name is not none else node_name %}
+        |{% if target.name != "prod" and (dev_override_all or node_uid in dev_nodes_to_override) %}
+        |{{ node_schema ~ "__" ~ table_name }}
+        |{% else %}
+        |{{ table_name }}
+        |{% endif %}
+        |{%- endmacro %}""".stripMargin)
+    def render(vars: Map[String, String]): String = {
+      val expanded = SqlTemplater.expandMacros(
+        """{{ alias_for("' orders_alias '", "'gold_orders'", "'model.gold_orders'", "'dev_gold'") }}""", defs)
+      Jinja.render(expanded, Jinja.Env(vars, isIncremental = false,
+        bindings = Map("target" -> Jinja.VMap(scala.collection.mutable.LinkedHashMap(
+          "name" -> Jinja.VStr(vars.getOrElse("target_name", "prod"))))))).trim
+    }
+    assert(render(Map.empty) == "orders_alias")                              // prod: plain alias
+    assert(render(Map("target_name" -> "dev")) == "dev_gold__orders_alias")  // dev: override-all
+    assert(render(Map("target_name" -> "dev",                                // dev: uid in loop-built guard
+      "dev_nodes_to_override" -> "model.other,model.gold_orders")) == "dev_gold__orders_alias")
+    assert(render(Map("target_name" -> "dev",                                // dev: guarded out
+      "dev_nodes_to_override" -> "model.other")) == "orders_alias")
+  }
+
+  test("jinja {% for k, v in dict.items() %} with loop.last comma control (tblproperties shape)") {
+    // modeled on /root/reference/macros/spark_adapter_patch/tblproperties_clause.sql:6-18
+    val out = Jinja.render(
+      """TBLPROPERTIES ({%- for prop, val in {'owner': 'gold', 'retention': "30'd"}.items() %}
+        |  '{{ prop }}'='{{ val | replace("'", "\\'") }}'{%- if not loop.last -%},{%- endif -%}
+        |{% endfor %} )""".stripMargin,
+      Jinja.Env(Map.empty, isIncremental = false))
+    assert(out.replaceAll("\\s+", " ") == "TBLPROPERTIES ( 'owner'='gold', 'retention'='30\\'d' )", out)
+  }
+
   test("global ORDER BY sink writes totally-ordered part files") {
     val ctx = freshCtx()
     val shuffled = spark.range(1000).select((($"id" * 937) % 1000).as("k"))
