@@ -98,7 +98,8 @@ object SparkEntry {
     "q68_funnel_rank" -> (TemplaterQueries.q68FunnelRank _),
     "q69_pivot" -> (AggQueries.q69Pivot _),
     "q70_window_ranks" -> (WindowQueries.q70WindowRanks _),
-    "q71_status_matrix" -> (TemplaterQueries.q71StatusMatrix _)
+    "q71_status_matrix" -> (TemplaterQueries.q71StatusMatrix _),
+    "q72_orders_wide" -> (GoldOrdersWide.q72OrdersWide _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -168,6 +169,7 @@ object SparkEntry {
     "q68_funnel_rank" -> TemplaterQueries.q68Oracle,
     "q69_pivot" -> AggQueries.q69Oracle,
     "q70_window_ranks" -> WindowQueries.q70Oracle,
-    "q71_status_matrix" -> TemplaterQueries.q71Oracle
+    "q71_status_matrix" -> TemplaterQueries.q71Oracle,
+    "q72_orders_wide" -> GoldOrdersWide.q72Oracle
   )
 }
