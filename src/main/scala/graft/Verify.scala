@@ -30,6 +30,33 @@ object Verify {
         e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
       }
     }
+    // dual-formulation gate for the no-oracle sketch queries: recompute each
+    // through its composable formulation, persist it for the driver, and on
+    // ANY divergence delete the primary output so the driver's check fails —
+    // these queries are machine-checkable even without a DuckDB oracle.
+    def rmDir(d: java.nio.file.Path): Unit =
+      if (Files.exists(d))
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+    AltFormulations.alt.foreach { case (name, fn) =>
+      val primaryDir = s"$outDir/$name"
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${name}__alt")
+        if (Files.exists(Paths.get(primaryDir))) {
+          val a = spark.read.parquet(primaryDir)
+          val b = spark.read.parquet(s"$outDir/${name}__alt")
+          val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+          if (diff != 0) {
+            System.err.println(s"[verify] $name DUAL-FORMULATION MISMATCH ($diff rows differ) — failing query")
+            rmDir(Paths.get(primaryDir))
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name alt formulation failed: $e — failing query")
+        rmDir(Paths.get(primaryDir))
+      }
+    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

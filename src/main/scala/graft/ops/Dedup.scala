@@ -70,15 +70,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Composable MinHash signature — the definitional formulation (k min-
+    * aggregates of xxhash64(i, shingle) over the exploded shingle relation).
+    * Kept as the dual-formulation gate for the native [[minhashLsh]] path:
+    * Verify runs the LSH pipeline over both signature sources and fails the
+    * query if they ever diverge. Docs with zero shingles drop out here; they
+    * also produce no verified pairs on the native path (no shared shingles),
+    * so the pipeline outputs still agree. */
+  private def minhashSigComposable(docs: DataFrame, idCol: String, textCol: String,
+                                   shingleSize: Int, numHashes: Int): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, shingleSize)
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** MinHash signatures + banded LSH candidate pairs, exact-Jaccard verified.
     *
     * @param maxBucketSize skew guard: LSH buckets larger than this (boiler-
     *   plate/degenerate shingles) are dropped rather than joined — at 100TB a
     *   single hot bucket would otherwise quadratically explode one task.
+    * @param composableSig use the definitional aggregate signature instead of
+    *   the native one-pass expression (dual-formulation gate; slower).
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+                 threshold: Double = 0.5, maxBucketSize: Int = 1000,
+                 composableSig: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sh = shingleSet(docs, idCol, textCol, shingleSize)
@@ -87,8 +105,10 @@ object Dedup {
     // min(xxhash64(lit(i), sh)) over exploded distinct shingles) — no k-hash
     // evals per exploded shingle row, no 32-column aggregate
     graft.functions.TextExpressions.register(docs.sparkSession)
-    val sig = docs.select(col(idCol).as("id"),
-      graft.functions.TextExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
+    val sig =
+      if (composableSig) minhashSigComposable(docs, idCol, textCol, shingleSize, numHashes)
+      else docs.select(col(idCol).as("id"),
+        graft.functions.TextExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
 
     val bandHashes = (0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rows).map(r => col("sig").getItem(b * rows + r))): _*)
@@ -149,17 +169,40 @@ object Dedup {
       graft.functions.TextExpressions.simhash64(col(textCol)).as("simhash"))
   }
 
+  /** Composable SimHash — the definitional formulation of [[SimHash64]]:
+    * explode tokens, xxhash64 each, 64 per-bit +1/-1 vote aggregates, sign →
+    * bit. Dual-formulation gate for the native path; docs with zero tokens
+    * get the native empty signature (0L) via the left join. */
+  private def simhashComposable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$j"))
+    val sigs = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+    docs.select(col(idCol).as("id")).join(sigs, Seq("id"), "left")
+      .select(col("id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   /** SimHash near-dup pairs: the 64-bit signature is split into
     * (maxHamming + 1) chunks, so by pigeonhole any pair within maxHamming
     * shares at least one chunk intact — candidate recall is guaranteed for
-    * the requested radius, then verified by popcount of xor. */
+    * the requested radius, then verified by popcount of xor.
+    *
+    * @param composableSig use the definitional 64-aggregate signature instead
+    *   of the native one-pass expression (dual-formulation gate; slower). */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, composableSig: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val nChunks = maxHamming + 1
     // chunk k covers bits [offsets(k), offsets(k+1)); widths differ by <=1 bit
     val offsets = (0 to nChunks).map(k => k * 64 / nChunks)
-    val sig = simhash(docs, idCol, textCol)
+    val sig =
+      if (composableSig) simhashComposable(docs, idCol, textCol)
+      else simhash(docs, idCol, textCol)
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { k =>
         val width = offsets(k + 1) - offsets(k)

@@ -19,8 +19,28 @@ object Similarity {
   /** Left-to-right double dot product of two float/double array columns,
     * backed by the codegen'd [[graft.functions.VecDot]] expression (register
     * per session; all public entry points below do). Identical results to the
-    * `aggregate(zip_with(...))` composition, ~10× less per-pair overhead. */
-  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
+    * `aggregate(zip_with(...))` composition, ~10× less per-pair overhead.
+    * Inside [[withComposableDot]] the definitional composition is built
+    * instead — the dual-formulation gate for every op in this file. */
+  def dot(a: Column, b: Column): Column =
+    if (composableDotFlag.get)
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    else graft.functions.VectorFunctions.vecDot(a, b)
+
+  private val composableDotFlag = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  /** Build the plans inside `f` with the composable `aggregate(zip_with(...))`
+    * dot product instead of the native VecDot expression. Same fold order,
+    * same double math — bit-identical results, ~10× slower per pair; only the
+    * dual-formulation Verify gate and specs should use it. (The flag guards
+    * driver-side Column CONSTRUCTION, so a thread-local is sound.) */
+  def withComposableDot[T](f: => T): T = {
+    composableDotFlag.set(true)
+    try f finally composableDotFlag.set(false)
+  }
 
   private def registered(df: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession); df

@@ -143,6 +143,15 @@ class NorthStarSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
   }
 
+  test("dual formulations: composable re-formulations match native outputs exactly") {
+    for ((name, fn) <- AltFormulations.alt) {
+      val primary = SparkEntry.queries(name)(spark, dir)
+      val alt = fn(spark, dir)
+      val diff = primary.exceptAll(alt).count() + alt.exceptAll(primary).count()
+      assert(diff == 0, s"$name diverges from its composable formulation by $diff rows")
+    }
+  }
+
   test("multimodal batch embed: one vector per media row, deterministic") {
     val media = Multimodal.packFromText(docs.limit(100), "doc_id", "text")
     val a = Multimodal.batchEmbed(media, batchSize = 16)

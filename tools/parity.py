@@ -98,15 +98,26 @@ def main():
         print(msg)
         if msg.startswith("FAIL"):
             fails += 1
-    # queries with no oracle: rows-only check
+    # queries with no oracle: rows-only check + dual-formulation compare
+    # (Verify writes <name>__alt for the composable re-formulation; the two
+    # must match exactly — this is their correctness gate)
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
-        if name in oracle or (only and name not in only):
+        if name in oracle or name.endswith("__alt") or (only and name not in only):
             continue
         files = glob.glob(f"{d}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-        print(f"{'OK  ' if n > 0 else 'FAIL'} {name}: rows-only, {n} rows")
-        if n == 0: fails += 1
+        alt_files = glob.glob(f"{out_dir}/{name}__alt/*.parquet")
+        if n == 0:
+            print(f"FAIL {name}: rows-only, 0 rows"); fails += 1
+        elif alt_files:
+            a = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            b = pd.concat([pd.read_parquet(f) for f in alt_files], ignore_index=True)
+            msg = cmp(f"{name} (vs alt formulation)", a, b)
+            print(msg)
+            if msg.startswith("FAIL"): fails += 1
+        else:
+            print(f"OK   {name}: rows-only, {n} rows")
     print(f"== {fails} failures")
     sys.exit(1 if fails else 0)
 
