@@ -109,9 +109,14 @@ final class DagRunner(models: Seq[Model]) {
     }
   }
 
+  /** Snapshot effective-timestamp: strictly from vars, never the wall clock —
+    * a Check-strategy SCD2 re-run must produce byte-identical history
+    * (reference runs pass start/end dates the same way, deploy.sh:17). */
   private def runTs(ctx: Ctx): Timestamp =
     ctx.vars.get("run_ts").map(Timestamp.valueOf)
-      .getOrElse(new Timestamp(System.currentTimeMillis()))
+      .orElse(ctx.vars.get("start_date_ymd").map(d => Timestamp.valueOf(s"$d 00:00:00")))
+      .getOrElse(throw new IllegalArgumentException(
+        "snapshot models need var 'run_ts' or 'start_date_ymd' for deterministic SCD2 effective timestamps"))
 
   def materialize(ctx: Ctx, m: Model, fullRefresh: Boolean = false): Unit =
     m.materialization match {

@@ -54,23 +54,42 @@ object Streaming {
   /** Custom streaming state via mapGroupsWithState: per-user running event
     * count + first-seen timestamp, emitted as an update stream — the
     * arbitrary-stateful-processing shape (e.g. online feature aggregation)
-    * that windows can't express. */
-  def statefulUserCounts(events: DataFrame): DataFrame = {
+    * that windows can't express.
+    *
+    * @param stateTtl idle-key state TTL (processing-time timeout): a key
+    *   idle past the TTL is dropped (its final state emitted) and starts
+    *   fresh on its next event. On an unbounded key space `None` keeps
+    *   per-user state forever — the classic state leak — so real deployments
+    *   should set a TTL. It stays opt-in because processing-time timers make
+    *   Spark schedule batches indefinitely, so `processAllAvailable`-style
+    *   synchronization (this repo's bounded smoke harness) never settles
+    *   under a TTL. */
+  def statefulUserCounts(events: DataFrame,
+                         stateTtl: Option[String] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    val timeout = stateTtl.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events.select(col("user_id").as[Long], col("ts_ns").as[Long])
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(timeout) {
         (user: Long, rows: Iterator[(Long, Long)],
          state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
-          val batch = rows.toSeq
-          val (prevN, prevFirst) =
-            state.getOption.getOrElse((0L, Long.MaxValue))
-          val next = (prevN + batch.size, math.min(prevFirst, batch.map(_._2).min))
-          state.update(next)
-          (user, next._1, next._2)
+          if (state.hasTimedOut) {
+            val expired = state.get
+            state.remove()
+            (user, expired._1, expired._2)
+          } else {
+            val batch = rows.toSeq
+            val (prevN, prevFirst) =
+              state.getOption.getOrElse((0L, Long.MaxValue))
+            val next = (prevN + batch.size, math.min(prevFirst, batch.map(_._2).min))
+            state.update(next)
+            stateTtl.foreach(state.setTimeoutDuration)
+            (user, next._1, next._2)
+          }
       }
       .toDF("user_id", "n_events", "first_ts_ns")
   }

@@ -260,6 +260,53 @@ class RuntimeSpec extends SparkSpec {
     assert(out.replaceAll("\\s+", " ") == "TBLPROPERTIES ( 'owner'='gold', 'retention'='30\\'d' )", out)
   }
 
+  test("run report + jobs graph artifacts round-trip statuses, timings, tag slices") {
+    val ctx = freshCtx(vars = Map("start_date_ymd" -> "2001-06-01"))
+    val models = Seq(
+      Model("m_gold", _ => Seq(1).toDF("v"), tags = Set("gold")),
+      Model("m_plat", _ => Seq(1).toDF("v"), deps = Seq("m_gold"), tags = Set("platform")),
+      Model("m_bad", _ => throw new RuntimeException("boom")),
+      Model("m_skip", _ => Seq(1).toDF("v"), deps = Seq("m_bad")))
+    val results = new DagRunner(models).run(ctx)
+    val target = java.nio.file.Files.createTempDirectory("graft_target")
+    val schedules = Seq(
+      RunReport.DagSchedule("gold", Set("gold"), sloHour = 8),
+      RunReport.DagSchedule("platform", Set("platform")))
+    RunReport.write(target, results, ctx.vars, models, schedules)
+
+    val rrJson = java.nio.file.Files.readString(target.resolve("run_results.json"))
+    val (parsed, elapsed) = RunReport.readRunResults(rrJson)
+    assert(parsed("m_gold")._1 == "success" && parsed("m_gold")._2.exists(_ >= 0))
+    assert(parsed("m_plat")._1 == "success")
+    assert(parsed("m_bad")._1 == "error" && parsed("m_bad")._3.exists(_.contains("boom")))
+    assert(parsed("m_skip")._1 == "skipped")
+    assert(elapsed >= 0)
+
+    val slices = RunReport.readDagSlices(
+      java.nio.file.Files.readString(target.resolve("jobs_graph.json")))
+    assert(slices("gold") == Seq("m_gold"))
+    assert(slices("platform") == Seq("m_plat"))
+    assert(slices("default") == Seq("m_bad", "m_skip")) // unscheduled tags → default DAG
+
+    // same results + vars → byte-identical artifact (no wall-clock leakage)
+    RunReport.write(target, results, ctx.vars, models, schedules)
+    assert(java.nio.file.Files.readString(target.resolve("run_results.json")) == rrJson)
+  }
+
+  test("snapshot runTs requires deterministic vars (no wall-clock fallback)") {
+    val ctx = freshCtx() // neither run_ts nor start_date_ymd
+    val snap = Model("snap_strict", _ => Seq((1, "a")).toDF("_id", "v"),
+      Materialization.Snapshot("_id", Scd2Strategy.Check(Nil)))
+    val status = new DagRunner(Seq(snap)).run(ctx).toMap.apply("snap_strict")
+    status match {
+      case RunStatus.Failed(msg) => assert(msg.contains("run_ts"), msg)
+      case other => fail(s"expected Failed, got $other")
+    }
+    val ok = new DagRunner(Seq(snap)).run(
+      freshCtx(vars = Map("start_date_ymd" -> "2001-06-01"))).toMap.apply("snap_strict")
+    assert(ok.isInstanceOf[RunStatus.Success], ok.toString)
+  }
+
   test("global ORDER BY sink writes totally-ordered part files") {
     val ctx = freshCtx()
     val shuffled = spark.range(1000).select((($"id" * 937) % 1000).as("k"))

@@ -28,6 +28,10 @@ class StreamingSpec extends SparkSpec {
 
   test("mapGroupsWithState running counts match batch aggregates") {
     val out = Streaming.statefulUserCounts(Streaming.eventsStream(spark, dir))
+    runStatefulAssertions(out)
+  }
+
+  private def runStatefulAssertions(out: org.apache.spark.sql.DataFrame): Unit = {
     val q = out.writeStream.outputMode("update")
       .format("memory").queryName("state_out").start()
     try q.processAllAvailable() finally q.stop()
@@ -41,6 +45,33 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), min($"ts_ns").as("f"))
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expected)
+  }
+
+  test("stateful counts TTL expires idle keys; fresh state after expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val out = Streaming.statefulUserCounts(
+      in.toDF().toDF("user_id", "ts_ns"), stateTtl = Some("1 milliseconds"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("ttl_out").start()
+    // processing-time timers schedule batches forever, so processAllAvailable
+    // never settles under a TTL — poll the sink instead
+    def rows = spark.table("ttl_out").as[(Long, Long, Long)].collect().toSeq
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, rows.toString)
+    }
+    try {
+      in.addData((1L, 100L))
+      await(rows.contains((1L, 1L, 100L)))
+      Thread.sleep(500) // let key 1's 1ms TTL lapse; timer batches fire it
+      in.addData((1L, 300L)) // key 1 must restart fresh, not resume at n=2
+      await(rows.contains((1L, 1L, 300L)))
+      // the state really was dropped, not carried (no (1, 2, _) row anywhere)
+      assert(!rows.exists(r => r._1 == 1L && r._2 == 2L), rows.toString)
+    } finally q.stop()
   }
 
   test("streaming exact dedup keeps exactly one row per batch content group") {
