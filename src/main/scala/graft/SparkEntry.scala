@@ -99,7 +99,9 @@ object SparkEntry {
     "q69_pivot" -> (AggQueries.q69Pivot _),
     "q70_window_ranks" -> (WindowQueries.q70WindowRanks _),
     "q71_status_matrix" -> (TemplaterQueries.q71StatusMatrix _),
-    "q72_orders_wide" -> (GoldOrdersWide.q72OrdersWide _)
+    "q72_orders_wide" -> (GoldOrdersWide.q72OrdersWide _),
+    // round 5: MERGE-equivalent bucket-pruned snapshot
+    "q73_scd2_bucketed" -> (Scd2Queries.q73Scd2Bucketed _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +172,7 @@ object SparkEntry {
     "q69_pivot" -> AggQueries.q69Oracle,
     "q70_window_ranks" -> WindowQueries.q70Oracle,
     "q71_status_matrix" -> TemplaterQueries.q71Oracle,
-    "q72_orders_wide" -> GoldOrdersWide.q72Oracle
+    "q72_orders_wide" -> GoldOrdersWide.q72Oracle,
+    "q73_scd2_bucketed" -> Scd2Queries.q73Oracle
   )
 }

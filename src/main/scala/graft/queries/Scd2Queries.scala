@@ -89,6 +89,65 @@ object Scd2Queries {
       coalesce(date_format(col("dbt_valid_to"), "yyyy-MM-dd"), lit("open")).as("valid_to"))
   }
 
+  /** Bucket-pruned SCD2 snapshot on the oracle gate: two snapshotBucketed
+    * runs (timestamp strategy + invalidate_hard_deletes, the parquet
+    * equivalent of the reference's delta MERGE snapshots —
+    * macros/spark_adapter_patch/create_table.sql:29-34) where run 2 excludes
+    * the BUILDING segment, hard-deleting those customers. The resulting
+    * history must be identical to what a full-table rewrite produces, which
+    * is what the closed-form DuckDB oracle reconstructs; only buckets holding
+    * changed/new/deleted keys were rewritten along the way. */
+  def q73Scd2Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2bkt").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
+    val orders = Tables(spark, dir, "orders")
+    val building = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val strat = Scd2Strategy.Timestamp("updated_at")
+    Scd2.snapshotBucketed(ctx, "cust_scd2b", stateAsOf(orders, Some("1998-01-01")),
+      "_id", strat, invalidateHardDeletes = true,
+      Timestamp.valueOf("1998-01-02 00:00:00"), numBuckets = 16)
+    val nonBuilding = orders.join(building, col("o_custkey") === col("c_custkey"), "left_anti")
+    Scd2.snapshotBucketed(ctx, "cust_scd2b", stateAsOf(nonBuilding, None),
+      "_id", strat, invalidateHardDeletes = true,
+      Timestamp.valueOf("2002-01-01 00:00:00"), numBuckets = 16)
+    ctx.ref("cust_scd2b").select(
+      col("_id"), col("status"), col("last_price"),
+      date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
+      date_format(col("dbt_valid_from"), "yyyy-MM-dd").as("valid_from"),
+      coalesce(date_format(col("dbt_valid_to"), "yyyy-MM-dd"), lit("open")).as("valid_to"))
+  }
+
+  val q73Oracle: String =
+    """WITH keyed AS (
+      |  SELECT o_custkey, o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS od,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |      * 10000000000 + o_orderkey AS k
+      |  FROM orders),
+      |v1 AS (
+      |  SELECT o_custkey AS _id, arg_max(o_orderstatus, k) AS status,
+      |    arg_max(o_totalprice, k) AS last_price, MAX(od) AS updated_at
+      |  FROM keyed WHERE od <= DATE '1998-01-01' GROUP BY 1),
+      |v2 AS (
+      |  SELECT o_custkey AS _id, arg_max(o_orderstatus, k) AS status,
+      |    arg_max(o_totalprice, k) AS last_price, MAX(od) AS updated_at
+      |  FROM keyed JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment <> 'BUILDING' GROUP BY 1)
+      |SELECT v1._id, v1.status, v1.last_price,
+      |  strftime(v1.updated_at, '%Y-%m-%d') AS updated_at,
+      |  strftime(v1.updated_at, '%Y-%m-%d') AS valid_from,
+      |  CASE WHEN v2._id IS NULL THEN '2002-01-01'
+      |       WHEN v2.updated_at > v1.updated_at
+      |       THEN strftime(v2.updated_at, '%Y-%m-%d') ELSE 'open' END AS valid_to
+      |FROM v1 LEFT JOIN v2 ON v1._id = v2._id
+      |UNION ALL
+      |SELECT v2._id, v2.status, v2.last_price,
+      |  strftime(v2.updated_at, '%Y-%m-%d') AS updated_at,
+      |  strftime(v2.updated_at, '%Y-%m-%d') AS valid_from,
+      |  'open' AS valid_to
+      |FROM v2 LEFT JOIN v1 ON v1._id = v2._id
+      |WHERE v1._id IS NULL OR v2.updated_at > v1.updated_at""".stripMargin
+
   val q60Oracle: String =
     """WITH keyed AS (
       |  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS od,

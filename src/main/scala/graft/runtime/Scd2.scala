@@ -1,7 +1,7 @@
 package graft.runtime
 
 import java.sql.Timestamp
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SCD2 snapshot materialization — dbt snapshot semantics rebuilt Spark-first
@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * Requirement (same as dbt): `staged` must be unique per `uniqueKey`.
   */
 object Scd2 {
+
+  /** Version-change predicate between the previously-open row (`o.*`) and the
+    * staged row (`n.*`) — shared by the full-rewrite and bucket-pruned paths. */
+  private def changedPredicate(strategy: Scd2Strategy, payloadCols: Seq[String],
+                               uniqueKey: String): Column = strategy match {
+    case Scd2Strategy.Timestamp(updatedAt) =>
+      col(s"n.$updatedAt").cast("timestamp") > col(s"o.$updatedAt").cast("timestamp")
+    case Scd2Strategy.Check(checkCols) =>
+      val cols = if (checkCols.nonEmpty) checkCols
+                 else payloadCols.filterNot(_ == uniqueKey)
+      cols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+  }
 
   def snapshot(ctx: Ctx, name: String, staged: DataFrame, uniqueKey: String,
                strategy: Scd2Strategy, invalidateHardDeletes: Boolean,
@@ -46,14 +58,7 @@ object Scd2 {
     val open = existing.filter(col("dbt_valid_to").isNull).alias("o")
     val fresh = staged.alias("n")
 
-    val changed = strategy match {
-      case Scd2Strategy.Timestamp(updatedAt) =>
-        col(s"n.$updatedAt").cast("timestamp") > col(s"o.$updatedAt").cast("timestamp")
-      case Scd2Strategy.Check(checkCols) =>
-        val cols = if (checkCols.nonEmpty) checkCols
-                   else payloadCols.filterNot(_ == uniqueKey)
-        cols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
-    }
+    val changed = changedPredicate(strategy, payloadCols, uniqueKey)
 
     val j = open.join(fresh, col(s"o.$uniqueKey") === col(s"n.$uniqueKey"), "full_outer")
     val oPresent = col(s"o.$uniqueKey").isNotNull
@@ -82,5 +87,97 @@ object Scd2 {
     // replaceTable stages to a tmp dir first, so reading the old files while
     // writing the new version is safe; the swap happens after the write.
     wh.replaceTable(name, result)
+  }
+
+  /** Internal bucket partition column of bucketed snapshot tables. */
+  val BucketCol = "scd_bucket"
+
+  /** Bucket-pruned SCD2 snapshot — the parquet answer to Delta's MERGE file
+    * pruning (reference: 137 delta-format models; snapshots go through
+    * `macros/spark_adapter_patch/create_table.sql:29-34` `create or replace` /
+    * MERGE on delta). The plain [[snapshot]] rewrites the WHOLE table every
+    * run; at 100 TB of history that is the dominant cost even when one key
+    * changed. Here the table is partitioned by `scd_bucket =
+    * pmod(xxhash64(unique_key), numBuckets)`, and a run rewrites ONLY the
+    * bucket partitions that contain a new, changed, or hard-deleted key —
+    * history in every other bucket is never read for payload nor rewritten
+    * (same contract as MERGE touching only files with matched rowgroups).
+    *
+    * The touched-bucket set is collected to the driver — ≤ numBuckets ints,
+    * metadata-scale like a dynamic-partition listing — so the literal `IN`
+    * filter static-prunes the existing-table scan for pass-through rows.
+    * An increment that changes nothing provably writes nothing.
+    *
+    * Semantics (history rows produced) are IDENTICAL to [[snapshot]]; a spec
+    * asserts both paths emit the same history and that untouched bucket
+    * directories' files are byte-identical after a run.
+    */
+  def snapshotBucketed(ctx: Ctx, name: String, staged: DataFrame, uniqueKey: String,
+                       strategy: Scd2Strategy, invalidateHardDeletes: Boolean,
+                       runTs: Timestamp, numBuckets: Int = 32): Unit = {
+    val wh = ctx.warehouse
+    val payloadCols = staged.columns.toSeq
+    require(!payloadCols.contains(BucketCol),
+      s"staged frame may not carry reserved column $BucketCol")
+    def bucketOf(key: Column): Column = pmod(xxhash64(key), lit(numBuckets)).cast("int")
+
+    def validFrom(prefix: String) = strategy match {
+      case Scd2Strategy.Timestamp(updatedAt) => col(s"$prefix.$updatedAt").cast("timestamp")
+      case Scd2Strategy.Check(_) => lit(runTs)
+    }
+
+    if (!wh.tableExists(name)) {
+      wh.createTable(name, staged
+        .withColumn("dbt_valid_from", strategy match {
+          case Scd2Strategy.Timestamp(u) => col(u).cast("timestamp")
+          case Scd2Strategy.Check(_) => lit(runTs)
+        })
+        .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+        .withColumn(BucketCol, bucketOf(col(uniqueKey))),
+        partitionBy = Seq(BucketCol))
+      return
+    }
+
+    val existing = wh.read(name)
+    val open = existing.filter(col("dbt_valid_to").isNull).alias("o")
+    val fresh = staged.alias("n")
+    val changed = changedPredicate(strategy, payloadCols, uniqueKey)
+    val j = open.join(fresh, col(s"o.$uniqueKey") === col(s"n.$uniqueKey"), "full_outer")
+    val oPresent = col(s"o.$uniqueKey").isNotNull
+    val nPresent = col(s"n.$uniqueKey").isNotNull
+
+    // a bucket needs rewriting iff it holds a new key, a changed key, or
+    // (when invalidating) a hard-deleted key. Catalyst column-prunes this
+    // aggregate's scan down to the key + compare columns.
+    val touches = (nPresent && (!oPresent || changed)) ||
+      (oPresent && !nPresent && lit(invalidateHardDeletes))
+    val touched: Seq[Int] = j.filter(touches)
+      .select(bucketOf(coalesce(col(s"n.$uniqueKey"), col(s"o.$uniqueKey"))).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+
+    def side(prefix: String, from: Column, to: Column) =
+      payloadCols.map(c => col(s"$prefix.$c").as(c)) :+ from.as("dbt_valid_from") :+
+        to.as("dbt_valid_to")
+
+    val keepOrClose = j.filter(oPresent).select(side("o",
+      col("o.dbt_valid_from"),
+      when(nPresent && changed, validFrom("n"))
+        .when(!nPresent && lit(invalidateHardDeletes), lit(runTs))
+        .otherwise(lit(null).cast("timestamp"))): _*)
+    val opened = j.filter(nPresent && (!oPresent || changed))
+      .select(side("n", validFrom("n"), lit(null).cast("timestamp")): _*)
+    // closed history only inside rewritten buckets rides along; the literal
+    // IN over the partition column static-prunes this scan.
+    val closedTouched = existing.filter(col("dbt_valid_to").isNotNull)
+      .filter(col(BucketCol).isin(touched: _*))
+      .select((payloadCols ++ Seq("dbt_valid_from", "dbt_valid_to")).map(col): _*)
+
+    val result = closedTouched
+      .unionByName(keepOrClose)
+      .unionByName(opened)
+      .withColumn(BucketCol, bucketOf(col(uniqueKey)))
+      .filter(col(BucketCol).isin(touched: _*))
+    wh.insertOverwritePartitions(name, result, Seq(BucketCol), OnSchemaChange.Ignore)
   }
 }

@@ -80,6 +80,69 @@ class Scd2Spec extends SparkSpec {
     assert(history(ctx, t).size == 5)
   }
 
+  test("bucketed snapshot: MERGE-equivalent bucket pruning + parity with full rewrite") {
+    val ctx = freshCtx()
+    val t = "scd2_bkt"
+    val strat = Scd2Strategy.Timestamp("updated_at")
+    def snapB(df: DataFrame, runTs: String): Unit =
+      Scd2.snapshotBucketed(ctx, t, df, "_id", strat,
+        invalidateHardDeletes = true, ts(runTs), numBuckets = 8)
+    def bucketFiles(): Map[String, Set[String]] = {
+      val dir = new java.io.File(ctx.warehouse.tablePath(t))
+      dir.listFiles().filter(d => d.isDirectory && d.getName.startsWith(Scd2.BucketCol))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    def bucketOfKey(k: String): String = {
+      val b = ctx.ref(t).filter($"_id" === k)
+        .select(org.apache.spark.sql.functions.col(Scd2.BucketCol))
+        .distinct().as[Int].collect()
+      assert(b.length == 1); s"${Scd2.BucketCol}=${b.head}"
+    }
+
+    val day1 = Seq(
+      ("k1", "a", ts("2024-01-01 00:00:00")), ("k2", "b", ts("2024-01-01 00:00:00")),
+      ("k3", "c", ts("2024-01-01 00:00:00")), ("k4", "d", ts("2024-01-01 00:00:00")))
+      .toDF("_id", "payload", "updated_at")
+    snapB(day1, "2024-01-01 12:00:00")
+    assert(history(ctx, t).size == 4)
+    val afterDay1 = bucketFiles()
+
+    // no-op increment: identical staged frame provably writes nothing
+    snapB(day1, "2024-01-02 00:00:00")
+    assert(bucketFiles() == afterDay1, "no-op run must not rewrite any bucket")
+
+    // k1 changes alone: only k1's bucket partition is rewritten
+    val day2 = Seq(
+      ("k1", "a2", ts("2024-01-03 00:00:00")), ("k2", "b", ts("2024-01-01 00:00:00")),
+      ("k3", "c", ts("2024-01-01 00:00:00")), ("k4", "d", ts("2024-01-01 00:00:00")))
+      .toDF("_id", "payload", "updated_at")
+    snapB(day2, "2024-01-03 12:00:00")
+    val afterDay2 = bucketFiles()
+    val k1b = bucketOfKey("k1")
+    for ((b, files) <- afterDay1 if b != k1b)
+      assert(afterDay2(b) == files, s"untouched bucket $b was rewritten")
+    assert(afterDay2(k1b) != afterDay1(k1b))
+
+    // k4 hard-deleted alone: only k4's bucket partition is rewritten
+    val k4b = bucketOfKey("k4")
+    val day3 = day2.filter($"_id" =!= "k4")
+    snapB(day3, "2024-01-04 12:00:00")
+    val afterDay3 = bucketFiles()
+    for ((b, files) <- afterDay2 if b != k4b)
+      assert(afterDay3(b) == files, s"untouched bucket $b was rewritten on hard delete")
+    assert(history(ctx, t).contains(("k4", "d", "2024-01-01 00:00:00", "2024-01-04 12:00:00")))
+
+    // parity: the full-rewrite path over the same staged sequence emits the
+    // exact same history rows
+    val ctx2 = freshCtx()
+    Scd2.snapshot(ctx2, "scd2_full", day1, "_id", strat, true, ts("2024-01-01 12:00:00"))
+    Scd2.snapshot(ctx2, "scd2_full", day1, "_id", strat, true, ts("2024-01-02 00:00:00"))
+    Scd2.snapshot(ctx2, "scd2_full", day2, "_id", strat, true, ts("2024-01-03 12:00:00"))
+    Scd2.snapshot(ctx2, "scd2_full", day3, "_id", strat, true, ts("2024-01-04 12:00:00"))
+    assert(history(ctx, t) == history(ctx2, "scd2_full"))
+  }
+
   test("check strategy on all columns: change detection without updated_at") {
     val ctx = freshCtx()
     val t = "scd2_check"
