@@ -100,8 +100,10 @@ object SparkEntry {
     "q70_window_ranks" -> (WindowQueries.q70WindowRanks _),
     "q71_status_matrix" -> (TemplaterQueries.q71StatusMatrix _),
     "q72_orders_wide" -> (GoldOrdersWide.q72OrdersWide _),
-    // round 5: MERGE-equivalent bucket-pruned snapshot
-    "q73_scd2_bucketed" -> (Scd2Queries.q73Scd2Bucketed _)
+    // round 5: MERGE-equivalent bucket-pruned snapshot; dup-group closure
+    "q73_scd2_bucketed" -> (Scd2Queries.q73Scd2Bucketed _),
+    "q74_campaign_funnels" -> (CampaignFunnels.q74CampaignFunnels _),
+    "q75_dup_groups" -> (NorthStarQueries.q75DupGroups _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,6 +175,8 @@ object SparkEntry {
     "q70_window_ranks" -> WindowQueries.q70Oracle,
     "q71_status_matrix" -> TemplaterQueries.q71Oracle,
     "q72_orders_wide" -> GoldOrdersWide.q72Oracle,
-    "q73_scd2_bucketed" -> Scd2Queries.q73Oracle
+    "q73_scd2_bucketed" -> Scd2Queries.q73Oracle,
+    "q74_campaign_funnels" -> CampaignFunnels.q74Oracle,
+    "q75_dup_groups" -> NorthStarQueries.q75Oracle
   )
 }

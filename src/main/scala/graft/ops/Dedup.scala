@@ -160,6 +160,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Transitive closure of near-dup pairs into duplicate GROUPS — the step
+    * every real dedup pipeline needs after pair generation: near-dup is not
+    * transitive, but the keep/drop decision is made per connected component
+    * (keep the canonical doc, drop the rest). Reference analogue: the
+    * signature-grouping in onfy_product_analogues groups by an equality key;
+    * for near-dup pairs the group is the component of the similarity graph.
+    *
+    * Pure-DataFrame iterative min-label propagation: each round every node
+    * takes the minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup components are shallow (dup
+    * clusters, not social graphs), so the diameter is small; each round is
+    * one equi-join + partial-aggregated groupBy on the node id — no driver
+    * data, no quadratic term. `localCheckpoint` truncates the growing plan
+    * lineage each round (the classic iterative-DataFrame trap). For
+    * adversarially long chains the published O(log n) alternative is
+    * two-phase large-star/small-star (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond").
+    *
+    * @param pairs near-dup pairs with columns `id_a`, `id_b` (any numeric/
+    *   string orderable id type)
+    * @return one row per id appearing in `pairs`: (id, group_id) where
+    *   group_id = MIN(id) over its component
+    */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_label"))
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = merged.filter(col("next_label") < col("label")).count()
+      labels = merged.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    require(changed == 0, s"dupGroups did not converge in $maxIter iterations")
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   /** 64-bit SimHash signature per document — native single-pass expression
     * (graft.functions.SimHash64); bit votes use the same xxhash64(token)
     * values as the composable explode + 64-aggregate formulation. */

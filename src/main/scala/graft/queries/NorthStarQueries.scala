@@ -59,6 +59,43 @@ object NorthStarQueries {
       |FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
       |WHERE ns::DOUBLE / (x.n + y.n - ns) >= 0.5""".stripMargin
 
+  /** Dup-GROUP closure over the exact near-dup pairs: connected components
+    * of the q32 similarity graph via iterative min-label propagation
+    * (Dedup.dupGroups), each doc labeled with its component's min doc_id —
+    * the keep/drop decision unit of a real dedup pipeline. Oracle: DuckDB
+    * WITH RECURSIVE transitive closure over the identical pair list. */
+  def q75DupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(Tables(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    Dedup.dupGroups(pairs)
+      .select(col("id").as("doc_id"), col("group_id"))
+  }
+
+  val q75Oracle: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |w AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+      |  WHERE ws[i] <> '' AND ws[i+1] <> '' AND ws[i+2] <> ''),
+      |s AS (SELECT DISTINCT doc_id, sh FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ns
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+      |  WHERE ns::DOUBLE / (x.n + y.n - ns) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |walk AS (
+      |  SELECT src AS id, src AS reach FROM edges
+      |  UNION
+      |  SELECT wk.id, e.dst FROM walk wk JOIN edges e ON wk.reach = e.src)
+      |SELECT id AS doc_id, MIN(reach) AS group_id FROM walk GROUP BY id""".stripMargin
+
   /** MinHash+LSH near-dup pairs (no oracle: xxhash sketches). */
   def q33MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables(spark, dir, "documents"), "doc_id", "text",

@@ -70,4 +70,31 @@ object OpsProperties extends Properties("graft.ops") {
       }
       got == expected
   }
+
+  private val edgeGen = Gen.listOfN(20, for {
+    a <- Gen.choose(0L, 15L)
+    b <- Gen.choose(0L, 15L)
+    if a != b
+  } yield (math.min(a, b), math.max(a, b)))
+
+  property("dupGroups == naive union-find components") = forAll(edgeGen) { edges0 =>
+    import spark.implicits._
+    val edges = if (edges0.nonEmpty) edges0 else List((0L, 1L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    // naive union-find over the same edges (smaller root wins, so the final
+    // root of every component is its minimum element)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    got == expected
+  }
 }

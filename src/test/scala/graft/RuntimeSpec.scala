@@ -127,6 +127,43 @@ class RuntimeSpec extends SparkSpec {
     assert(res == Map("dup_check" -> false, "null_check" -> true))
   }
 
+  test("generic tests: unique / not_null / accepted_values / relationships") {
+    val ctx = freshCtx()
+    Seeds.loadRows(ctx, "children",
+      Seq("id", "parent_id", "status"),
+      Seq(Seq("1", "10", "open"), Seq("2", "10", "closed"),
+        Seq("2", "11", "open"), Seq("3", "", "weird"), Seq("4", "99", "open")))
+    Seeds.loadRows(ctx, "parents",
+      Seq("pid"), Seq(Seq("10"), Seq("11")))
+
+    val res = SingularTests.run(ctx, Seq(
+      GenericTests.unique("children", "id"),              // id=2 twice -> fail
+      GenericTests.unique("children", "status"),          // open x3 -> fail
+      GenericTests.notNull("children", "id"),             // pass
+      GenericTests.notNull("children", "parent_id"),      // one null -> fail
+      GenericTests.acceptedValues("children", "status",
+        Seq("open", "closed")),                           // 'weird' -> fail
+      GenericTests.relationships("children", "parent_id", "parents", "pid")
+    )).map(r => r.name -> r.passed).toMap
+
+    assert(res == Map(
+      "children_id_unique" -> false,
+      "children_status_unique" -> false,
+      "children_id_not_null" -> true,
+      "children_parent_id_not_null" -> false,
+      "children_status_accepted_values" -> false,
+      "children_parent_id_relationships_parents" -> false)) // 99 missing
+
+    // widened value set passes; NULL parent_id passes relationships
+    // (dbt semantics: pair with not_null), only 99 offends
+    val pass = SingularTests.run(ctx, Seq(
+      GenericTests.acceptedValues("children", "status", Seq("open", "closed", "weird"))))
+    assert(pass.head.passed)
+    val rel = SingularTests.run(ctx, Seq(
+      GenericTests.relationships("children", "parent_id", "parents", "pid")))
+    assert(rel.head.offendingRows == 1)
+  }
+
   test("sql templater strips config blocks and jinja comments") {
     val ctx = freshCtx()
     val model = SqlTemplater.sqlModel("cfg_model",
