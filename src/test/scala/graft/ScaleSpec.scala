@@ -70,6 +70,30 @@ class ScaleSpec extends SparkSpec {
       s"expected tiled equi-join, got:\n$plan")
   }
 
+  test("q74 funnel model plans every window join as an equi-join, never a cartesian") {
+    // the time-window predicates must ride as filters on device/product
+    // equi-joins — a BNLJ on any funnel hop is the O(n²) failure mode at scale
+    val ctx = freshCtx(vars = Map("start_date_ymd" -> "2024-01-25"))
+    val df = SqlTemplater.runSql(ctx, "campaign_funnels_plan",
+      graft.queries.CampaignFunnels.modelSql)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"expected equi-joins with range filters, got:\n$plan")
+  }
+
+  test("q75 dup-group propagation joins stay equi-shaped and converge") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (3L, 7L))
+      .toDF("id_a", "id_b")
+    val groups = graft.ops.Dedup.dupGroups(pairs)
+    val plan = groups.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // {1,2,3,5,6,7} chain collapses to min 1; {10,11} to 10
+    val got = groups.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("salted skew join returns the same rows as a plain join") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
