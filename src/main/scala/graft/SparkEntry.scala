@@ -103,7 +103,11 @@ object SparkEntry {
     // round 5: MERGE-equivalent bucket-pruned snapshot; dup-group closure
     "q73_scd2_bucketed" -> (Scd2Queries.q73Scd2Bucketed _),
     "q74_campaign_funnels" -> (CampaignFunnels.q74CampaignFunnels _),
-    "q75_dup_groups" -> (NorthStarQueries.q75DupGroups _)
+    "q75_dup_groups" -> (NorthStarQueries.q75DupGroups _),
+    // round 5 cont.: Delta-MERGE-parity upsert; deterministic split; for-loop templating
+    "q76_incremental_merge" -> (MergeQueries.q76IncrementalMerge _),
+    "q77_train_split" -> (NorthStarQueries.q77TrainSplit _),
+    "q78_event_matrix" -> (TemplaterQueries.q78EventMatrix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -177,6 +181,9 @@ object SparkEntry {
     "q72_orders_wide" -> GoldOrdersWide.q72Oracle,
     "q73_scd2_bucketed" -> Scd2Queries.q73Oracle,
     "q74_campaign_funnels" -> CampaignFunnels.q74Oracle,
-    "q75_dup_groups" -> NorthStarQueries.q75Oracle
+    "q75_dup_groups" -> NorthStarQueries.q75Oracle,
+    "q76_incremental_merge" -> MergeQueries.q76Oracle,
+    "q77_train_split" -> NorthStarQueries.q77Oracle,
+    "q78_event_matrix" -> TemplaterQueries.q78Oracle
   )
 }

@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // extra args = run only these queries (local iteration; driver passes 2)
+    val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,7 +40,7 @@ object Verify {
       if (Files.exists(d))
         Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => Files.delete(p))
-    AltFormulations.alt.foreach { case (name, fn) =>
+    AltFormulations.alt.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val primaryDir = s"$outDir/$name"
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${name}__alt")

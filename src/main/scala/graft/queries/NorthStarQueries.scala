@@ -234,4 +234,22 @@ object NorthStarQueries {
       |  CAST(SUM(ascii(substring(text, 1, 1))) AS BIGINT) AS sum_first_byte,
       |  CAST(SUM(doc_id % 30 + 1) AS BIGINT) AS total_frames
       |FROM documents GROUP BY 1""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test split over the corpus
+    * ([[graft.ops.Sampling]]): a narrow, shuffle-free projection whose
+    * membership is a pure function of doc_id — reproducible across re-runs,
+    * engines, and cluster layouts, which `rand()`-based splits are not. The
+    * DuckDB oracle recomputes the same md5-prefix buckets, proving the
+    * portability claim bit-for-bit. */
+  def q77TrainSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSplit(
+      Tables(spark, dir, "documents").select(col("doc_id")), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
+  val q77Oracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
 }

@@ -329,4 +329,47 @@ object TemplaterQueries {
       |    lpad(CAST(TRUNC(dur_h) AS INT)::VARCHAR, 2, '0'),
       |    lpad(CAST(TRUNC((dur_h % 1) * 60) AS INT)::VARCHAR, 2, '0')) AS session_duration_hhmm
       |FROM agg""".stripMargin
+
+  /** `{% set %}` + `{% for %}` generating a per-event-type column block from
+    * a var-driven list — the loop archetype the reference's Jinja macros use
+    * (reference: macros/generate_alias_name.sql:7 and
+    * macros/get_custom_schema.sql:7 loop over `var(...).split(',')`), here
+    * CORRECTNESS-gated: the oracle hand-expands the loop, so a templater
+    * regression in loop order, loop scoping, or `{{ t }}` substitution
+    * hash-mismatches instead of just failing a spec. */
+  val eventMatrixSql: String =
+    """{{ config(materialized='table') }}
+      |{% set event_types = var('event_types').split(',') %}
+      |SELECT
+      |    user_id,
+      |    COUNT(*) AS n_events{% for t in event_types %},
+      |    COUNT_IF(event_type = '{{ t }}') AS n_{{ t }},
+      |    CAST(SUM(IF(event_type = '{{ t }}', CAST(value AS DECIMAL(18,6)),
+      |                CAST(0 AS DECIMAL(18,6)))) AS DOUBLE) AS value_{{ t }}{% endfor %}
+      |FROM {{ source('default', 'events') }}
+      |GROUP BY user_id""".stripMargin
+
+  def q78EventMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_templater5").toString
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
+      vars = Map("event_types" -> "view,click,purchase"))
+    val model = SqlTemplater.sqlModel("event_matrix", eventMatrixSql)
+    val statuses = new DagRunner(Seq(model)).run(ctx)
+    statuses.collect { case (n, RunStatus.Failed(e)) =>
+      throw new RuntimeException(s"model $n failed: $e") }
+    ctx.ref("event_matrix")
+  }
+
+  val q78Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(count_if(event_type = 'view') AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6))
+      |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS value_view,
+      |  CAST(count_if(event_type = 'click') AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6))
+      |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS value_click,
+      |  CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6))
+      |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS value_purchase
+      |FROM events GROUP BY user_id""".stripMargin
 }

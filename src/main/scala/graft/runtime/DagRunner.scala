@@ -131,6 +131,12 @@ final class DagRunner(models: Seq[Model]) {
       else
         ctx.warehouse.insertOverwritePartitions(m.name,
           m.build(ctx.copy(isIncremental = true)), partitionBy, onSchemaChange, spread)
+    case Materialization.IncrementalMerge(uniqueKey, partitionBy, onSchemaChange) =>
+      if (fullRefresh || !ctx.warehouse.tableExists(m.name))
+        ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)
+      else
+        ctx.warehouse.mergeUpsert(m.name,
+          m.build(ctx.copy(isIncremental = true)), uniqueKey, partitionBy, onSchemaChange)
     case Materialization.IncrementalAppend(partitionBy) =>
       if (fullRefresh || !ctx.warehouse.tableExists(m.name))
         ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)

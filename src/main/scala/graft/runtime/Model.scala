@@ -35,6 +35,16 @@ object Materialization {
     * models/spark/mart/fact_table_update.sql:8). */
   final case class IncrementalAppend(partitionBy: Seq[String] = Nil) extends Materialization
 
+  /** Key-based upsert — the engine's stand-in for the Delta MERGE behind the
+    * reference's 197 delta-format models (reference:
+    * macros/spark_adapter_patch/create_table.sql:29-34; dbt-spark
+    * incremental_strategy='merge' + unique_key on delta relations).
+    * Partition-pruned rewrite semantics in [[Warehouse.mergeUpsert]]. */
+  final case class IncrementalMerge(
+      uniqueKey: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore) extends Materialization
+
   /** SCD2 snapshot (reference: 54 snapshots under snapshots/spark/). */
   final case class Snapshot(
       uniqueKey: String,

@@ -162,4 +162,23 @@ class NorthStarSpec extends SparkSpec {
     assert(a.keySet == b.keySet)
     assert(a.forall { case (k, v) => v.toSeq == b(k).toSeq }, "batch size changed results")
   }
+
+  test("hash split: ratios near weights; sample == train slice; deterministic") {
+    import graft.ops.Sampling
+    val split = Sampling.hashSplit(docs.select($"doc_id"), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.06, s"train ratio off: $counts")
+    assert(math.abs(counts("val") / n - 0.1) < 0.05, s"val ratio off: $counts")
+    // the 80% deterministic sample IS the train slice: same md5-prefix bound
+    val sampled = Sampling.deterministicSample(docs.select($"doc_id"), "doc_id", 80)
+      .as[Long].collect().toSet
+    val train = split.filter($"split" === "train").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(sampled == train)
+    // membership is a pure function of the id — a re-run assigns identically
+    val again = split.collect().toSet
+    assert(again == split.collect().toSet)
+  }
 }

@@ -88,6 +88,60 @@ class RuntimeSpec extends SparkSpec {
     assert(rows == Seq(("p1", 1, None), ("p2", 2, Some("x"))))
   }
 
+  test("incremental merge: upsert by key, cross-partition move, pruned rewrite") {
+    val ctx = freshCtx()
+    val mat = Materialization.IncrementalMerge(Seq("id"), Seq("part_col"))
+    var increment: Seq[(Long, String, Int)] = Nil
+    val model = Model("mrg", c => {
+      if (!c.isIncremental)
+        Seq((1L, "p1", 10), (2L, "p1", 20), (3L, "p2", 30), (4L, "p3", 40))
+          .toDF("id", "part_col", "v")
+      else increment.toDF("id", "part_col", "v")
+    }, mat)
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx)
+    val p3Files = {
+      val d = java.nio.file.Paths.get(ctx.warehouse.tablePath("mrg"), "part_col=p3")
+      java.nio.file.Files.list(d).toArray.map(_.toString).toSet
+    }
+    // matched update (id=1 stays in p1), a key MOVING partition (id=3
+    // p2->p1), and an insert landing in p2 (id=5) so p2 survives non-empty;
+    // p3 is untouched and must keep its exact files
+    increment = Seq((1L, "p1", 11), (3L, "p1", 33), (5L, "p2", 50))
+    dag.run(ctx)
+    val out = ctx.ref("mrg").as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "p1", 11), (2L, "p1", 20), (3L, "p1", 33),
+      (4L, "p3", 40), (5L, "p2", 50)))
+    // untouched partition was not rewritten (same physical files)
+    val p3After = {
+      val d = java.nio.file.Paths.get(ctx.warehouse.tablePath("mrg"), "part_col=p3")
+      java.nio.file.Files.list(d).toArray.map(_.toString).toSet
+    }
+    assert(p3After == p3Files, "untouched partition must not be rewritten")
+    // a fully-vacated partition directory is dropped: id=5 (p2's only row) moves to p1
+    increment = Seq((5L, "p1", 55))
+    dag.run(ctx)
+    val out2 = ctx.ref("mrg").as[(Long, String, Int)].collect().toSet
+    assert(out2 == Set((1L, "p1", 11), (2L, "p1", 20), (3L, "p1", 33),
+      (4L, "p3", 40), (5L, "p1", 55)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ctx.warehouse.tablePath("mrg"), "part_col=p2")),
+      "vacated partition dir must be deleted")
+  }
+
+  test("incremental merge: unpartitioned upsert falls back to full replace") {
+    val ctx = freshCtx()
+    var inc = false
+    val model = Model("mrg_flat", c => {
+      if (!inc) Seq((1L, 10), (2L, 20)).toDF("id", "v")
+      else Seq((2L, 22), (3L, 30)).toDF("id", "v")
+    }, Materialization.IncrementalMerge(Seq("id")))
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx); inc = true; dag.run(ctx)
+    assert(ctx.ref("mrg_flat").as[(Long, Int)].collect().toSet ==
+      Set((1L, 10), (2L, 22), (3L, 30)))
+  }
+
   test("incremental append appends rows") {
     val ctx = freshCtx()
     val model = Model("app", c =>
