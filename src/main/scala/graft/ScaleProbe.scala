@@ -92,6 +92,40 @@ object ScaleProbe {
       timed(s"q33_lsh sf0.1 (r$r)")(qLsh(src)); timed(s"q33_lsh x$factor (r$r)")(qLsh(big))
       timed(s"q38_ann sf0.1 (r$r)")(qAnn(src)); timed(s"q38_ann x$factor (r$r)")(qAnn(big))
     }
+
+    // merge probe: cost must track the INCREMENT (one month's partitions),
+    // not the table. Build a month-partitioned orders fact at 1× and ×factor,
+    // then merge the same single-month increment into each.
+    //  - pruned=true (incrementPartitionsOnly): no whole-table access at all;
+    //    time should be ~flat as the table grows ×factor
+    //  - pruned=false: adds the matched-key probe, a key-column-only scan of
+    //    the target — grows with table size but only on the key column bytes
+    if (fullSet) {
+      import graft.runtime._
+      def mergeProbe(dir: String, tag: String, pruned: Boolean): Unit = {
+        val wh = new Warehouse(spark,
+          java.nio.file.Files.createTempDirectory(s"graft_mergeprobe").toString)
+        // replicas land in DISTINCT month partitions (suffix = replica id from
+        // the shifted key range): the ×factor table models a longer history —
+        // factor× as many partitions of the same size — while the increment
+        // (one replica-0 month) stays fixed
+        val orders = Tables(spark, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            concat(date_format(col("o_orderdate"), "yyyy-MM"),
+              lit("_r"), (col("o_orderkey") / 10000000L).cast("long")).as("month"),
+            col("o_totalprice").as("v"))
+        wh.createTable("fact", orders, Seq("month"))
+        val inc = orders.filter(col("month") === "1997-06_r0").withColumn("v", col("v") * 2)
+        timed(s"merge_$tag pruned=$pruned") {
+          wh.mergeUpsert("fact", inc, Seq("id"), Seq("month"),
+            incrementPartitionsOnly = pruned)
+          inc.count()
+        }
+      }
+      for (pruned <- Seq(true, false)) {
+        mergeProbe(src, "sf0.1", pruned); mergeProbe(big, s"x$factor", pruned)
+      }
+    }
     spark.stop()
   }
 }

@@ -131,12 +131,12 @@ final class DagRunner(models: Seq[Model]) {
       else
         ctx.warehouse.insertOverwritePartitions(m.name,
           m.build(ctx.copy(isIncremental = true)), partitionBy, onSchemaChange, spread)
-    case Materialization.IncrementalMerge(uniqueKey, partitionBy, onSchemaChange) =>
+    case Materialization.IncrementalMerge(uniqueKey, partitionBy, onSchemaChange, incOnly) =>
       if (fullRefresh || !ctx.warehouse.tableExists(m.name))
         ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)
       else
         ctx.warehouse.mergeUpsert(m.name,
-          m.build(ctx.copy(isIncremental = true)), uniqueKey, partitionBy, onSchemaChange)
+          m.build(ctx.copy(isIncremental = true)), uniqueKey, partitionBy, onSchemaChange, incOnly)
     case Materialization.IncrementalAppend(partitionBy) =>
       if (fullRefresh || !ctx.warehouse.tableExists(m.name))
         ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)

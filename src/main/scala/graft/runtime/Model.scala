@@ -40,10 +40,14 @@ object Materialization {
     * macros/spark_adapter_patch/create_table.sql:29-34; dbt-spark
     * incremental_strategy='merge' + unique_key on delta relations).
     * Partition-pruned rewrite semantics in [[Warehouse.mergeUpsert]]. */
+  /** @param incrementPartitionsOnly dbt incremental_predicates analogue:
+    *   skip the whole-table matched-key probe and rewrite only the
+    *   increment's partitions (valid when keys never change partition). */
   final case class IncrementalMerge(
       uniqueKey: Seq[String],
       partitionBy: Seq[String] = Nil,
-      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore) extends Materialization
+      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
+      incrementPartitionsOnly: Boolean = false) extends Materialization
 
   /** SCD2 snapshot (reference: 54 snapshots under snapshots/spark/). */
   final case class Snapshot(

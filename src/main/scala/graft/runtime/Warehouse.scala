@@ -159,7 +159,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * CTEs (models/spark/gold/gold_orders.sql:20-85). */
   def mergeUpsert(name: String, df: DataFrame, uniqueKey: Seq[String],
                   partitionBy: Seq[String],
-                  onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore): Unit = {
+                  onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
+                  incrementPartitionsOnly: Boolean = false): Unit = {
     require(uniqueKey.nonEmpty, s"merge on $name needs unique_key columns")
     if (!tableExists(name)) { createTable(name, df, partitionBy); return }
     val aligned = alignSchema(name, df, onSchemaChange)
@@ -171,9 +172,23 @@ final class Warehouse(val spark: SparkSession, val root: String,
       return
     }
     val incParts = aligned.select(partitionBy.map(col): _*).distinct()
-    val matchedParts = existing.join(keys, uniqueKey, "left_semi")
-      .select(partitionBy.map(col): _*).distinct()
-    val affected = incParts.union(matchedParts).distinct().collect()
+    // the matched-key probe scans the target's key columns across ALL
+    // partitions (column-pruned: a few % of table bytes at 100 TB — the same
+    // cost a Delta MERGE without a pruning predicate pays to find matched
+    // files). When the caller knows a key can never change partition (the
+    // usual case: the partition column derives from immutable attributes),
+    // `incrementPartitionsOnly` skips the probe entirely — dbt's
+    // incremental_predicates contract — and merge cost depends only on the
+    // increment's partitions, independent of table size. Trade-off under
+    // that flag: a matched key living in a non-increment partition is NOT
+    // updated (it is out of the pruned scan), same as dbt's.
+    val affected =
+      if (incrementPartitionsOnly) incParts.collect()
+      else {
+        val matchedParts = existing.join(keys, uniqueKey, "left_semi")
+          .select(partitionBy.map(col): _*).distinct()
+        incParts.union(matchedParts).distinct().collect()
+      }
     val prunePred = affected.toSeq.map { r =>
       partitionBy.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))

@@ -129,6 +129,27 @@ class RuntimeSpec extends SparkSpec {
       "vacated partition dir must be deleted")
   }
 
+  test("incremental merge: incrementPartitionsOnly skips out-of-partition matches") {
+    val ctx = freshCtx()
+    val mat = Materialization.IncrementalMerge(Seq("id"), Seq("part_col"),
+      incrementPartitionsOnly = true)
+    var increment: Seq[(Long, String, Int)] = Nil
+    val model = Model("mrg_pruned", c => {
+      if (!c.isIncremental)
+        Seq((1L, "p1", 10), (2L, "p2", 20)).toDF("id", "part_col", "v")
+      else increment.toDF("id", "part_col", "v")
+    }, mat)
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx)
+    // id=2's replacement arrives in p1: under the pruned contract p2 is out
+    // of scope, so the p2 copy survives alongside (dbt incremental_predicates
+    // semantics — the caller asserted keys don't move partitions)
+    increment = Seq((1L, "p1", 11), (2L, "p1", 22))
+    dag.run(ctx)
+    val out = ctx.ref("mrg_pruned").as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "p1", 11), (2L, "p1", 22), (2L, "p2", 20)))
+  }
+
   test("incremental merge: unpartitioned upsert falls back to full replace") {
     val ctx = freshCtx()
     var inc = false
