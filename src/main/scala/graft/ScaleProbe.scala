@@ -115,11 +115,18 @@ object ScaleProbe {
               lit("_r"), (col("o_orderkey") / 10000000L).cast("long")).as("month"),
             col("o_totalprice").as("v"))
         wh.createTable("fact", orders, Seq("month"))
-        val inc = orders.filter(col("month") === "1997-06_r0").withColumn("v", col("v") * 2)
+        // stage the increment first: deriving it scans the (×factor) source,
+        // which is upstream cost, not merge cost — the timer must see only
+        // the merge itself
+        val incPath = s"${wh.root}/inc_staged"
+        orders.filter(col("month") === "1997-06_r0").withColumn("v", col("v") * 2)
+          .write.mode("overwrite").parquet(incPath)
+        val inc = spark.read.parquet(incPath)
+        val n = inc.count()
         timed(s"merge_$tag pruned=$pruned") {
           wh.mergeUpsert("fact", inc, Seq("id"), Seq("month"),
             incrementPartitionsOnly = pruned)
-          inc.count()
+          n
         }
       }
       for (pruned <- Seq(true, false)) {

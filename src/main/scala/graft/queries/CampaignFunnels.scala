@@ -434,8 +434,8 @@ object CampaignFunnels {
     val whDir = java.nio.file.Files.createTempDirectory("graft_funnels").toString
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("start_date_ymd" -> "2024-01-25"))
-    val model = SqlTemplater.sqlModel("campaign_funnels", modelSql,
-      Materialization.IncrementalInsertOverwrite(Seq("event_date")))
+    // materialization read from the model's own {{ config(...) }} block
+    val model = SqlTemplater.sqlModelAuto("campaign_funnels", modelSql)
     val dag = new DagRunner(Seq(model))
     val r1 = dag.run(ctx)
     val r2 = dag.run(ctx) // incremental: 10-day lookback partitions overwritten

@@ -334,8 +334,9 @@ object GoldOrdersWide {
     val whDir = java.nio.file.Files.createTempDirectory("graft_goldwide").toString
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("start_date_ymd" -> "2001-06-01"))
-    val model = SqlTemplater.sqlModel("gold_orders_wide", modelSql,
-      Materialization.IncrementalInsertOverwrite(Seq("order_month")))
+    // materialization (incremental insert_overwrite by order_month,
+    // sync_all_columns) read from the model's own {{ config(...) }} block
+    val model = SqlTemplater.sqlModelAuto("gold_orders_wide", modelSql)
     val dag = new DagRunner(Seq(model))
     val r1 = dag.run(ctx)
     val r2 = dag.run(ctx) // incremental: 200-day lookback months overwritten in place

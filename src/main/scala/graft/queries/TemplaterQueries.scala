@@ -353,7 +353,7 @@ object TemplaterQueries {
     val whDir = java.nio.file.Files.createTempDirectory("graft_templater5").toString
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("event_types" -> "view,click,purchase"))
-    val model = SqlTemplater.sqlModel("event_matrix", eventMatrixSql)
+    val model = SqlTemplater.sqlModelAuto("event_matrix", eventMatrixSql)
     val statuses = new DagRunner(Seq(model)).run(ctx)
     statuses.collect { case (n, RunStatus.Failed(e)) =>
       throw new RuntimeException(s"model $n failed: $e") }

@@ -51,8 +51,9 @@ object SqlTemplater {
       m.group(1) -> MacroDef(params, m.group(3).trim)
     }.toMap
 
-  /** Split a macro-call argument list on top-level commas only (an argument
-    * may itself be a SQL expression containing commas inside parens). */
+  /** Split an argument list on top-level commas only (an argument may itself
+    * be a SQL expression with commas inside parens, or a config value with
+    * commas inside list/dict literals). */
   private def splitArgs(s: String): Seq[String] = {
     if (s.trim.isEmpty) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -60,8 +61,8 @@ object SqlTemplater {
     for (i <- s.indices) s(i) match {
       case q @ ('\'' | '"') if quote == 0 => quote = q
       case q if quote == q => quote = 0
-      case '(' if quote == 0 => depth += 1
-      case ')' if quote == 0 => depth -= 1
+      case '(' | '[' | '{' if quote == 0 => depth += 1
+      case ')' | ']' | '}' if quote == 0 => depth -= 1
       case ',' if quote == 0 && depth == 0 => out += s.substring(start, i); start = i + 1
       case _ =>
     }
@@ -179,4 +180,73 @@ object SqlTemplater {
                meta: Map[String, String] = Map.empty): Model =
     Model(name, ctx => runSql(ctx, name, sql), materialization,
       deps = extractRefs(sql), tags = tags, meta = meta)
+
+  private val ConfigArgsRe = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
+
+  /** Parse the kwargs of a model's leading `{{ config(...) }}` block into
+    * Jinja values (reference: models/spark/gold/gold_orders.sql:1-17).
+    * Values are Python-ish literals evaluated by [[Jinja]]'s expression
+    * parser; anything it cannot evaluate falls back to its raw quoted text. */
+  def parseConfig(sql: String): Map[String, Jinja.V] =
+    ConfigArgsRe.findFirstMatchIn(sql) match {
+      case None => Map.empty
+      case Some(m) =>
+        splitArgs(m.group(1)).filter(_.nonEmpty).flatMap { kv =>
+          val i = kv.indexOf('=')
+          if (i < 0) None
+          else {
+            val k = kv.substring(0, i).trim
+            val raw = kv.substring(i + 1).trim
+            val v = scala.util.Try(Jinja.eval(raw,
+              scala.collection.mutable.LinkedHashMap.empty,
+              Jinja.Env(Map.empty, isIncremental = false)))
+              .getOrElse(Jinja.VStr(stripQuotes(raw)))
+            Some(k -> v)
+          }
+        }.toMap
+    }
+
+  /** dbt config → engine [[Materialization]] (default 'view', like dbt).
+    * `incremental_strategy` defaults to 'merge' for delta relations in
+    * dbt-spark; file_format is irrelevant here (everything is parquet). */
+  def materializationFromConfig(cfg: Map[String, Jinja.V]): Materialization = {
+    def str(k: String): Option[String] = cfg.get(k).map(_.render)
+    def strList(k: String): Seq[String] = cfg.get(k).map {
+      case Jinja.VList(xs) => xs.map(_.render)
+      case v => Seq(v.render)
+    }.getOrElse(Nil)
+    val partitionBy = strList("partition_by")
+    val osc = str("on_schema_change") match {
+      case Some("sync_all_columns") => OnSchemaChange.SyncAllColumns
+      case Some("append_new_columns") => OnSchemaChange.AppendNewColumns
+      case _ => OnSchemaChange.Ignore
+    }
+    str("materialized").getOrElse("view") match {
+      case "view" => Materialization.View
+      case "table" => Materialization.Table(partitionBy)
+      case "incremental" => str("incremental_strategy").getOrElse("merge") match {
+        case "insert_overwrite" => Materialization.IncrementalInsertOverwrite(partitionBy, osc)
+        case "append" => Materialization.IncrementalAppend(partitionBy)
+        case "merge" => Materialization.IncrementalMerge(strList("unique_key"), partitionBy, osc)
+        case other => throw new IllegalArgumentException(
+          s"unsupported incremental_strategy='$other'")
+      }
+      case other => throw new IllegalArgumentException(s"unsupported materialized='$other'")
+    }
+  }
+
+  /** Build a [[Model]] whose materialization, tags, and meta come from the
+    * SQL's own `{{ config(...) }}` block — full dbt semantics, so a
+    * reference model body carries its complete contract in one file. */
+  def sqlModelAuto(name: String, sql: String): Model = {
+    val cfg = parseConfig(sql)
+    val tags = cfg.get("tags").map {
+      case Jinja.VList(xs) => xs.map(_.render).toSet
+      case v => Set(v.render)
+    }.getOrElse(Set.empty)
+    val meta = cfg.get("meta").collect {
+      case Jinja.VMap(m) => m.map { case (k, v) => k -> v.render }.toMap
+    }.getOrElse(Map.empty[String, String])
+    sqlModel(name, sql, materializationFromConfig(cfg), tags, meta)
+  }
 }

@@ -239,6 +239,33 @@ class RuntimeSpec extends SparkSpec {
     assert(rel.head.offendingRows == 1)
   }
 
+  test("config block parses to materialization, tags, meta (dbt semantics)") {
+    val sql =
+      """{{ config(
+        |    materialized='incremental',
+        |    alias='orders_wide',
+        |    file_format='delta',
+        |    incremental_strategy='merge',
+        |    unique_key='order_id',
+        |    partition_by=['order_month', 'region'],
+        |    on_schema_change='append_new_columns',
+        |    tags=['gold', 'daily'],
+        |    meta={'bigquery_load': 'true', 'priority_weight': 100}
+        |  )
+        |}}
+        |SELECT 1 AS x""".stripMargin
+    val m = SqlTemplater.sqlModelAuto("orders_wide_model", sql)
+    assert(m.materialization == Materialization.IncrementalMerge(
+      Seq("order_id"), Seq("order_month", "region"), OnSchemaChange.AppendNewColumns))
+    assert(m.tags == Set("gold", "daily"))
+    assert(m.meta == Map("bigquery_load" -> "true", "priority_weight" -> "100"))
+    // dbt defaults: no config -> view; bare incremental -> merge strategy
+    assert(SqlTemplater.sqlModelAuto("v", "SELECT 1").materialization == Materialization.View)
+    assert(SqlTemplater.sqlModelAuto("i",
+      "{{ config(materialized='incremental', unique_key='id') }}\nSELECT 1 AS id")
+      .materialization == Materialization.IncrementalMerge(Seq("id")))
+  }
+
   test("sql templater strips config blocks and jinja comments") {
     val ctx = freshCtx()
     val model = SqlTemplater.sqlModel("cfg_model",
