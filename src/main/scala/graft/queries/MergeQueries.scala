@@ -20,33 +20,50 @@ import graft.runtime._
   */
 object MergeQueries {
 
+  /** The model is dbt SQL text end-to-end: the config block declares the
+    * merge contract (strategy, unique_key, partition_by) and
+    * `is_incremental()` switches the increment to a changed-keys recompute —
+    * on the incremental run only customers with post-cutoff activity are
+    * re-derived (LEFT SEMI keeps the probe key-only), exactly the
+    * late-arriving-facts recipe the reference's delta models run under
+    * dbt-spark merge. */
+  val modelSql: String =
+    """{{ config(
+      |    materialized='incremental',
+      |    file_format='delta',
+      |    incremental_strategy='merge',
+      |    unique_key='customer_id',
+      |    partition_by=['mkt_segment']
+      |  )
+      |}}
+      |
+      |WITH base AS (
+      |    SELECT o_custkey, o_orderdate
+      |    FROM {{ source('default', 'orders') }}
+      |    {% if is_incremental() %}
+      |    LEFT SEMI JOIN (
+      |        SELECT DISTINCT o_custkey AS changed_key
+      |        FROM {{ source('default', 'orders') }}
+      |        WHERE o_orderdate >= DATE '{{ var("cutoff_ymd") }}'
+      |    ) ON o_custkey = changed_key
+      |    {% else %}
+      |    WHERE o_orderdate < DATE '{{ var("cutoff_ymd") }}'
+      |    {% endif %}
+      |)
+      |SELECT
+      |    b.o_custkey AS customer_id,
+      |    COALESCE(c.c_mktsegment, 'Other') AS mkt_segment,
+      |    COUNT(*) AS order_count,
+      |    MAX(DATE_FORMAT(b.o_orderdate, 'yyyy-MM-dd')) AS last_order_date
+      |FROM base AS b
+      |LEFT JOIN {{ source('default', 'customer') }} AS c ON b.o_custkey = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   def q76IncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
     val whDir = java.nio.file.Files.createTempDirectory("graft_merge").toString
-    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
-    val cutoff = "1998-01-01"
-    val model = Model("customer_profile_merge",
-      c => {
-        val orders = c.source("default", "orders")
-        val cust = c.source("default", "customer")
-        def profile(of: DataFrame): DataFrame =
-          of.groupBy(col("o_custkey").as("customer_id"))
-            .agg(count(lit(1)).as("order_count"),
-              max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_order_date"))
-            .join(broadcast(cust), col("customer_id") === col("c_custkey"), "left")
-            .select(col("customer_id"),
-              coalesce(col("c_mktsegment"), lit("Other")).as("mkt_segment"),
-              col("order_count"), col("last_order_date"))
-        if (!c.isIncremental) profile(orders.filter(col("o_orderdate") < lit(cutoff)))
-        else {
-          // key probe first: recompute full history only for changed keys —
-          // the increment stays small relative to the table, which is what
-          // makes merge's partition-pruned rewrite pay off at 100 TB
-          val changed = orders.filter(col("o_orderdate") >= lit(cutoff))
-            .select(col("o_custkey")).distinct()
-          profile(orders.join(changed, Seq("o_custkey"), "left_semi"))
-        }
-      },
-      Materialization.IncrementalMerge(Seq("customer_id"), Seq("mkt_segment")))
+    val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
+      vars = Map("cutoff_ymd" -> "1998-01-01"))
+    val model = SqlTemplater.sqlModelAuto("customer_profile_merge", modelSql)
     val dag = new DagRunner(Seq(model))
     val rs = dag.run(ctx) ++ dag.run(ctx)
     rs.collect { case (n, RunStatus.Failed(e)) =>
