@@ -107,7 +107,8 @@ object SparkEntry {
     // round 5 cont.: Delta-MERGE-parity upsert; deterministic split; for-loop templating
     "q76_incremental_merge" -> (MergeQueries.q76IncrementalMerge _),
     "q77_train_split" -> (NorthStarQueries.q77TrainSplit _),
-    "q78_event_matrix" -> (TemplaterQueries.q78EventMatrix _)
+    "q78_event_matrix" -> (TemplaterQueries.q78EventMatrix _),
+    "q79_setops" -> (JoinQueries.q79SetOps _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,6 +185,7 @@ object SparkEntry {
     "q75_dup_groups" -> NorthStarQueries.q75Oracle,
     "q76_incremental_merge" -> MergeQueries.q76Oracle,
     "q77_train_split" -> NorthStarQueries.q77Oracle,
-    "q78_event_matrix" -> TemplaterQueries.q78Oracle
+    "q78_event_matrix" -> TemplaterQueries.q78Oracle,
+    "q79_setops" -> JoinQueries.q79Oracle
   )
 }

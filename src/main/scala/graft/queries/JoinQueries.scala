@@ -271,4 +271,31 @@ object JoinQueries {
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1""".stripMargin
+
+  /** INTERSECT / EXCEPT cohort assignment (engine extension — SURVEY §2.11
+    * verifies the reference itself never uses them; UNION is q26). Spark
+    * compiles both to distinct + semi/anti joins, i.e. the same keyed-shuffle
+    * shape as q4/q5 — nothing quadratic at 100 TB. */
+  def q79SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(spark, dir, "orders")
+    def active(yr: Int) =
+      o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey").as("customer_id"))
+    active(1997).intersect(active(1998)).withColumn("status", lit("retained"))
+      .union(active(1997).except(active(1998)).withColumn("status", lit("churned")))
+      .union(active(1998).except(active(1997)).withColumn("status", lit("acquired")))
+  }
+
+  val q79Oracle: String =
+    """WITH a97 AS (SELECT DISTINCT o_custkey AS customer_id FROM orders
+      |             WHERE year(o_orderdate) = 1997),
+      |a98 AS (SELECT DISTINCT o_custkey AS customer_id FROM orders
+      |        WHERE year(o_orderdate) = 1998)
+      |SELECT customer_id, 'retained' AS status
+      |FROM (SELECT customer_id FROM a97 INTERSECT SELECT customer_id FROM a98)
+      |UNION ALL
+      |SELECT customer_id, 'churned' AS status
+      |FROM (SELECT customer_id FROM a97 EXCEPT SELECT customer_id FROM a98)
+      |UNION ALL
+      |SELECT customer_id, 'acquired' AS status
+      |FROM (SELECT customer_id FROM a98 EXCEPT SELECT customer_id FROM a97)""".stripMargin
 }
