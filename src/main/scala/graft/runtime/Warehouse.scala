@@ -171,29 +171,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
       replaceTable(name, aligned.unionByName(survivors.select(aligned.columns.map(col).toSeq: _*)))
       return
     }
-    val incParts = aligned.select(partitionBy.map(col): _*).distinct()
-    // the matched-key probe scans the target's key columns across ALL
-    // partitions (column-pruned: a few % of table bytes at 100 TB — the same
-    // cost a Delta MERGE without a pruning predicate pays to find matched
-    // files). When the caller knows a key can never change partition (the
-    // usual case: the partition column derives from immutable attributes),
-    // `incrementPartitionsOnly` skips the probe entirely — dbt's
-    // incremental_predicates contract — and merge cost depends only on the
-    // increment's partitions, independent of table size. Trade-off under
-    // that flag: a matched key living in a non-increment partition is NOT
-    // updated (it is out of the pruned scan), same as dbt's.
-    val affected =
-      if (incrementPartitionsOnly) incParts.collect()
-      else {
-        val matchedParts = existing.join(keys, uniqueKey, "left_semi")
-          .select(partitionBy.map(col): _*).distinct()
-        incParts.union(matchedParts).distinct().collect()
-      }
-    val prunePred = affected.toSeq.map { r =>
-      partitionBy.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
-    }.reduceOption(_ || _).getOrElse(lit(false))
-    val survivors = existing.filter(prunePred).join(keys, uniqueKey, "left_anti")
-    val out = aligned.unionByName(survivors.select(aligned.columns.map(col).toSeq: _*))
+    val (out, affected) = mergeSlice(name, aligned, uniqueKey, partitionBy,
+      incrementPartitionsOnly)
     // partitions still present after the merge; the rest of `affected` must
     // have their directories dropped explicitly
     // stage the merged slice before overwriting: Spark (correctly) refuses a
@@ -227,6 +206,45 @@ final class Warehouse(val spark: SparkSession, val root: String,
         val p = Paths.get(tablePath(name), dir)
         if (Files.exists(p)) deleteRecursively(p)
       }
+  }
+
+  /** The merged slice — increment ∪ surviving rows of affected partitions —
+    * plus the affected partition-value rows. `df` must already match the
+    * table's canonical column set.
+    *
+    * The matched-key probe scans the target's key columns across ALL
+    * partitions (column-pruned: a few % of table bytes at 100 TB — the same
+    * cost a Delta MERGE without a pruning predicate pays to find matched
+    * files). When the caller knows a key can never change partition (the
+    * usual case: the partition column derives from immutable attributes),
+    * `incrementPartitionsOnly` skips the probe entirely — dbt's
+    * incremental_predicates contract — and merge cost depends only on the
+    * increment's partitions, independent of table size. Trade-off under
+    * that flag: a matched key living in a non-increment partition is NOT
+    * updated (it is out of the pruned scan), same as dbt's.
+    *
+    * Exposed for plan assertions: the survivors side must scan only the
+    * affected partition directories (pruned at listing time by the
+    * null-safe-equality disjunction below), which ScaleSpec pins via the
+    * FileSourceScan's selected partition count. */
+  private[graft] def mergeSlice(name: String, df: DataFrame, uniqueKey: Seq[String],
+                                partitionBy: Seq[String], incrementPartitionsOnly: Boolean)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val existing = read(name)
+    val keys = df.select(uniqueKey.map(col): _*).distinct()
+    val incParts = df.select(partitionBy.map(col): _*).distinct()
+    val affected =
+      if (incrementPartitionsOnly) incParts.collect()
+      else {
+        val matchedParts = existing.join(keys, uniqueKey, "left_semi")
+          .select(partitionBy.map(col): _*).distinct()
+        incParts.union(matchedParts).distinct().collect()
+      }
+    val prunePred = affected.toSeq.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val survivors = existing.filter(prunePred).join(keys, uniqueKey, "left_anti")
+    (df.unionByName(survivors.select(df.columns.map(col).toSeq: _*)), affected)
   }
 
   /** Row append (reference: incremental_strategy='append'). */

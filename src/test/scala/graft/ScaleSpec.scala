@@ -12,6 +12,37 @@ import graft.runtime._
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("merge slice scan is partition-pruned (plan-asserted)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ctx = freshCtx()
+    // 4 partitions on disk; the increment touches only p2
+    ctx.warehouse.createTable("mrg_plan",
+      Seq((1L, "p1", 1), (2L, "p2", 2), (3L, "p3", 3), (4L, "p4", 4))
+        .toDF("id", "part_col", "v"),
+      Seq("part_col"))
+    val inc = Seq((2L, "p2", 22)).toDF("id", "part_col", "v")
+    for (pruned <- Seq(true, false)) {
+      val (out, affected) = ctx.warehouse.mergeSlice("mrg_plan", inc,
+        Seq("id"), Seq("part_col"), incrementPartitionsOnly = pruned)
+      assert(affected.map(_.getString(0)).toSet == Set("p2"))
+      // the survivors side reads ONLY the affected directory — at 100 TB this
+      // is the difference between rewriting one partition and scanning the
+      // table. (The unpruned mode's extra key PROBE scans all partitions by
+      // design, but the rewrite slice below must stay pruned either way.)
+      val plan = out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty => f
+      }
+      assert(scans.nonEmpty, s"expected a partitioned file scan:\n${out.queryExecution.executedPlan}")
+      assert(scans.forall(_.selectedPartitions.partitionCount == 1),
+        s"survivors scan not pruned (pruned=$pruned): " +
+          scans.map(_.selectedPartitions.partitionCount).mkString(","))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val ctx = freshCtx()
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
