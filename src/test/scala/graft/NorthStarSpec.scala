@@ -180,5 +180,13 @@ class NorthStarSpec extends SparkSpec {
     // membership is a pure function of the id — a re-run assigns identically
     val again = split.collect().toSet
     assert(again == split.collect().toSet)
+    // samples NEST: growing the rate only adds documents (threshold ordering)
+    // — the property that lets a 100 TB pipeline scale a subsample up without
+    // reshuffling which documents the smaller runs saw
+    val s10 = Sampling.deterministicSample(docs.select($"doc_id"), "doc_id", 10)
+      .as[Long].collect().toSet
+    val s50 = Sampling.deterministicSample(docs.select($"doc_id"), "doc_id", 50)
+      .as[Long].collect().toSet
+    assert(s10.subsetOf(s50) && s50.subsetOf(sampled))
   }
 }
