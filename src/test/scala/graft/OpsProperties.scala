@@ -97,4 +97,14 @@ object OpsProperties extends Properties("graft.ops") {
     val expected = parent.keys.map(v => v -> find(v)).toMap
     got == expected
   }
+
+  property("dupGroupsTwoPhase == dupGroups (large/small-star vs min-label)") =
+    forAll(edgeGen) { edges0 =>
+      import spark.implicits._
+      val edges = if (edges0.nonEmpty) edges0 else List((0L, 1L))
+      val pairs = edges.toDF("id_a", "id_b")
+      val a = graft.ops.Dedup.dupGroups(pairs).as[(Long, Long)].collect().toMap
+      val b = graft.ops.Dedup.dupGroupsTwoPhase(pairs).as[(Long, Long)].collect().toMap
+      a == b
+    }
 }
