@@ -120,6 +120,31 @@ object Streaming {
         graft.ops.Dedup.contentKey(col("text")).as("content_sha"))
       .dropDuplicates("content_sha")
 
+  /** Micro-batch upsert sink: each batch key-dedupes (latest `orderCol`
+    * version wins) and merges into a warehouse table via
+    * [[graft.runtime.Warehouse.mergeUpsert]] — the streaming-CDC ingestion
+    * shape (Delta runs MERGE per micro-batch the same way). Restart safety:
+    * merge is idempotent per batch (same keys → same rows), so a replayed
+    * micro-batch converges instead of duplicating — the property an append
+    * sink does NOT have. At scale each batch's rewrite is partition-pruned
+    * exactly like the batch merge (SCALE.md merge probe). */
+  def upsertSink(stream: DataFrame, wh: graft.runtime.Warehouse, table: String,
+                 uniqueKey: Seq[String], orderCol: String,
+                 partitionBy: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        // latest version per key within the batch (merge requires key-unique
+        // increments, same as dbt merge)
+        val keyed = batch.withColumn("__rn",
+            row_number().over(Window.partitionBy(uniqueKey.map(col): _*)
+              .orderBy(col(orderCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        wh.mergeUpsert(table, keyed, uniqueKey, partitionBy)
+      }
+      .start()
+
   /** Drive a (bounded) stream to completion into an in-memory table and
     * return its content — batch parquet drives the streaming query, the
     * local smoke pattern for streaming jobs. */

@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamedKeys.toSet == batchGroups, "stream/batch content groups differ")
   }
 
+  test("foreachBatch upsert sink merges each micro-batch by key (CDC shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ctx = freshCtx()
+    val input = MemoryStream[(Long, String, Int, Long)]
+    val stream = input.toDF().toDF("id", "part_col", "v", "seq")
+    val q = Streaming.upsertSink(stream, ctx.warehouse, "cdc_fact",
+      Seq("id"), "seq", Seq("part_col"))
+    try {
+      // batch 1: initial inserts (incl. two versions of id=2 — latest seq wins)
+      input.addData((1L, "p1", 10, 1L), (2L, "p1", 20, 2L), (2L, "p1", 21, 3L),
+        (3L, "p2", 30, 4L))
+      q.processAllAvailable()
+      assert(ctx.warehouse.read("cdc_fact").select($"id", $"part_col", $"v")
+        .as[(Long, String, Int)].collect().toSet ==
+        Set((1L, "p1", 10), (2L, "p1", 21), (3L, "p2", 30)))
+      // batch 2: update id=1, move id=3 across partitions, insert id=4
+      input.addData((1L, "p1", 11, 5L), (3L, "p1", 33, 6L), (4L, "p3", 40, 7L))
+      q.processAllAvailable()
+      assert(ctx.warehouse.read("cdc_fact").select($"id", $"part_col", $"v")
+        .as[(Long, String, Int)].collect().toSet ==
+        Set((1L, "p1", 11), (2L, "p1", 21), (3L, "p1", 33), (4L, "p3", 40)))
+    } finally q.stop()
+  }
+
   test("tumbling-window counts conserve totals") {
     val out = Streaming.runToMemory(
       Streaming.minuteCounts(Streaming.eventsStream(spark, dir)), "win_out")
