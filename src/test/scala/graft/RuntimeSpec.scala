@@ -389,6 +389,42 @@ class RuntimeSpec extends SparkSpec {
       "dev_nodes_to_override" -> "model.other")) == "orders_alias")
   }
 
+  test("REAL reference macro files run through the engine unmodified") {
+    // read-only proof that the reference's own .sql macro files — not
+    // re-typed shapes — parse, expand, and evaluate (the near-verbatim claim
+    // tested against the genuine artifacts)
+    val macrosDir = "/root/reference/macros"
+    // format_time.sql: textual macro expansion into runnable Spark SQL
+    val ft = SqlTemplater.parseMacros(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$macrosDir/format_time.sql")))
+    assert(ft.contains("format_time"))
+    val sql = SqlTemplater.expandMacros("SELECT {{ format_time(dur_h) }} AS hhmm FROM vals", ft)
+    Seq(1.5, 0.25, 23.75).toDF("dur_h").createOrReplaceTempView("vals")
+    val got = spark.sql(sql).as[String].collect().toSet
+    assert(got == Set("01:30", "00:15", "23:45"))
+    // generate_alias_name.sql: the {% set %}/{% for %}/{% do %} dict-guard
+    // control flow, interpreted with host bindings for its macro params
+    val gan = SqlTemplater.parseMacros(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$macrosDir/generate_alias_name.sql")))("generate_alias_name")
+    import scala.collection.mutable.LinkedHashMap
+    def node(uid: String) = Jinja.VMap(LinkedHashMap(
+      "name" -> Jinja.VStr("model_name"), "unique_id" -> Jinja.VStr(uid),
+      "unrendered_config" -> Jinja.VMap(LinkedHashMap("schema" -> Jinja.VStr("marts")))))
+    def render(targetName: String, vars: Map[String, String], uid: String) =
+      Jinja.render(gan.body, Jinja.Env(vars, isIncremental = false,
+        bindings = Map("custom_alias_name" -> Jinja.VStr(" my_alias "),
+          "node" -> node(uid),
+          "target" -> Jinja.VMap(LinkedHashMap("name" -> Jinja.VStr(targetName)))))).trim
+    // prod: alias passes through untouched
+    assert(render("prod", Map.empty, "model.x") == "my_alias")
+    // dev, override-all (no dev_nodes_to_override var): schema-prefixed
+    assert(render("dev", Map.empty, "model.x") == "marts__my_alias")
+    // dev with an override list: only listed nodes get the prefix
+    val vars = Map("dev_nodes_to_override" -> "model.x,model.y")
+    assert(render("dev", vars, "model.x") == "marts__my_alias")
+    assert(render("dev", vars, "model.z") == "my_alias")
+  }
+
   test("jinja {% for k, v in dict.items() %} with loop.last comma control (tblproperties shape)") {
     // modeled on /root/reference/macros/spark_adapter_patch/tblproperties_clause.sql:6-18
     val out = Jinja.render(
