@@ -425,6 +425,45 @@ class RuntimeSpec extends SparkSpec {
     assert(render("dev", vars, "model.z") == "my_alias")
   }
 
+  test("REAL reference model bodies materialize through the engine") {
+    // three genuine model files (read-only from the reference tree) run
+    // end-to-end: config-block parsing (incl. trailing commas), source
+    // mocking per sources.yml schemas, view materialization, and the nested
+    // transform + named_struct shape of the mongo snapshot models
+    val ctx = freshCtx()
+    def modelFile(p: String): String =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    ctx.sources.register("mongo", "core_tracking_providers_daily_snapshot") { s =>
+      import s.implicits._
+      Seq(("s1", 1000L, 2000L, "DHL"), ("s2", 1100L, 2100L, "Hermes"))
+        .toDF("_id", "createdTimeMs", "updatedTimeMs", "name")
+    }
+    ctx.sources.register("mongo", "events_ad_partners_daily_snapshot") { s =>
+      import s.implicits._
+      Seq(("acme", Seq(("t1", "pixel"), ("t2", "s2s")))).toDF("name", "trk")
+        .select($"name",
+          expr("transform(trk, x -> named_struct('_id', x._1, 'kind', x._2))").as("trackers"))
+    }
+    ctx.sources.register("default", "link_device_user") { s =>
+      import s.implicits._
+      Seq((1L, 10L), (2L, 20L)).toDF("device_id", "user_id")
+    }
+    val base = "/root/reference/models/spark"
+    val models = Seq(
+      ("shipper", s"$base/mongo/shipper.sql"),
+      ("adpartner", s"$base/mongo/adpartner.sql"),
+      ("link_device_user_model", s"$base/mart/link_device_user.sql"))
+      .map { case (n, p) => SqlTemplater.sqlModelAuto(n, modelFile(p)) }
+    val res = new DagRunner(models).run(ctx)
+    res.foreach { case (n, st) =>
+      assert(st.isInstanceOf[RunStatus.Success], s"$n failed: $st") }
+    assert(ctx.ref("shipper").columns.toSeq ==
+      Seq("shipper_id", "created_time", "updated_time", "name"))
+    assert(ctx.ref("shipper").count() == 2)
+    assert(ctx.ref("adpartner").selectExpr("trackers[0].kind").as[String].head() == "pixel")
+    assert(ctx.ref("link_device_user_model").count() == 2)
+  }
+
   test("jinja {% for k, v in dict.items() %} with loop.last comma control (tblproperties shape)") {
     // modeled on /root/reference/macros/spark_adapter_patch/tblproperties_clause.sql:6-18
     val out = Jinja.render(
