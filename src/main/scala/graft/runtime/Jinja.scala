@@ -329,7 +329,12 @@ object Jinja {
       case Some(Tok("op", "[")) =>
         take()
         val out = mutable.ArrayBuffer.empty[V]
-        if (!at("op", "]")) { out += expr(); while (at("op", ",")) { take(); out += expr() } }
+        if (!at("op", "]")) {
+          out += expr()
+          // trailing commas tolerated (Python/Jinja allow them; reference
+          // configs use them, e.g. dsa_orders.sql's meta dict)
+          while (at("op", ",")) { take(); if (!at("op", "]")) out += expr() }
+        }
         expect("op", "]")
         VList(out.toSeq)
       case Some(Tok("op", "{")) =>
@@ -337,7 +342,7 @@ object Jinja {
         val m = mutable.LinkedHashMap.empty[String, V]
         if (!at("op", "}")) {
           def pair(): Unit = { val k = expr(); expect("op", ":"); m(k.render) = expr() }
-          pair(); while (at("op", ",")) { take(); pair() }
+          pair(); while (at("op", ",")) { take(); if (!at("op", "}")) pair() }
         }
         expect("op", "}")
         VMap(m)

@@ -115,7 +115,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def insertOverwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String],
                                 onSchemaChange: OnSchemaChange,
                                 hashSpread: Option[(String, Int)] = None): Unit = {
-    require(partitionBy.nonEmpty, s"insert_overwrite on $name needs partition columns")
+    if (partitionBy.isEmpty) {
+      // dbt-spark semantics: insert_overwrite without partition_by replaces
+      // the whole table (reference: dsa_orders.sql declares exactly this)
+      createTable(name, alignSchema(name, df, onSchemaChange))
+      return
+    }
     val aligned = alignSchema(name, df, onSchemaChange)
     val out = distributeForWrite(aligned, partitionBy, hashSpread)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -464,6 +464,39 @@ class RuntimeSpec extends SparkSpec {
     assert(ctx.ref("link_device_user_model").count() == 2)
   }
 
+  test("REAL reference incremental models run twice through the engine") {
+    val base = "/root/reference/models/spark"
+    def modelFile(p: String): String =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    // fact_table_update.sql: incremental append, two-level partitioning,
+    // vars — the per-run bookkeeping row (same contract q62 re-creates)
+    val ctx = freshCtx(vars = Map(
+      "table_name" -> "gold_orders", "start_date_ymd" -> "2024-01-01"))
+    val ftu = SqlTemplater.sqlModelAuto("fact_table_update",
+      modelFile(s"$base/mart/fact_table_update.sql"))
+    assert(ftu.materialization == Materialization.IncrementalAppend(
+      Seq("table_name", "partition_date")))
+    assert(ftu.tags == Set("manual"))
+    val dag1 = new DagRunner(Seq(ftu))
+    dag1.run(ctx); dag1.run(ctx)
+    assert(ctx.ref("fact_table_update").count() == 2) // one bookkeeping row per run
+    // dsa_orders.sql: delta + insert_overwrite WITHOUT partition_by =
+    // full-table overwrite; refs resolve to pre-materialized models
+    ctx.warehouse.createTable("gold_orders",
+      Seq(("2024-02-01", 1L, 10L, 100L), ("2022-12-01", 2L, 20L, 200L))
+        .toDF("order_date_msk", "order_id", "user_id", "product_id"))
+    ctx.warehouse.createTable("dsa_products",
+      Seq((100L, "restricted"), (200L, "ok")).toDF("product_id", "reason"))
+    val dsa = SqlTemplater.sqlModelAuto("dsa_orders", modelFile(s"$base/dsa/dsa_orders.sql"))
+    assert(dsa.meta == Map("model_owner" -> "@general_analytics")) // trailing-comma dict
+    assert(dsa.deps.toSet == Set("gold_orders", "dsa_products"))
+    val dag2 = new DagRunner(Seq(dsa))
+    dag2.run(ctx, selectors = Seq("dsa_orders")); dag2.run(ctx, selectors = Seq("dsa_orders"))
+    // the 2022 order is date-filtered; two runs converge (full overwrite)
+    assert(ctx.ref("dsa_orders").select($"order_id", $"reason")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "restricted")))
+  }
+
   test("jinja {% for k, v in dict.items() %} with loop.last comma control (tblproperties shape)") {
     // modeled on /root/reference/macros/spark_adapter_patch/tblproperties_clause.sql:6-18
     val out = Jinja.render(
