@@ -1,0 +1,164 @@
+package graft.runtime
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Corpus-wide templater proof: run EVERY model file of a dbt-style project
+  * tree through the full template pipeline and Spark's SQL parser, without
+  * executing anything. For each model this checks, in order:
+  *
+  *   1. `config` — its `{{ config(...) }}` block parses into a supported
+  *      [[Materialization]] (view / table / incremental × overwrite/append/
+  *      merge) with tags and meta;
+  *   2. `render` — the body renders to final SQL through macro expansion,
+  *      Jinja control flow, and var/ref/source/this substitution — for
+  *      incremental models BOTH the first-run and the incremental rendering;
+  *   3. `parse` — every rendered text parses as Spark SQL
+  *      (`sessionState.sqlParser.parsePlan`), i.e. the dialect really is
+  *      Spark SQL end-to-end, not just on hand-picked bodies;
+  *   4. `dag` — the corpus-wide `ref()` graph wires into an acyclic DAG with
+  *      a complete topological order (what DagRunner would schedule).
+  *
+  * This is the scalable form of the per-file end-to-end specs: execution
+  * needs per-model source fixtures, but expansion + parse + DAG wiring are
+  * provable over the whole corpus (reference: 423 .sql files under the
+  * models tree, macro definitions under the macros tree).
+  */
+object CorpusSweep {
+
+  final case class ModelResult(name: String, path: String, phase: String,
+                               error: Option[String], refs: Seq[String],
+                               incremental: Boolean)
+  final case class Report(total: Int, passed: Seq[ModelResult], failed: Seq[ModelResult],
+                          unresolvedRefs: Seq[(String, String)], cycle: Option[Seq[String]],
+                          topoOrder: Seq[String]) {
+    def ok: Boolean = failed.isEmpty && cycle.isEmpty
+  }
+
+  private def sqlFiles(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+
+  /** Load every `{% macro %}` definition under `macrosDir`. */
+  def loadMacros(macrosDir: Path): Map[String, SqlTemplater.MacroDef] =
+    sqlFiles(macrosDir).foldLeft(Map.empty[String, SqlTemplater.MacroDef]) { (acc, p) =>
+      acc ++ SqlTemplater.parseMacros(Files.readString(p))
+    }
+
+  private val SnapshotNameRe = """\{%-?\s*snapshot\s+(\w+)""".r
+  private val ConflictMarkerRe = """(?m)^(<{7} |={7}$|>{7} )""".r
+
+  /** Names a `ref()` can resolve to besides models: `{% snapshot X %}` block
+    * names under snapshots/ and seed CSV stems under seeds/. */
+  def refTargets(snapshotsDir: Path, seedsDir: Path): Set[String] = {
+    val snaps = if (Files.isDirectory(snapshotsDir))
+      sqlFiles(snapshotsDir).flatMap(p =>
+        SnapshotNameRe.findAllMatchIn(Files.readString(p)).map(_.group(1))).toSet
+    else Set.empty[String]
+    val seeds = if (Files.isDirectory(seedsDir))
+      Files.walk(seedsDir).iterator().asScala
+        .filter(p => p.toString.endsWith(".csv") && Files.isRegularFile(p))
+        .map(_.getFileName.toString.stripSuffix(".csv")).toSet
+    else Set.empty[String]
+    snaps ++ seeds
+  }
+
+  /** Default var values for a dry render: dates shaped like the scheduler's
+    * daily window, identifiers for name-valued vars. Callers override. */
+  val defaultVars: Map[String, String] = Map(
+    "start_date_ymd" -> "2024-01-01",
+    "end_date_ymd" -> "2024-01-31",
+    "table_name" -> "sweep_table")
+
+  def sweep(spark: SparkSession, modelsDir: Path, macrosDir: Path,
+            vars: Map[String, String] = defaultVars,
+            extraRefTargets: Set[String] = Set.empty): Report = {
+    val macros = loadMacros(macrosDir)
+    val parser = spark.sessionState.sqlParser
+
+    val results = sqlFiles(modelsDir).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      val sql = Files.readString(p)
+      val incremental = sql.contains("is_incremental")
+      var refs: Seq[String] = Nil
+
+      def attempt(phase: String)(body: => Unit): Option[ModelResult] =
+        try { body; None } catch {
+          case e: Throwable => Some(ModelResult(name, p.toString, phase,
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ")}"),
+            refs, incremental))
+        }
+
+      val failure =
+        // a committed git merge-conflict marker is a defect of the corpus
+        // file itself, not of the template pipeline — classify, don't parse
+        ConflictMarkerRe.findFirstIn(sql).map(_ => ModelResult(name, p.toString,
+          "corpus-defect", Some("unresolved git merge-conflict marker in source file"),
+          refs, incremental))
+        .orElse(attempt("config") {
+          SqlTemplater.materializationFromConfig(SqlTemplater.parseConfig(sql))
+        }).orElse {
+          // incremental models must render AND parse in both modes: the
+          // is_incremental branches are different SQL texts at runtime
+          val modes = if (incremental) Seq(false, true) else Seq(false)
+          modes.iterator.flatMap { inc =>
+            var rendered: SqlTemplater.Rendered = null
+            attempt(if (inc) "render(incremental)" else "render") {
+              rendered = SqlTemplater.renderText(name, sql, macros, vars, vars(_), inc)
+              refs = rendered.refs
+            }.orElse(attempt(if (inc) "parse(incremental)" else "parse") {
+              parser.parsePlan(rendered.text)
+            })
+          }.nextOption()
+        }
+
+      failure.getOrElse(ModelResult(name, p.toString, "ok", None, refs, incremental))
+    }
+
+    val (failed, passed) = results.partition(_.error.isDefined)
+
+    // corpus DAG: edges ref -> model; refs may also resolve to snapshot
+    // blocks or seed CSVs (extraRefTargets) — anything else is unresolved
+    val byName = results.map(r => r.name -> r).toMap
+    val unresolved = results.flatMap(r =>
+      r.refs.filterNot(x => byName.contains(x) || extraRefTargets.contains(x)).map(r.name -> _))
+    val edges = results.map(r => r.name -> r.refs.filter(byName.contains))
+
+    // Kahn topological order over the in-corpus ref graph
+    val inDeg = scala.collection.mutable.Map(edges.map { case (n, ds) => n -> ds.size }: _*)
+    val dependents = edges.flatMap { case (n, ds) => ds.map(_ -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val queue = scala.collection.mutable.Queue(
+      edges.collect { case (n, ds) if ds.isEmpty => n }.sorted: _*)
+    val topo = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue(); topo += n
+      for (d <- dependents.getOrElse(n, Nil).sorted) {
+        inDeg(d) -= 1
+        if (inDeg(d) == 0) queue += d
+      }
+    }
+    val cycle = if (topo.size == results.size) None
+                else Some(inDeg.collect { case (n, d) if d > 0 => n }.toSeq.sorted)
+
+    Report(results.size, passed, failed, unresolved, cycle, topo.toSeq)
+  }
+
+  /** Human-readable summary (CORPUS.md body). */
+  def describe(r: Report): String = {
+    val sb = new StringBuilder
+    sb ++= s"total models: ${r.total}\n"
+    sb ++= s"pass (config+render+parse): ${r.passed.size}\n"
+    sb ++= s"incremental models (rendered+parsed in both modes): ${r.passed.count(_.incremental) + r.failed.count(_.incremental)}\n"
+    sb ++= s"in-corpus ref edges resolve: ${r.total - r.unresolvedRefs.map(_._1).distinct.size}\n"
+    sb ++= s"topological order covers: ${r.topoOrder.size}/${r.total} (cycle: ${r.cycle.map(_.mkString(", ")).getOrElse("none")})\n"
+    if (r.unresolvedRefs.nonEmpty)
+      sb ++= r.unresolvedRefs.map { case (m, ref) => s"  unresolved ref: $m -> $ref\n" }.mkString
+    for (f <- r.failed)
+      sb ++= s"  FAIL [${f.phase}] ${f.name}: ${f.error.getOrElse("")}\n"
+    sb.result()
+  }
+}

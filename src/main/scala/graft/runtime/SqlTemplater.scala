@@ -20,11 +20,13 @@ import graft.functions.TimeFunctions
   */
 object SqlTemplater {
 
-  private val ConfigRe = """(?s)\{\{\s*config\(.*?\)\s*\}\}""".r
+  // `name\s*\(` throughout: the corpus writes both `source('a','b')` and
+  // `source ('a','b')` (e.g. models/spark/b2b_mart/fact/fact_promocodes.sql)
+  private val ConfigRe = """(?s)\{\{\s*config\s*\(.*?\)\s*\}\}""".r
   private val CommentRe = """(?s)\{#.*?#\}""".r
-  private val RefRe = """\{\{\s*ref\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
-  private val SourceRe = """\{\{\s*source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
-  private val VarRe = """\{\{\s*var\(\s*['"]([^'"]+)['"](?:\s*,\s*['"]([^'"]*)['"])?\s*\)\s*\}\}""".r
+  private val RefRe = """\{\{\s*ref\s*\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+  private val SourceRe = """\{\{\s*source\s*\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+  private val VarRe = """\{\{\s*var\s*\(\s*['"]([^'"]+)['"](?:\s*,\s*['"]([^'"]*)['"])?\s*\)\s*\}\}""".r
   private val IncrRe = """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
   private val ThisRe = """\{\{\s*this\s*\}\}""".r
 
@@ -38,7 +40,7 @@ object SqlTemplater {
     """(?s)\{%-?\s*macro\s+(\w+)\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}""".r
   // a call is any {{ name(...) }} whose name has a registered macro; ref/
   // source/var/config never collide because they cannot be registered
-  private val CallRe = """\{\{\s*(\w+)\(([^{}]*)\)\s*\}\}""".r
+  private val CallRe = """\{\{\s*(\w+)\s*\(([^{}]*)\)\s*\}\}""".r
   private val reservedNames = Set("ref", "source", "var", "config", "this")
   private val ParamRe = """\{\{\s*(\w+)\s*\}\}""".r
 
@@ -77,20 +79,25 @@ object SqlTemplater {
 
   private val ExprRe = """\{\{[^{}]*\}\}|\{%[^{}]*%\}""".r
 
-  /** Bind params into a macro body: standalone `{{ param }}` becomes the
-    * argument text; params referenced inside nested template expressions or
-    * `{% %}` tags (e.g. a `{% set %}` right-hand side) are replaced as
-    * whole-word tokens — mirroring Jinja, where parameter names only have
-    * meaning inside template expressions, never in the surrounding SQL text.
-    * Because binding is textual, an argument that must stay a *string value*
-    * in an expression context is double-quoted at the call site
-    * (`m("'text'")`), while plain `m('sql text')` splices raw SQL. */
-  private def bindParams(body: String, bound: Map[String, String]): String = {
+  /** Bind params into a macro body, mirroring Jinja's value semantics with
+    * textual substitution:
+    *   - standalone `{{ param }}` renders the argument's *value* — quotes
+    *     stripped, like Jinja rendering a string (`{{ x }}` with x='a' → a);
+    *   - params inside template expressions or `{% %}` tags are replaced as
+    *     whole-word tokens by the argument's *raw text*, so a quoted call
+    *     argument stays a string literal where it is evaluated
+    *     (`{% if param == 'device_id' %}` with arg `'device_id'` becomes a
+    *     true comparison — reference archetype:
+    *     macros/gold_active_users_and_devices_with_ephemeral.sql:5).
+    * Unquoted arguments (spliced SQL like `format_time(dur_h)`) bind the
+    * same text in both contexts. */
+  private def bindParams(body: String, raw: Map[String, String]): String = {
+    val values = raw.map { case (k, v) => k -> stripQuotes(v) }
     val standalone = ParamRe.replaceAllIn(body, pm =>
-      scala.util.matching.Regex.quoteReplacement(bound.getOrElse(pm.group(1), pm.matched)))
+      scala.util.matching.Regex.quoteReplacement(values.getOrElse(pm.group(1), pm.matched)))
     ExprRe.replaceAllIn(standalone, em => {
       var e = em.matched
-      for ((p, a) <- bound)
+      for ((p, a) <- raw)
         e = e.replaceAll("(?<!['\"\\w])" + java.util.regex.Pattern.quote(p) + "(?!['\"\\w])",
           scala.util.matching.Regex.quoteReplacement(a))
       scala.util.matching.Regex.quoteReplacement(e)
@@ -106,7 +113,9 @@ object SqlTemplater {
       macros.get(m.group(1)) match {
         case Some(d) =>
           changed = true
-          val args = splitArgs(m.group(2)).map(stripQuotes)
+          // raw argument text; bindParams strips quotes only at value
+          // (standalone-splice) positions
+          val args = splitArgs(m.group(2))
           scala.util.matching.Regex.quoteReplacement(
             bindParams(d.body, d.params.zip(args).toMap))
         case None => scala.util.matching.Regex.quoteReplacement(m.matched)
@@ -118,57 +127,80 @@ object SqlTemplater {
   def extractRefs(sql: String): Seq[String] =
     RefRe.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
 
-  /** Render + execute a dbt-style SQL body in `ctx`. */
-  def runSql(ctx: Ctx, modelName: String, sql: String): DataFrame = {
-    TimeFunctions.register(ctx.spark)
+  /** The template pipeline's output: final runnable SQL text (relations
+    * renamed to catalog-safe view identifiers) plus the relations the body
+    * referenced, so a caller can bind them before execution. */
+  final case class Rendered(text: String, refs: Seq[String],
+                            sources: Seq[(String, String)], usesThis: Boolean) {
+    def thisView(modelName: String): String = viewName(s"__this_$modelName")
+  }
 
+  /** Pure-text render of a dbt-style SQL body: config/comment strip, macro
+    * expansion, Jinja control flow, var / is_incremental substitution, and
+    * ref/source/this renaming — everything short of touching a catalog.
+    * `runSql` executes this; CorpusSweep parses it corpus-wide. */
+  def renderText(modelName: String, sql: String, macros: Map[String, MacroDef],
+                 vars: Map[String, String], varOf: String => String,
+                 isIncremental: Boolean): Rendered = {
     // reference model bodies open with {{ config(...) }} and may carry
     // {# jinja comments #}; config is engine-side metadata here (the Model
     // carries materialization), so both are stripped for near-verbatim runs
     val stripped = CommentRe.replaceAllIn(ConfigRe.replaceAllIn(sql, ""), "")
 
-    // macro-call expansion first: macro bodies may contain var()/ref() calls
-    val expanded = expandMacros(stripped, ctx.macros)
+    // macro-call expansion first: macro bodies may contain var()/ref() calls.
+    // Config is stripped again afterwards — a model-template macro can carry
+    // its own {{ config(...) }} inside a branch (reference:
+    // macros/gold_active_users_and_devices_with_ephemeral.sql:8-26)
+    val expanded = ConfigRe.replaceAllIn(expandMacros(stripped, macros), "")
 
     // control-flow interpretation ({% set %}/{% for %}/general {% if %}/
     // {% do %} plus evaluable {{ … }} outputs); ref/source/this stay verbatim
     // for the substitution passes below. `target.name` defaults to prod like
     // the reference's profiles (var target_name overrides for dev runs).
-    val interpreted = Jinja.render(expanded, Jinja.Env(ctx.vars, ctx.isIncremental,
+    val interpreted = Jinja.render(expanded, Jinja.Env(vars, isIncremental,
       bindings = Map("target" -> Jinja.VMap(scala.collection.mutable.LinkedHashMap(
-        "name" -> Jinja.VStr(ctx.vars.getOrElse("target_name", "prod")))))))
+        "name" -> Jinja.VStr(vars.getOrElse("target_name", "prod")))))))
 
     var text = IncrRe.replaceAllIn(interpreted, m =>
       scala.util.matching.Regex.quoteReplacement(
-        if (ctx.isIncremental) m.group(1) else Option(m.group(2)).getOrElse("")))
+        if (isIncremental) m.group(1) else Option(m.group(2)).getOrElse("")))
 
     text = VarRe.replaceAllIn(text, m =>
       scala.util.matching.Regex.quoteReplacement(
         Option(m.group(2)) match {
-          case Some(default) => ctx.vars.getOrElse(m.group(1), default)
-          case None => ctx.varOf(m.group(1))
+          case Some(default) => vars.getOrElse(m.group(1), default)
+          case None => varOf(m.group(1))
         }))
 
-    for (ref <- RefRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct) {
-      ctx.ref(ref).createOrReplaceTempView(viewName(ref))
-    }
+    val refs = RefRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
     text = RefRe.replaceAllIn(text, m =>
       scala.util.matching.Regex.quoteReplacement(viewName(m.group(1))))
 
-    for (m <- SourceRe.findAllMatchIn(text).toSeq.map(m => (m.group(1), m.group(2))).distinct) {
-      ctx.source(m._1, m._2).createOrReplaceTempView(viewName(s"${m._1}__${m._2}"))
-    }
+    val sources = SourceRe.findAllMatchIn(text).toSeq.map(m => (m.group(1), m.group(2))).distinct
     text = SourceRe.replaceAllIn(text, m =>
       scala.util.matching.Regex.quoteReplacement(viewName(s"${m.group(1)}__${m.group(2)}")))
 
-    if (ThisRe.findFirstIn(text).isDefined) {
-      val thisView = viewName(s"__this_$modelName")
-      if (ctx.warehouse.tableExists(modelName))
-        ctx.warehouse.read(modelName).createOrReplaceTempView(thisView)
-      text = ThisRe.replaceAllIn(text, thisView)
-    }
+    val usesThis = ThisRe.findFirstIn(text).isDefined
+    if (usesThis)
+      text = ThisRe.replaceAllIn(text, viewName(s"__this_$modelName"))
 
-    ctx.spark.sql(text)
+    Rendered(text, refs, sources, usesThis)
+  }
+
+  /** Render + execute a dbt-style SQL body in `ctx`. */
+  def runSql(ctx: Ctx, modelName: String, sql: String): DataFrame = {
+    TimeFunctions.register(ctx.spark)
+
+    val r = renderText(modelName, sql, ctx.macros, ctx.vars, ctx.varOf, ctx.isIncremental)
+
+    for (ref <- r.refs)
+      ctx.ref(ref).createOrReplaceTempView(viewName(ref))
+    for ((schema, table) <- r.sources)
+      ctx.source(schema, table).createOrReplaceTempView(viewName(s"${schema}__${table}"))
+    if (r.usesThis && ctx.warehouse.tableExists(modelName))
+      ctx.warehouse.read(modelName).createOrReplaceTempView(r.thisView(modelName))
+
+    ctx.spark.sql(r.text)
   }
 
   private def viewName(n: String): String = n.replaceAll("[^A-Za-z0-9_]", "_")
@@ -181,7 +213,7 @@ object SqlTemplater {
     Model(name, ctx => runSql(ctx, name, sql), materialization,
       deps = extractRefs(sql), tags = tags, meta = meta)
 
-  private val ConfigArgsRe = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
+  private val ConfigArgsRe = """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
 
   /** Parse the kwargs of a model's leading `{{ config(...) }}` block into
     * Jinja values (reference: models/spark/gold/gold_orders.sql:1-17).

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.runtime._
+
+/** Corpus-wide templater sweep over the reference's real model tree: every
+  * model file must config-parse, render (both incremental modes), and parse
+  * as Spark SQL, and the full ref() graph must wire into an acyclic DAG.
+  * Skipped when the reference checkout is absent. */
+class CorpusSpec extends SparkSpec {
+
+  private val modelsDir = Paths.get("/root/reference/models")
+  private val macrosDir = Paths.get("/root/reference/macros")
+
+  test("every reference model renders and parses; corpus DAG is acyclic") {
+    assume(Files.isDirectory(modelsDir) && Files.isDirectory(macrosDir))
+    val report = CorpusSweep.sweep(spark, modelsDir, macrosDir,
+      extraRefTargets = CorpusSweep.refTargets(
+        Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds")))
+    info(CorpusSweep.describe(report).linesIterator.take(12).mkString("\n"))
+
+    assert(report.total >= 400, "reference corpus unexpectedly small")
+    // the single tolerated failure class: files the reference itself
+    // committed broken (a git merge-conflict marker is not valid model SQL
+    // for any engine, dbt included)
+    val (defects, real) = report.failed.partition(_.phase == "corpus-defect")
+    assert(real.isEmpty, "corpus failures:\n" + CorpusSweep.describe(report))
+    assert(defects.map(_.name) == Seq("sherlock_kaspi_products"), defects.toString)
+    assert(report.passed.size == report.total - defects.size)
+    // every ref() in the corpus resolves to a model, snapshot, or seed
+    assert(report.unresolvedRefs.isEmpty, report.unresolvedRefs.mkString("\n"))
+    assert(report.cycle.isEmpty && report.topoOrder.size == report.total)
+  }
+}

@@ -354,9 +354,8 @@ class RuntimeSpec extends SparkSpec {
   test("jinja {% set %}/{% for %} dict guard selects alias (generate_alias_name shape)") {
     // modeled on /root/reference/macros/generate_alias_name.sql:2-25: loop
     // over a split var builds a dict guard, then target/membership if-logic
-    // with ternary + trim + ~ concat picks the emitted name. String-valued
-    // args are double-quoted at the call site (textual binding — see
-    // SqlTemplater.bindParams scaladoc).
+    // with ternary + trim + ~ concat picks the emitted name. Quoted call
+    // args stay string literals in expression contexts (bindParams).
     val defs = SqlTemplater.parseMacros(
       """{% macro alias_for(custom_alias_name, node_name, node_uid, node_schema) -%}
         |{% set dev_override_all = true %}
@@ -376,7 +375,7 @@ class RuntimeSpec extends SparkSpec {
         |{%- endmacro %}""".stripMargin)
     def render(vars: Map[String, String]): String = {
       val expanded = SqlTemplater.expandMacros(
-        """{{ alias_for("' orders_alias '", "'gold_orders'", "'model.gold_orders'", "'dev_gold'") }}""", defs)
+        """{{ alias_for(' orders_alias ', 'gold_orders', 'model.gold_orders', 'dev_gold') }}""", defs)
       Jinja.render(expanded, Jinja.Env(vars, isIncremental = false,
         bindings = Map("target" -> Jinja.VMap(scala.collection.mutable.LinkedHashMap(
           "name" -> Jinja.VStr(vars.getOrElse("target_name", "prod"))))))).trim
