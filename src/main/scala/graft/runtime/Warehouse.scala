@@ -166,7 +166,14 @@ final class Warehouse(val spark: SparkSession, val root: String,
                   partitionBy: Seq[String],
                   onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
                   incrementPartitionsOnly: Boolean = false): Unit = {
-    require(uniqueKey.nonEmpty, s"merge on $name needs unique_key columns")
+    // dbt-spark merge without unique_key is insert-only (WHEN NOT MATCHED
+    // INSERT): nothing can match, so it degrades to append (reference
+    // archetype: models/spark/junk2/dbt_test.sql — bare incremental config)
+    if (uniqueKey.isEmpty) {
+      if (tableExists(name)) append(name, alignSchema(name, df, onSchemaChange), partitionBy)
+      else createTable(name, df, partitionBy)
+      return
+    }
     if (!tableExists(name)) { createTable(name, df, partitionBy); return }
     val aligned = alignSchema(name, df, onSchemaChange)
     val existing = read(name)

@@ -496,6 +496,82 @@ class RuntimeSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "restricted")))
   }
 
+  test("REAL dependency-free reference models execute verbatim in one DAG") {
+    // every literal-dim model of the corpus (no ref/source/catalog reads)
+    // materializes through sqlModelAuto + DagRunner with zero fixtures —
+    // including key_amo_status.sql, the corpus's 2nd-largest file (1,371 LoC,
+    // 272 UNION ALL arms of unicode literals)
+    val base = "/root/reference/models/spark"
+    def m(n: String, p: String) = SqlTemplater.sqlModelAuto(n,
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$p")))
+    val ctx = freshCtx()
+    val dims = Seq(
+      m("key_amo_status", "b2b_mart/key/key_amo_status.sql"),
+      m("support_roles", "b2b_mart/key/support_roles.sql"),
+      m("linehaul_channels", "b2b_mart/linehaul_channels.sql"),
+      m("sla_days", "b2b_mart/key/sla_days.sql"),
+      m("key_sla_stage", "b2b_mart/key/key_sla_stage.sql"),
+      m("key_payment_status", "b2b_mart/key/key_payment_status.sql"))
+    val res = new DagRunner(dims).run(ctx)
+    res.foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val amo = ctx.ref("key_amo_status")
+    assert(amo.count() == 272)
+    assert(amo.select($"pipeline_id").distinct().count() == 23)
+    assert(amo.filter($"pipeline_id" === 6769178 && $"status_id" === 142)
+      .select($"status_name").as[String].head().nonEmpty)
+    assert(ctx.ref("key_sla_stage").count() == 13)
+    for (d <- dims.tail) assert(ctx.ref(d.name).count() > 0, d.name)
+  }
+
+  test("REAL reference models reading hardcoded catalog tables execute verbatim") {
+    // ftu_archive.sql and airflow_task_instance_archive.sql read catalog
+    // tables by db-qualified name (FROM platform.fact_table_update) — no
+    // ref()/source() — so the engine must run them against the session
+    // catalog; both are incremental insert_overwrite with var-dated windows
+    val base = "/root/reference/models/spark"
+    def m(n: String, p: String) = SqlTemplater.sqlModelAuto(n,
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$p")))
+    val loc = java.nio.file.Files.createTempDirectory("graft_catalog")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS platform LOCATION '$loc'")
+    val now = java.time.Instant.now()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      // recent row: survives the full-refresh NOW()-6-month window
+      ("spark", "gold.orders", java.sql.Timestamp.from(now.minusSeconds(86400)),
+        java.sql.Timestamp.from(now.minusSeconds(82800)), java.sql.Timestamp.from(now)),
+      // fixed March 2024 row: selected by the incremental var window
+      ("spark", "gold.orders", ts("2024-03-10 10:00:00"),
+        ts("2024-03-10 11:00:00"), ts("2024-03-10 12:00:00")))
+      .toDF("platform", "table_name", "start_time", "next_start_time", "dttm")
+      .write.mode("overwrite").saveAsTable("platform.fact_table_update")
+    Seq(
+      ("t1", "dag_gold", "r1", 0, "SparkOp", "default",
+        java.sql.Timestamp.from(now.minusSeconds(7200)), java.sql.Timestamp.from(now), 7200.0,
+        "success", 100, 1, 3),
+      ("t2", "dag_gold", "r0", 0, "SparkOp", "default",
+        ts("2024-03-10 23:30:00"), ts("2024-03-11 00:30:00"), 3600.0, "success", 100, 1, 3))
+      .toDF("task_id", "dag_id", "run_id", "map_index", "operator", "pool",
+        "start_date", "end_date", "duration", "state", "priority_weight",
+        "try_number", "max_tries")
+      .write.mode("overwrite").saveAsTable("platform.airflow_task_instance")
+
+    val ctx = freshCtx(vars = Map(
+      "start_date_ymd" -> "2024-03-01", "end_date_ymd" -> "2024-04-01"))
+    val models = Seq(m("ftu_archive", "platform/ftu_archive.sql"),
+      m("airflow_task_instance_archive", "platform/airflow_task_instance_archive.sql"))
+    val dag = new DagRunner(models)
+    val r1 = dag.run(ctx)
+    r1.foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    assert(ctx.ref("ftu_archive").count() == 1)      // full mode: recent row only
+    val r2 = dag.run(ctx)                            // incremental: March window
+    r2.foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    assert(ctx.ref("ftu_archive").count() == 2)      // March partition added
+    // the HOUR >= 22 arm rolls the 23:30 task into the next day's partition
+    assert(ctx.ref("airflow_task_instance_archive")
+      .filter($"task_id" === "t2").select($"partition_date".cast("string"))
+      .as[String].head() == "2024-03-11")
+  }
+
   test("jinja {% for k, v in dict.items() %} with loop.last comma control (tblproperties shape)") {
     // modeled on /root/reference/macros/spark_adapter_patch/tblproperties_clause.sql:6-18
     val out = Jinja.render(
