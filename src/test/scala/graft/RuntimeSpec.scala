@@ -523,6 +523,92 @@ class RuntimeSpec extends SparkSpec {
     for (d <- dims.tail) assert(ctx.ref(d.name).count() > 0, d.name)
   }
 
+  test("REAL fact_order_change.sql (443 LoC) executes verbatim on a typed event mock") {
+    // the corpus's hardest nested-struct model: triple-chained
+    // posexplode_outer over array<struct<..array<struct<..array<struct>>>>>,
+    // map-of-struct rate indexing rates[currency]['exchangeRate'], currency
+    // pairs built by exploding map keys, `from`/`to` used as column names AND
+    // table aliases, millis_to_ts_msk, and a 50-column conditional-sum final
+    // aggregate — run full + incremental, numbers checked by hand
+    val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/models/spark/b2b_mart/fact/fact_order_change.sql"))
+    val events = spark.sql(
+      """SELECT
+        |  CASE i WHEN 1 THEN 'e1' ELSE 'e2' END AS event_id,
+        |  CASE i WHEN 1 THEN DATE'2024-03-10' ELSE DATE'2024-03-11' END AS partition_date,
+        |  CASE i WHEN 1 THEN '2024-03-10 12:00:00' ELSE '2024-03-11 09:00:00' END AS event_ts_msk,
+        |  'orderChangedByAdmin' AS type,
+        |  named_struct(
+        |    'orderId', CASE i WHEN 1 THEN 'o1' ELSE 'o2' END,
+        |    'updatedTime', 1710064800000,
+        |    'clientCurrency', CASE i WHEN 1 THEN 'EUR' ELSE 'USD' END,
+        |    'reason', 'priceFix',
+        |    'status', CASE i WHEN 1 THEN 'manufacturing' ELSE 'shipping' END,
+        |    'subStatus', CASE i WHEN 1 THEN 'qc' ELSE CAST(NULL AS STRING) END,
+        |    'currencies', IF(i = 1, named_struct(
+        |      'rates', map(
+        |        'EUR-USD', named_struct('exchangeRate', 1.1D, 'markupRate', 0.02D),
+        |        'USD-EUR', named_struct('exchangeRate', 0.9D, 'markupRate', 0.03D)),
+        |      'companyRates', map(
+        |        'EUR-USD', named_struct('exchangeRate', 1.1D, 'markupRate', 0.02D))), NULL),
+        |    'typedPricesOriginal', IF(i = 1, array(named_struct(
+        |      'type', 'linehaul', 'tag', 'ddp', 'stagedPrices', array(
+        |        named_struct('stage', 'final', 'multiPrice',
+        |          array(named_struct('amount', 100.0D, 'ccy', 'EUR'))),
+        |        named_struct('stage', 'confirmed', 'multiPrice',
+        |          array(named_struct('amount', 90.0D, 'ccy', 'EUR')))))), NULL),
+        |    'otherPricesOriginal', IF(i = 1, array(named_struct(
+        |      'type', 'qc', 'tag', 'grant', 'stagedPrices', array(
+        |        named_struct('stage', 'final', 'multiPrice',
+        |          array(named_struct('amount', 10.0D, 'ccy', 'USD')))))), NULL),
+        |    'roleSet', named_struct('roles', named_struct(
+        |      'owner', named_struct(
+        |        'actualisationTime', named_struct('time', 1710000000000, 'type', 'auto'),
+        |        'moderatorId', 'm1', 'roleType', 'admin'),
+        |      'bizDev', named_struct(
+        |        'actualisationTime', named_struct('time', CAST(NULL AS BIGINT),
+        |          'type', CAST(NULL AS STRING)),
+        |        'moderatorId', CAST(NULL AS STRING), 'roleType', CAST(NULL AS STRING)))),
+        |    'gmv', named_struct('clientConvertedGMV', 1000.0D, 'finalGMV', 1100.0D,
+        |      'finalGrossProfit', 200.0D, 'initialGrossProfit', 150.0D)
+        |  ) AS payload
+        |FROM (SELECT explode(sequence(1, 2)) AS i)""".stripMargin)
+    val ctx = freshCtx(vars = Map(
+      "start_date_ymd" -> "2024-03-01", "end_date_ymd" -> "2024-04-01"))
+    ctx.sources.register("b2b_mart", "operational_events")(_ => events)
+    val model = SqlTemplater.sqlModelAuto("fact_order_change", sql)
+    assert(model.materialization == Materialization.IncrementalInsertOverwrite(
+      Seq("partition_date_msk"), OnSchemaChange.Ignore))
+    val dag = new DagRunner(Seq(model))
+    for (r <- Seq(dag.run(ctx), dag.run(ctx)); (n, st) <- r)   // full, then incremental
+      assert(st.isInstanceOf[RunStatus.Success], s"$n: $st")
+    val out = ctx.ref("fact_order_change").cache()
+    assert(out.count() == 2)
+    def d(colName: String, ev: String): Option[Double] =
+      Option(out.filter($"event_id" === ev).select(col(colName).cast("double"))
+        .collect().head.getAs[java.lang.Double](0)).map(_.doubleValue())
+    // EUR fees convert via the EUR-USD rate with the USD-EUR row's markup
+    // (the model's `from`/`to` alias join); USD fees pass through at 1.0
+    val lin = 100.0 * 1.1 * (1 - 0.03)
+    val linC = 90.0 * 1.1 * (1 - 0.03)
+    def approx(a: Option[Double], b: Double) =
+      assert(a.exists(x => math.abs(x - b) < 1e-9), s"$a vs $b")
+    approx(d("linehaul_final_price", "e1"), lin)
+    approx(d("ddp_final_price", "e1"), lin)
+    approx(d("qc_final_price", "e1"), 10.0)
+    approx(d("total_final_price", "e1"), lin - 10.0)  // grant tag negates
+    approx(d("total_confirmed_price", "e1"), linC)
+    approx(d("client_converted_gmv", "e1"), 1000.0)
+    // e2's null price arrays survive the posexplode_outer chain as one
+    // all-null fee row: the event still lands in the fact, sums null
+    assert(d("total_final_price", "e2").isEmpty)
+    assert(out.filter($"event_id" === "e2").select($"status").as[String].head() == "shipping")
+    // owner_time millis resolved through millis_to_ts_msk, bizDev fell back
+    assert(out.filter($"event_id" === "e1")
+      .select($"owner_time_msk" =!= $"biz_dev_time_msk").as[Boolean].head())
+    out.unpersist()
+  }
+
   test("REAL reference models reading hardcoded catalog tables execute verbatim") {
     // ftu_archive.sql and airflow_task_instance_archive.sql read catalog
     // tables by db-qualified name (FROM platform.fact_table_update) — no
