@@ -99,7 +99,8 @@ object CorpusSweep {
           "corpus-defect", Some("unresolved git merge-conflict marker in source file"),
           refs, incremental))
         .orElse(attempt("config") {
-          SqlTemplater.materializationFromConfig(SqlTemplater.parseConfig(sql))
+          SqlTemplater.materializationFromConfig(
+            SqlTemplater.effectiveConfig(sql, macros, vars))
         }).orElse {
           // incremental models must render AND parse in both modes: the
           // is_incremental branches are different SQL texts at runtime

@@ -215,6 +215,21 @@ object SqlTemplater {
 
   private val ConfigArgsRe = """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
 
+  private def parseConfigArgs(args: String): Map[String, Jinja.V] =
+    splitArgs(args).filter(_.nonEmpty).flatMap { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) None
+      else {
+        val k = kv.substring(0, i).trim
+        val raw = kv.substring(i + 1).trim
+        val v = scala.util.Try(Jinja.eval(raw,
+          scala.collection.mutable.LinkedHashMap.empty,
+          Jinja.Env(Map.empty, isIncremental = false)))
+          .getOrElse(Jinja.VStr(stripQuotes(raw)))
+        Some(k -> v)
+      }
+    }.toMap
+
   /** Parse the kwargs of a model's leading `{{ config(...) }}` block into
     * Jinja values (reference: models/spark/gold/gold_orders.sql:1-17).
     * Values are Python-ish literals evaluated by [[Jinja]]'s expression
@@ -222,21 +237,35 @@ object SqlTemplater {
   def parseConfig(sql: String): Map[String, Jinja.V] =
     ConfigArgsRe.findFirstMatchIn(sql) match {
       case None => Map.empty
-      case Some(m) =>
-        splitArgs(m.group(1)).filter(_.nonEmpty).flatMap { kv =>
-          val i = kv.indexOf('=')
-          if (i < 0) None
-          else {
-            val k = kv.substring(0, i).trim
-            val raw = kv.substring(i + 1).trim
-            val v = scala.util.Try(Jinja.eval(raw,
-              scala.collection.mutable.LinkedHashMap.empty,
-              Jinja.Env(Map.empty, isIncremental = false)))
-              .getOrElse(Jinja.VStr(stripQuotes(raw)))
-            Some(k -> v)
-          }
-        }.toMap
+      case Some(m) => parseConfigArgs(m.group(1))
     }
+
+  /** The config that is actually in effect after macro expansion and control
+    * flow: a model-template macro can define DIFFERENT `{{ config(...) }}`
+    * blocks in `{% if %}` branches selected by its argument (reference:
+    * macros/gold_active_users_and_devices_with_ephemeral.sql:5-48, where
+    * `gold_active_devices_with_ephemeral.sql` is just the one-line call).
+    * Each config block is masked as an opaque marker so Jinja never has to
+    * evaluate it (nested dict braces would confuse mustache matching), the
+    * control flow is rendered, and the surviving marker's block is parsed. */
+  def effectiveConfig(sql: String, macros: Map[String, MacroDef],
+                      vars: Map[String, String] = Map.empty): Map[String, Jinja.V] = {
+    val expanded = expandMacros(CommentRe.replaceAllIn(sql, ""), macros)
+    val blocks = ConfigArgsRe.findAllMatchIn(expanded).toVector
+    if (blocks.isEmpty) return Map.empty
+    if (blocks.size == 1) return parseConfigArgs(blocks.head.group(1))
+    val masked = blocks.zipWithIndex.reverse.foldLeft(expanded) {
+      case (txt, (m, i)) =>
+        txt.substring(0, m.start) + s"__GRAFT_CONFIG_${i}__" + txt.substring(m.end)
+    }
+    val rendered = Jinja.render(masked, Jinja.Env(vars, isIncremental = false,
+      bindings = Map("target" -> Jinja.VMap(scala.collection.mutable.LinkedHashMap(
+        "name" -> Jinja.VStr(vars.getOrElse("target_name", "prod")))))))
+    """__GRAFT_CONFIG_(\d+)__""".r.findFirstMatchIn(rendered) match {
+      case Some(m) => parseConfigArgs(blocks(m.group(1).toInt).group(1))
+      case None => Map.empty
+    }
+  }
 
   /** dbt config → engine [[Materialization]] (default 'view', like dbt).
     * `incremental_strategy` defaults to 'merge' for delta relations in
@@ -269,9 +298,15 @@ object SqlTemplater {
 
   /** Build a [[Model]] whose materialization, tags, and meta come from the
     * SQL's own `{{ config(...) }}` block — full dbt semantics, so a
-    * reference model body carries its complete contract in one file. */
-  def sqlModelAuto(name: String, sql: String): Model = {
-    val cfg = parseConfig(sql)
+    * reference model body carries its complete contract in one file. Pass
+    * `macros` when the model is a macro call carrying its config inside the
+    * macro body (the `gold_active_*_with_ephemeral` template shape). */
+  def sqlModelAuto(name: String, sql: String): Model =
+    sqlModelAuto(name, sql, Map.empty[String, MacroDef])
+
+  def sqlModelAuto(name: String, sql: String, macros: Map[String, MacroDef],
+                   vars: Map[String, String] = Map.empty): Model = {
+    val cfg = effectiveConfig(sql, macros, vars)
     val tags = cfg.get("tags").map {
       case Jinja.VList(xs) => xs.map(_.render).toSet
       case v => Set(v.render)

@@ -523,6 +523,23 @@ class RuntimeSpec extends SparkSpec {
     for (d <- dims.tail) assert(ctx.ref(d.name).count() > 0, d.name)
   }
 
+  test("REAL model-template macro carries its config; materialization extracted post-expansion") {
+    // gold_active_devices_with_ephemeral.sql is a one-line macro call; its
+    // {{ config(...) }} lives inside the macro's {% if %} branches, selected
+    // by the argument — effectiveConfig must mask, render, and pick the
+    // surviving block (a pre-expansion parse sees no config at all)
+    val macros = CorpusSweep.loadMacros(java.nio.file.Paths.get("/root/reference/macros"))
+    def cfgOf(f: String) = SqlTemplater.effectiveConfig(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"/root/reference/models/spark/gold/$f")), macros)
+    val dev = cfgOf("gold_active_devices_with_ephemeral.sql")
+    assert(SqlTemplater.materializationFromConfig(dev) ==
+      Materialization.IncrementalInsertOverwrite(Seq("month_msk"), OnSchemaChange.Ignore))
+    assert(dev("alias").render == "active_devices_with_ephemeral")
+    assert(cfgOf("gold_active_users_with_ephemeral.sql")("alias").render ==
+      "active_users_with_ephemeral")
+  }
+
   test("REAL fact_order_change.sql (443 LoC) executes verbatim on a typed event mock") {
     // the corpus's hardest nested-struct model: triple-chained
     // posexplode_outer over array<struct<..array<struct<..array<struct>>>>>,
