@@ -30,7 +30,19 @@ object CorpusSweep {
 
   final case class ModelResult(name: String, path: String, phase: String,
                                error: Option[String], refs: Seq[String],
-                               incremental: Boolean)
+                               incremental: Boolean, tags: Set[String] = Set.empty)
+
+  /** Directory-scoped tag inheritance, the dbt_project.yml `+tags` contract
+    * (reference: dbt_project.yml models: section — subtrees b2b_mart / onfy /
+    * platform / pulse / gold each inherit a tag). Keyed by path segment. */
+  val defaultDirTags: Map[String, String] = Map(
+    "b2b_mart" -> "b2b_mart", "onfy" -> "onfy", "platform" -> "platform",
+    "pulse" -> "pulse", "gold" -> "gold")
+
+  def dirTags(path: Path, rules: Map[String, String] = defaultDirTags): Set[String] = {
+    val segs = (0 until path.getNameCount).map(path.getName(_).toString).toSet
+    rules.collect { case (seg, tag) if segs.contains(seg) => tag }.toSet
+  }
   final case class Report(total: Int, passed: Seq[ModelResult], failed: Seq[ModelResult],
                           unresolvedRefs: Seq[(String, String)], cycle: Option[Seq[String]],
                           topoOrder: Seq[String]) {
@@ -83,13 +95,14 @@ object CorpusSweep {
       val name = p.getFileName.toString.stripSuffix(".sql")
       val sql = Files.readString(p)
       val incremental = sql.contains("is_incremental")
+      val tags = dirTags(p)
       var refs: Seq[String] = Nil
 
       def attempt(phase: String)(body: => Unit): Option[ModelResult] =
         try { body; None } catch {
           case e: Throwable => Some(ModelResult(name, p.toString, phase,
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ")}"),
-            refs, incremental))
+            refs, incremental, tags))
         }
 
       val failure =
@@ -97,7 +110,7 @@ object CorpusSweep {
         // file itself, not of the template pipeline — classify, don't parse
         ConflictMarkerRe.findFirstIn(sql).map(_ => ModelResult(name, p.toString,
           "corpus-defect", Some("unresolved git merge-conflict marker in source file"),
-          refs, incremental))
+          refs, incremental, tags))
         .orElse(attempt("config") {
           SqlTemplater.materializationFromConfig(
             SqlTemplater.effectiveConfig(sql, macros, vars))
@@ -116,7 +129,7 @@ object CorpusSweep {
           }.nextOption()
         }
 
-      failure.getOrElse(ModelResult(name, p.toString, "ok", None, refs, incremental))
+      failure.getOrElse(ModelResult(name, p.toString, "ok", None, refs, incremental, tags))
     }
 
     val (failed, passed) = results.partition(_.error.isDefined)
@@ -156,6 +169,9 @@ object CorpusSweep {
     sb ++= s"incremental models (rendered+parsed in both modes): ${r.passed.count(_.incremental) + r.failed.count(_.incremental)}\n"
     sb ++= s"in-corpus ref edges resolve: ${r.total - r.unresolvedRefs.map(_._1).distinct.size}\n"
     sb ++= s"topological order covers: ${r.topoOrder.size}/${r.total} (cycle: ${r.cycle.map(_.mkString(", ")).getOrElse("none")})\n"
+    val tagCounts = (r.passed ++ r.failed).flatMap(_.tags)
+      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
+    sb ++= tagCounts.map { case (t, n) => s"tag:$t $n" }.mkString("dir-tag slices: ", ", ", "\n")
     if (r.unresolvedRefs.nonEmpty)
       sb ++= r.unresolvedRefs.map { case (m, ref) => s"  unresolved ref: $m -> $ref\n" }.mkString
     for (f <- r.failed)

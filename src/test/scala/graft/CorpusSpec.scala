@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import graft.runtime._
 
@@ -31,5 +32,13 @@ class CorpusSpec extends SparkSpec {
     // every ref() in the corpus resolves to a model, snapshot, or seed
     assert(report.unresolvedRefs.isEmpty, report.unresolvedRefs.mkString("\n"))
     assert(report.cycle.isEmpty && report.topoOrder.size == report.total)
+    // dbt_project.yml's directory-scoped +tags: slice counts match the tree
+    val all = report.passed ++ report.failed
+    for (tag <- Seq("b2b_mart", "onfy", "gold", "platform")) {
+      val expected = java.nio.file.Files.walk(modelsDir).iterator().asScala.count(p =>
+        p.toString.endsWith(".sql") && CorpusSweep.dirTags(p).contains(tag))
+      assert(all.count(_.tags.contains(tag)) == expected, tag)
+      assert(expected > 0, tag)
+    }
   }
 }
