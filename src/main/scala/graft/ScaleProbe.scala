@@ -42,9 +42,11 @@ object ScaleProbe {
     val fullSet = factor < 50
     if (fullSet && !keep) {
       replicate("lineitem", Seq("l_orderkey"), 10000000L)
-      replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
       replicate("customer", Seq("c_custkey"), 10000000L)
     }
+    // orders is replicated at EVERY factor: the merge probe below needs only
+    // it, and at 100× it is still a small write (15M rows)
+    if (!keep) replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
 
     // documents replicated with per-replica token salting: every token gets a
     // replica prefix, so the within-replica duplicate/near-dup structure is
@@ -100,7 +102,7 @@ object ScaleProbe {
     //    time should be ~flat as the table grows ×factor
     //  - pruned=false: adds the matched-key probe, a key-column-only scan of
     //    the target — grows with table size but only on the key column bytes
-    if (fullSet) {
+    locally {
       import graft.runtime._
       def mergeProbe(dir: String, tag: String, pruned: Boolean): Unit = {
         val wh = new Warehouse(spark,

@@ -296,6 +296,17 @@ object SqlTemplater {
     }
   }
 
+  private def tagsOf(cfg: Map[String, Jinja.V]): Set[String] =
+    cfg.get("tags").map {
+      case Jinja.VList(xs) => xs.map(_.render).toSet
+      case v => Set(v.render)
+    }.getOrElse(Set.empty)
+
+  private def metaOf(cfg: Map[String, Jinja.V]): Map[String, String] =
+    cfg.get("meta").collect {
+      case Jinja.VMap(m) => m.map { case (k, v) => k -> v.render }.toMap
+    }.getOrElse(Map.empty[String, String])
+
   /** Build a [[Model]] whose materialization, tags, and meta come from the
     * SQL's own `{{ config(...) }}` block — full dbt semantics, so a
     * reference model body carries its complete contract in one file. Pass
@@ -307,13 +318,39 @@ object SqlTemplater {
   def sqlModelAuto(name: String, sql: String, macros: Map[String, MacroDef],
                    vars: Map[String, String] = Map.empty): Model = {
     val cfg = effectiveConfig(sql, macros, vars)
-    val tags = cfg.get("tags").map {
-      case Jinja.VList(xs) => xs.map(_.render).toSet
-      case v => Set(v.render)
-    }.getOrElse(Set.empty)
-    val meta = cfg.get("meta").collect {
-      case Jinja.VMap(m) => m.map { case (k, v) => k -> v.render }.toMap
-    }.getOrElse(Map.empty[String, String])
-    sqlModel(name, sql, materializationFromConfig(cfg), tags, meta)
+    sqlModel(name, sql, materializationFromConfig(cfg), tagsOf(cfg), metaOf(cfg))
+  }
+
+  private val SnapshotBlockRe =
+    """(?s)\{%-?\s*snapshot\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endsnapshot\s*-?%\}""".r
+
+  /** Parse a snapshots/-tree file — `{% snapshot name %}{{ config(...) }}
+    * body {% endsnapshot %}` (reference: 54 files under snapshots/spark/) —
+    * into a DAG [[Model]] with [[Materialization.Snapshot]] built from its
+    * own config: unique_key, strategy timestamp/check (check_cols='all' or a
+    * list), invalidate_hard_deletes. */
+  def snapshotModel(text: String, macros: Map[String, MacroDef] = Map.empty): Model = {
+    val m = SnapshotBlockRe.findFirstMatchIn(text).getOrElse(
+      throw new IllegalArgumentException("no {% snapshot %} block in file"))
+    val (name, body) = (m.group(1), m.group(2))
+    val cfg = effectiveConfig(body, macros)
+    def str(k: String) = cfg.get(k).map(_.render)
+    val uniqueKey = str("unique_key").getOrElse(
+      throw new IllegalArgumentException(s"snapshot $name: config needs unique_key"))
+    val strategy = str("strategy") match {
+      case Some("timestamp") => Scd2Strategy.Timestamp(str("updated_at").getOrElse(
+        throw new IllegalArgumentException(s"snapshot $name: timestamp strategy needs updated_at")))
+      case Some("check") => Scd2Strategy.Check(cfg.get("check_cols") match {
+        case Some(Jinja.VStr("all")) | None => Nil // all non-key payload columns
+        case Some(Jinja.VList(xs)) => xs.map(_.render)
+        case Some(v) => Seq(v.render)
+      })
+      case other => throw new IllegalArgumentException(
+        s"snapshot $name: unsupported strategy $other")
+    }
+    Model(name, ctx => runSql(ctx, name, body),
+      Materialization.Snapshot(uniqueKey, strategy,
+        cfg.get("invalidate_hard_deletes").exists(_.truthy)),
+      deps = extractRefs(body), tags = tagsOf(cfg), meta = metaOf(cfg))
   }
 }

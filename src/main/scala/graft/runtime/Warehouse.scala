@@ -176,10 +176,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     }
     if (!tableExists(name)) { createTable(name, df, partitionBy); return }
     val aligned = alignSchema(name, df, onSchemaChange)
-    val existing = read(name)
     val keys = aligned.select(uniqueKey.map(col): _*).distinct()
     if (partitionBy.isEmpty) {
-      val survivors = existing.join(keys, uniqueKey, "left_anti")
+      // read(name) is constructed only on the paths that scan the whole
+      // table: building the DataFrame lists every file eagerly, which the
+      // 100× probe measured as the dominant merge term at 7,700 partitions
+      val survivors = read(name).join(keys, uniqueKey, "left_anti")
       replaceTable(name, aligned.unionByName(survivors.select(aligned.columns.map(col).toSeq: _*)))
       return
     }
@@ -209,15 +211,42 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
     affected.filterNot(r => outParts.contains(partitionBy.indices.map(r.get)))
       .foreach { r =>
-        val dir = partitionBy.zipWithIndex.map { case (c, i) =>
-          val v = r.get(i)
-          c + "=" + (if (v == null) "__HIVE_DEFAULT_PARTITION__"
-                     else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                       .escapePathName(v.toString))
-        }.mkString("/")
-        val p = Paths.get(tablePath(name), dir)
+        val p = Paths.get(tablePath(name), partitionDir(partitionBy, r))
         if (Files.exists(p)) deleteRecursively(p)
       }
+  }
+
+  /** `col=value/...` relative path of one partition, hive-escaped. */
+  private def partitionDir(partitionBy: Seq[String],
+                           r: org.apache.spark.sql.Row): String =
+    partitionBy.zipWithIndex.map { case (c, i) =>
+      val v = r.get(i)
+      c + "=" + (if (v == null) "__HIVE_DEFAULT_PARTITION__"
+                 else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                   .escapePathName(v.toString))
+    }.mkString("/")
+
+  /** Read ONLY the given partition directories of a table. At a large
+    * partition count this skips the full-table file listing that a plain
+    * `read(name).filter(partition predicate)` pays before pruning — the
+    * 100× merge probe measured that listing, not data, as the dominant
+    * term (SCALE.md). Missing directories (brand-new partitions) are
+    * skipped; with none on disk the result is an empty slice. */
+  private def readPartitionDirs(name: String, partitionBy: Seq[String],
+                                parts: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    val base = tablePath(name)
+    val dirs = parts.map(r => s"$base/${partitionDir(partitionBy, r)}")
+      .filter(p => Files.exists(Paths.get(p)))
+    val schema = canonicalSchema(name)
+    (dirs, schema) match {
+      case (Nil, Some(s)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (Nil, None) => read(name).limit(0)
+      case (ds, Some(s)) =>
+        spark.read.option("basePath", base).schema(s).parquet(ds: _*)
+          .select(s.fieldNames.toSeq.map(col): _*)
+      case (ds, None) => spark.read.option("basePath", base).parquet(ds: _*)
+    }
   }
 
   /** The merged slice — increment ∪ surviving rows of affected partitions —
@@ -236,26 +265,30 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * updated (it is out of the pruned scan), same as dbt's.
     *
     * Exposed for plan assertions: the survivors side must scan only the
-    * affected partition directories (pruned at listing time by the
-    * null-safe-equality disjunction below), which ScaleSpec pins via the
+    * affected partition directories (read directly by directory, so even the
+    * file LISTING is O(affected)), which ScaleSpec pins via the
     * FileSourceScan's selected partition count. */
   private[graft] def mergeSlice(name: String, df: DataFrame, uniqueKey: Seq[String],
                                 partitionBy: Seq[String], incrementPartitionsOnly: Boolean)
       : (DataFrame, Array[org.apache.spark.sql.Row]) = {
-    val existing = read(name)
     val keys = df.select(uniqueKey.map(col): _*).distinct()
     val incParts = df.select(partitionBy.map(col): _*).distinct()
     val affected =
       if (incrementPartitionsOnly) incParts.collect()
       else {
-        val matchedParts = existing.join(keys, uniqueKey, "left_semi")
+        // the probe is the only whole-table access (key columns only);
+        // read(name) is constructed here, not at the top, so pruned mode
+        // never pays the full file listing
+        val matchedParts = read(name).join(keys, uniqueKey, "left_semi")
           .select(partitionBy.map(col): _*).distinct()
         incParts.union(matchedParts).distinct().collect()
       }
-    val prunePred = affected.toSeq.map { r =>
-      partitionBy.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
-    }.reduceOption(_ || _).getOrElse(lit(false))
-    val survivors = existing.filter(prunePred).join(keys, uniqueKey, "left_anti")
+    // survivors come from a directory-scoped read of ONLY the affected
+    // partitions: the affected set is already collected, so listing cost is
+    // O(affected dirs), not O(table dirs) — at 7,700 partitions the full
+    // listing was the dominant merge term (100× probe, SCALE.md)
+    val survivors = readPartitionDirs(name, partitionBy, affected.toSeq)
+      .join(keys, uniqueKey, "left_anti")
     (df.unionByName(survivors.select(df.columns.map(col).toSeq: _*)), affected)
   }
 

@@ -41,4 +41,36 @@ class CorpusSpec extends SparkSpec {
       assert(expected > 0, tag)
     }
   }
+
+  test("every reference snapshot file parses into an SCD2 model with a valid body") {
+    val snapsDir = Paths.get("/root/reference/snapshots")
+    assume(Files.isDirectory(snapsDir) && Files.isDirectory(macrosDir))
+    val macros = CorpusSweep.loadMacros(macrosDir)
+    val parser = spark.sessionState.sqlParser
+    val files = Files.walk(snapsDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p)).toSeq
+    assert(files.size >= 50)
+    var timestamps, checks = 0
+    val bodyFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (p <- files) {
+      val model = SqlTemplater.snapshotModel(Files.readString(p), macros)
+      val Materialization.Snapshot(key, strategy, _) = model.materialization
+      assert(key.nonEmpty, p.toString)
+      strategy match {
+        case _: Scd2Strategy.Timestamp => timestamps += 1
+        case _: Scd2Strategy.Check => checks += 1
+      }
+      // the body renders and parses as Spark SQL like any model body
+      val body = SqlTemplater.renderText(model.name,
+        Files.readString(p).replaceAll("""\{%-?\s*(snapshot\s+\w+|endsnapshot)\s*-?%\}""", ""),
+        macros, CorpusSweep.defaultVars, CorpusSweep.defaultVars(_), isIncremental = false)
+      try parser.parsePlan(body.text)
+      catch { case _: Exception => bodyFailures += model.name }
+    }
+    assert(timestamps == 42 && checks == 12, s"$timestamps/$checks")
+    // the one tolerated failure is a corpus defect: scd2_product_tiers_snapshot
+    // writes `{{ source('b2b_mart', 'ss_events_by_session' }}` — no closing
+    // paren, a Jinja syntax error for dbt as well (the file can never have run)
+    assert(bodyFailures.toSeq == Seq("scd2_product_tier_snapshot"), bodyFailures.toString)
+  }
 }

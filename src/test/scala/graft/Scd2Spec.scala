@@ -25,6 +25,45 @@ class Scd2Spec extends SparkSpec {
   private def date_trunc_s(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  test("REAL reference snapshot file runs the full SCD2 lifecycle verbatim") {
+    // snapshots/spark/referral_program/referral_bloggers_info.sql:
+    // check-strategy over ALL columns + invalidate_hard_deletes, source() in
+    // the body — two runs with a changed row and a hard delete, history
+    // asserted; contract parsed from the file's own {% snapshot %} config
+    val model = SqlTemplater.snapshotModel(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/snapshots/spark/referral_program/referral_bloggers_info.sql")))
+    assert(model.name == "referral_bloggers_info")
+    assert(model.materialization == Materialization.Snapshot(
+      "user_id", Scd2Strategy.Check(Nil), invalidateHardDeletes = true))
+    assert(model.meta == Map("model_owner" -> "@zhabrev"))
+
+    var rows = Seq((1L, "a@x.io", "en", "Ann", "2024-01-01"),
+                   (2L, "b@x.io", "de", "Ben", "2024-01-02"))
+    val ctx = freshCtx(vars = Map("run_ts" -> "2024-02-01 00:00:00"))
+    ctx.sources.register("ads", "referral_bloggers")(s => {
+      import s.implicits._
+      rows.toDF("user_id", "email", "language", "user_name", "created_at")
+    })
+    val dag = new DagRunner(Seq(model))
+    def run(at: String): Unit = {
+      val r = new DagRunner(Seq(model)).run(
+        ctx.copy(vars = ctx.vars + ("run_ts" -> at)))
+      r.foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    }
+    run("2024-02-01 00:00:00")
+    assert(ctx.ref("referral_bloggers_info").count() == 2)
+    // Ann changes language (check-all detects), Ben hard-deleted
+    rows = Seq((1L, "a@x.io", "fr", "Ann", "2024-01-01"))
+    run("2024-03-01 00:00:00")
+    val h = ctx.ref("referral_bloggers_info")
+      .select($"user_id", $"language", date_trunc_s($"dbt_valid_to"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(h == Set(
+      (1L, "en", Some("2024-03-01 00:00:00")),  // superseded version closed
+      (1L, "fr", None),                         // new open version
+      (2L, "de", Some("2024-03-01 00:00:00")))) // hard delete invalidated
+  }
+
   test("timestamp strategy: versions, hard deletes, idempotent re-runs") {
     val ctx = freshCtx()
     val t = "scd2_ts"
