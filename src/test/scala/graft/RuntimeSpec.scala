@@ -88,6 +88,35 @@ class RuntimeSpec extends SparkSpec {
     assert(rows == Seq(("p1", 1, None), ("p2", 2, Some("x"))))
   }
 
+  test("incremental merge: hive path escaping round-trips hostile partition values") {
+    // the survivors side reads affected partitions DIRECTLY by directory
+    // (Warehouse.readPartitionDirs), so partition values containing spaces,
+    // colons, slashes, unicode, '=' and NULL must escape to exactly the dir
+    // names Spark writes — a mismatch silently drops survivors
+    val ctx = freshCtx()
+    // no unicode value here: this container's JVM runs an ASCII
+    // sun.jnu.encoding, so Spark's OWN parquet write fails on non-ASCII
+    // partition paths before our read is ever involved
+    val hostile = Seq("plain", "with space", "a:b", "a/b", "k=v", "100%", null)
+    val mat = Materialization.IncrementalMerge(Seq("id"), Seq("part_col"))
+    var incremental = false
+    val model = Model("mrg_esc", c => {
+      val base = hostile.zipWithIndex.map { case (p, i) => (i.toLong, p, 1) } ++
+        hostile.zipWithIndex.map { case (p, i) => (100L + i, p, 1) }
+      val rows = if (!incremental) base
+                 else hostile.zipWithIndex.map { case (p, i) => (i.toLong, p, 2) }
+      rows.toDF("id", "part_col", "v")
+    }, mat)
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx)
+    incremental = true
+    dag.run(ctx) // updates id<100 in every hostile partition; 100+ must survive
+    val out = ctx.ref("mrg_esc").as[(Long, Option[String], Int)].collect().toSet
+    val expected = hostile.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i.toLong, Option(p), 2), (100L + i, Option(p), 1)) }.toSet
+    assert(out == expected, out.toSeq.sortBy(_._1).mkString("\n"))
+  }
+
   test("incremental merge: upsert by key, cross-partition move, pruned rewrite") {
     val ctx = freshCtx()
     val mat = Materialization.IncrementalMerge(Seq("id"), Seq("part_col"))
