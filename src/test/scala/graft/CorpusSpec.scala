@@ -42,6 +42,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("every reference singular-test file renders and parses") {
+    val testsDir = Paths.get("/root/reference/tests")
+    assume(Files.isDirectory(testsDir) && Files.isDirectory(macrosDir))
+    val macros = CorpusSweep.loadMacros(macrosDir)
+    val parser = spark.sessionState.sqlParser
+    val files = Files.walk(testsDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p)).toSeq
+    assert(files.size == 25)
+    for (p <- files) {
+      val r = SqlTemplater.renderText(p.getFileName.toString.stripSuffix(".sql"),
+        Files.readString(p), macros, CorpusSweep.defaultVars,
+        CorpusSweep.defaultVars(_), isIncremental = false)
+      parser.parsePlan(r.text)
+    }
+  }
+
   test("every reference snapshot file parses into an SCD2 model with a valid body") {
     val snapsDir = Paths.get("/root/reference/snapshots")
     assume(Files.isDirectory(snapsDir) && Files.isDirectory(macrosDir))

@@ -552,6 +552,39 @@ class RuntimeSpec extends SparkSpec {
     for (d <- dims.tail) assert(ctx.ref(d.name).count() > 0, d.name)
   }
 
+  test("REAL reference singular-test files run verbatim and catch planted defects") {
+    // four genuine files from the tests tree execute through sqlTest: the
+    // duplicate-id and null-id checks over a ref(), and the two
+    // mercadolibre source checks — first on clean data (all pass), then on
+    // data with planted defects (exactly the right tests fail)
+    val base = "/root/reference/tests/spark"
+    def t(n: String, p: String) = SingularTests.sqlTest(n,
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$p")))
+    val tests = Seq(
+      t("dup_check", "b2b_mart/procurement_order_id_duplicates_check.sql"),
+      t("null_check", "b2b_mart/procurement_order_id_null_check.sql"),
+      t("wrong_item_ids", "pulse/wrong_item_ids_snapshot.sql"))
+    val ctx = freshCtx()
+    var orders: Seq[Option[Long]] = Seq(Some(1L), Some(2L))
+    var items = Seq((Some(10L), 1L, Some("b"), "active"))
+    ctx.warehouse.createTable("procurement_orders",
+      orders.toDF("procurement_order_id"))
+    ctx.sources.register("joompro_analytics_mart", "mercadolibre_products_snapshot")(s => {
+      import s.implicits._
+      items.toDF("id", "product_id", "brand_name", "activity_status")
+    })
+    assert(SingularTests.run(ctx, tests).forall(_.passed))
+    // plant defects: a duplicate + a null order id; an item id equal to its
+    // product id (the wrong_item_ids predicate)
+    orders = Seq(Some(1L), Some(1L), None)
+    ctx.warehouse.createTable("procurement_orders",
+      orders.toDF("procurement_order_id"))
+    items = Seq((Some(7L), 7L, Some("b"), "active"))
+    val r = SingularTests.run(ctx, tests).map(x => x.name -> x.passed).toMap
+    assert(r == Map("dup_check" -> false, "null_check" -> false,
+      "wrong_item_ids" -> false), r.toString)
+  }
+
   test("REAL model-template macro carries its config; materialization extracted post-expansion") {
     // gold_active_devices_with_ephemeral.sql is a one-line macro call; its
     // {{ config(...) }} lives inside the macro's {% if %} branches, selected

@@ -64,6 +64,39 @@ class Scd2Spec extends SparkSpec {
       (2L, "de", Some("2024-03-01 00:00:00")))) // hard delete invalidated
   }
 
+  test("REAL timestamp-strategy snapshot file runs verbatim (mongo shape)") {
+    // snapshots/spark/b2b_mart/scd2_customers_snapshot.sql: SELECT * over a
+    // mongo daily snapshot + millis_to_ts_msk(utms+1) as the updated_at
+    // column — the 34-file archetype of the timestamp strategy
+    val model = SqlTemplater.snapshotModel(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/snapshots/spark/b2b_mart/scd2_customers_snapshot.sql")))
+    assert(model.name == "scd2_customers_snapshot")
+    assert(model.materialization == Materialization.Snapshot(
+      "_id", Scd2Strategy.Timestamp("update_ts_msk"), invalidateHardDeletes = true))
+    var rows = Seq(("c1", "Ann", 1000000L), ("c2", "Ben", 1000000L))
+    val ctx = freshCtx(vars = Map("run_ts" -> "2024-02-01 00:00:00"))
+    ctx.sources.register("mongo", "b2b_core_customers_daily_snapshot")(s => {
+      import s.implicits._
+      rows.toDF("_id", "name", "utms")
+    })
+    def run(at: String): Unit = {
+      val r = new DagRunner(Seq(model)).run(
+        ctx.copy(vars = ctx.vars + ("run_ts" -> at)))
+      r.foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    }
+    run("2024-02-01 00:00:00")
+    assert(ctx.ref("scd2_customers_snapshot").count() == 2)
+    // c1's utms advances (new version), c2 hard-deleted
+    rows = Seq(("c1", "Ann K", 2000000L))
+    run("2024-03-01 00:00:00")
+    val h = ctx.ref("scd2_customers_snapshot")
+      .select($"_id", $"name", date_trunc_s($"dbt_valid_to"))
+      .as[(String, String, Option[String])].collect().toSet
+    assert(h.count(_._1 == "c1") == 2)                       // two versions
+    assert(h.contains(("c1", "Ann K", None)))                // open new version
+    assert(h.exists(r => r._1 == "c2" && r._3.isDefined))    // c2 closed out
+  }
+
   test("timestamp strategy: versions, hard deletes, idempotent re-runs") {
     val ctx = freshCtx()
     val t = "scd2_ts"
