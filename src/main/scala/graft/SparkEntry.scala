@@ -108,7 +108,8 @@ object SparkEntry {
     "q76_incremental_merge" -> (MergeQueries.q76IncrementalMerge _),
     "q77_train_split" -> (NorthStarQueries.q77TrainSplit _),
     "q78_event_matrix" -> (TemplaterQueries.q78EventMatrix _),
-    "q79_setops" -> (JoinQueries.q79SetOps _)
+    "q79_setops" -> (JoinQueries.q79SetOps _),
+    "q80_snapshot_file" -> (Scd2Queries.q80SnapshotFile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,6 +187,8 @@ object SparkEntry {
     "q76_incremental_merge" -> MergeQueries.q76Oracle,
     "q77_train_split" -> NorthStarQueries.q77Oracle,
     "q78_event_matrix" -> TemplaterQueries.q78Oracle,
-    "q79_setops" -> JoinQueries.q79Oracle
+    "q79_setops" -> JoinQueries.q79Oracle,
+    // same closed form as q53: the file layer must reproduce it bit-for-bit
+    "q80_snapshot_file" -> Scd2Queries.q53Oracle
   )
 }

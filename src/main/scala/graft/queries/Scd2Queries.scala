@@ -173,6 +173,55 @@ object Scd2Queries {
       |FROM v2 LEFT JOIN v1 ON v1._id = v2._id
       |WHERE v1._id IS NULL OR v1.status <> v2.status OR v1.n_orders <> v2.n_orders""".stripMargin
 
+  /** q53's contract through the FILE layer: the same two-run timestamp SCD2,
+    * but expressed as a dbt `{% snapshot %}` SQL text — ingested by
+    * [[SqlTemplater.snapshotModel]] (unique_key / strategy / updated_at from
+    * the file's own config), scheduled by DagRunner, staging cutoff and run
+    * timestamp from vars. Proves file-parsed snapshots sit on the same
+    * hash-exact correctness gate as the runtime API: the oracle is q53's,
+    * shared verbatim (reference archetype:
+    * snapshots/spark/b2b_mart/scd2_customers_snapshot.sql). */
+  val snapshotFileSql: String =
+    """{% snapshot cust_scd2_file %}
+      |{{ config(
+      |    unique_key='_id',
+      |    strategy='timestamp',
+      |    updated_at='updated_at',
+      |    invalidate_hard_deletes=False,
+      |    meta = { 'model_owner': '@graft' }
+      |) }}
+      |SELECT o_custkey AS _id,
+      |  MAX_BY(o_orderstatus, UNIX_DATE(CAST(o_orderdate AS DATE)) * 10000000000 + o_orderkey) AS status,
+      |  MAX_BY(o_totalprice, UNIX_DATE(CAST(o_orderdate AS DATE)) * 10000000000 + o_orderkey) AS last_price,
+      |  MAX(CAST(o_orderdate AS DATE)) AS updated_at
+      |FROM {{ source('default', 'orders') }}
+      |WHERE o_orderdate <= DATE '{{ var("cutoff_ymd") }}'
+      |GROUP BY o_custkey
+      |{% endsnapshot %}""".stripMargin
+
+  def q80SnapshotFile(spark: SparkSession, dir: String): DataFrame = {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2file").toString
+    val wh = new Warehouse(spark, whDir)
+    val model = SqlTemplater.snapshotModel(snapshotFileSql)
+    require(model.materialization == Materialization.Snapshot(
+      "_id", Scd2Strategy.Timestamp("updated_at")), model.materialization.toString)
+    def run(cutoff: String, runTs: String): Ctx = {
+      val ctx = Ctx(spark, wh, SourceRegistry.overDir(spark, dir),
+        vars = Map("cutoff_ymd" -> cutoff, "run_ts" -> runTs))
+      val res = new DagRunner(Seq(model)).run(ctx)
+      res.collect { case (n, RunStatus.Failed(e)) =>
+        throw new RuntimeException(s"snapshot $n failed: $e") }
+      ctx
+    }
+    run("1998-01-01", "1998-01-02 00:00:00")
+    val ctx = run("9999-12-31", "2002-01-01 00:00:00")
+    ctx.ref("cust_scd2_file").select(
+      col("_id"), col("status"), col("last_price"),
+      date_format(col("updated_at"), "yyyy-MM-dd").as("updated_at"),
+      date_format(col("dbt_valid_from"), "yyyy-MM-dd").as("valid_from"),
+      coalesce(date_format(col("dbt_valid_to"), "yyyy-MM-dd"), lit("open")).as("valid_to"))
+  }
+
   val q53Oracle: String =
     """WITH keyed AS (
       |  SELECT o_custkey, o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS od,
