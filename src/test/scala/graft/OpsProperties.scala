@@ -107,4 +107,37 @@ object OpsProperties extends Properties("graft.ops") {
       val b = graft.ops.Dedup.dupGroupsTwoPhase(pairs).as[(Long, Long)].collect().toMap
       a == b
     }
+
+  // ---- macro param binding (the templater's Jinja-value semantics) ----
+
+  private val ident = Gen.choose('a', 'z').flatMap(c =>
+    Gen.listOfN(5, Gen.alphaNumChar).map(cs => (c :: cs).mkString))
+  private val sqlArg = Gen.oneOf(
+    ident,                                      // bare splice (a column)
+    ident.map(i => s"COALESCE($i, 0)"),         // expression splice
+    ident.map(i => s"'$i'"))                    // quoted string value
+
+  property("macro binding: standalone splice = value; expression keeps quoting") =
+    forAll(ident, sqlArg) { (p0, arg) =>
+      val p = "p_" + p0 // avoid colliding with SQL text in the body
+      val defs = runtime.SqlTemplater.parseMacros(
+        s"{% macro m($p) %}SELECT {{ $p }} AS v, {% if $p == '$p0' %}1{% else %}0{% endif %} AS hit{% endmacro %}")
+      val out = runtime.SqlTemplater.expandMacros(s"{{ m($arg) }}", defs)
+      val value = if (arg.startsWith("'")) arg.substring(1, arg.length - 1) else arg
+      // standalone {{ p }} spliced the VALUE (quotes stripped)
+      val spliceOk = out.startsWith(s"SELECT $value AS v,")
+      // the {% if %} context kept the RAW arg: quoted args stay string
+      // literals there (== compares values); unquoted args are names, which
+      // this engine treats strictly (unknown name = render error, not
+      // silently-Undefined like Python Jinja)
+      val branchOk =
+        if (arg.startsWith("'")) {
+          val branch = runtime.Jinja.render(out.substring(out.indexOf(",") + 1),
+            runtime.Jinja.Env(Map.empty, isIncremental = false)).trim
+          branch == (if (value == p0) "1 AS hit" else "0 AS hit")
+        } else
+          scala.util.Try(runtime.Jinja.render(out.substring(out.indexOf(",") + 1),
+            runtime.Jinja.Env(Map.empty, isIncremental = false))).isFailure
+      spliceOk && branchOk
+    }
 }
