@@ -135,6 +135,27 @@ object ScaleProbe {
         mergeProbe(src, "sf0.1", pruned); mergeProbe(big, s"x$factor", pruned)
       }
     }
+
+    // connected-components probe: adversarial PATH graphs (diameter = depth),
+    // the case the large/small-star algorithm exists for — min-label
+    // propagation needs O(depth) rounds (dupGroups caps at 30), two-phase
+    // O(log depth). Scaled two ways: depth ×factor (hostile) and chain
+    // count ×factor (the realistic many-small-components shape).
+    def ccProbe(depth: Int, chains: Int, tag: String): Unit = {
+      val edges = spark.range(chains).selectExpr("id AS c")
+        .selectExpr("c", s"explode(sequence(0, ${depth - 1})) AS i")
+        .selectExpr(s"c * ${depth + 1} + i AS id_a", s"c * ${depth + 1} + i + 1 AS id_b")
+      timed(s"cc_twophase_$tag (depth=$depth chains=$chains)") {
+        val groups = graft.ops.Dedup.dupGroupsTwoPhase(edges)
+          .select(col("group_id")).distinct().count()
+        require(groups == chains, s"expected $chains components, got $groups")
+        groups
+      }
+    }
+    ccProbe(100, 100, "base")
+    ccProbe(100 * factor, 100, s"depth-x$factor")
+    ccProbe(100, 100 * factor, s"width-x$factor")
+
     spark.stop()
   }
 }
