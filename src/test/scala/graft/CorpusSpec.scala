@@ -42,6 +42,42 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("the REAL 423-model jobs graph exports with resolved deps and dag slices") {
+    // build Model metadata (config/tags/meta/deps) for every corpus file via
+    // sqlModelAuto — nothing executes — union dbt_project.yml dir tags, and
+    // export the jobs graph the reference's deploy pipeline consumes
+    // (deploy.sh -> infra/dags_schedule.yaml -> infra/dbtjoom/load.py)
+    assume(Files.isDirectory(modelsDir) && Files.isDirectory(macrosDir))
+    val macros = CorpusSweep.loadMacros(macrosDir)
+    val files = Files.walk(modelsDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p)).toSeq.sortBy(_.toString)
+    val models = files.map { p =>
+      val m = SqlTemplater.sqlModelAuto(
+        p.getFileName.toString.stripSuffix(".sql"), Files.readString(p), macros)
+      m.copy(tags = m.tags ++ CorpusSweep.dirTags(p))
+    }
+    assert(models.size == 423)
+    val schedules = Seq("b2b_mart", "onfy", "platform", "gold", "pulse")
+      .map(t => RunReport.DagSchedule(t, Set(t)))
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(RunReport.jobsGraph(models, schedules)))
+    val slices = RunReport.readDagSlices(json)
+    // slice sizes: directory tags, PLUS models that self-tag in config
+    // (platform = 20 dir-tagged + 2 config-tagged infra models) — dbt merges
+    // both; every model lands in exactly one dag
+    assert(slices("b2b_mart").size == 201 && slices("onfy").size == 43 &&
+      slices("platform").size == 22 && slices("gold").size == 16 &&
+      slices("pulse").size == 11, slices.view.mapValues(_.size).toMap.toString)
+    assert(slices.values.map(_.size).sum == 423)
+    // every depends_on resolves to a model, snapshot, or seed
+    val targets = models.map(_.name).toSet ++ CorpusSweep.refTargets(
+      Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds"))
+    val unresolved = models.flatMap(m => m.deps.filterNot(targets.contains))
+    assert(unresolved.isEmpty, unresolved.mkString(","))
+    // the corpus convention: models carry an owner in meta
+    assert(models.count(_.meta.contains("model_owner")) > 300)
+  }
+
   test("every reference singular-test file renders and parses") {
     val testsDir = Paths.get("/root/reference/tests")
     assume(Files.isDirectory(testsDir) && Files.isDirectory(macrosDir))
