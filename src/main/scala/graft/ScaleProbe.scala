@@ -106,7 +106,7 @@ object ScaleProbe {
       import graft.runtime._
       def mergeProbe(dir: String, tag: String, pruned: Boolean): Unit = {
         val wh = new Warehouse(spark,
-          java.nio.file.Files.createTempDirectory(s"graft_mergeprobe").toString)
+          graft.runtime.TempDirs.create(s"graft_mergeprobe"))
         // replicas land in DISTINCT month partitions (suffix = replica id from
         // the shifted key range): the ×factor table models a longer history —
         // factor× as many partitions of the same size — while the increment

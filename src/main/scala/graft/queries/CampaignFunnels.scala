@@ -431,7 +431,7 @@ object CampaignFunnels {
       |FROM pre_final_agg_table""".stripMargin
 
   def q74CampaignFunnels(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_funnels").toString
+    val whDir = graft.runtime.TempDirs.create("graft_funnels")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("start_date_ymd" -> "2024-01-25"))
     // materialization read from the model's own {{ config(...) }} block

@@ -231,7 +231,7 @@ object CoverageQueries {
     * near-verbatim surface a reference user would port (SURVEY.md §7
     * `sqlfront`). Full run then incremental run, like production. */
   def q47SqlTextModel(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_sqlmodel").toString
+    val whDir = graft.runtime.TempDirs.create("graft_sqlmodel")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("min_value" -> "10.0"))
     val sql =

@@ -331,7 +331,7 @@ object GoldOrdersWide {
       |FROM orders_ext7""".stripMargin
 
   def q72OrdersWide(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_goldwide").toString
+    val whDir = graft.runtime.TempDirs.create("graft_goldwide")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("start_date_ymd" -> "2001-06-01"))
     // materialization (incremental insert_overwrite by order_month,

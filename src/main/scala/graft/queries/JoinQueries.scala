@@ -250,7 +250,7 @@ object JoinQueries {
     * ScaleSpec; the reference's hand-bucketed theta joins, SURVEY.md §4) and
     * the result must equal the plain SQL join. */
   def q67BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val whDir = graft.runtime.TempDirs.create("graft_bucket")
     val wh = new graft.runtime.Warehouse(spark, whDir)
     val o = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"))

@@ -60,7 +60,7 @@ object MergeQueries {
       |GROUP BY 1, 2""".stripMargin
 
   def q76IncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val whDir = graft.runtime.TempDirs.create("graft_merge")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("cutoff_ymd" -> "1998-01-01"))
     val model = SqlTemplater.sqlModelAuto("customer_profile_merge", modelSql)

@@ -20,7 +20,7 @@ import graft.runtime._
 object PipelineQueries {
 
   def q30GoldOrdersPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val whDir = graft.runtime.TempDirs.create("graft_pipeline")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("start_date_ymd" -> "2001-06-01"))
 
@@ -95,7 +95,7 @@ object PipelineQueries {
     * measured at 60 s of pure partition-directory churn (~2,400 dirs/write)
     * — the same small-partition explosion the reference avoids. */
   def q62AppendOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_append").toString
+    val whDir = graft.runtime.TempDirs.create("graft_append")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val cutoff = "1997-01-01"
     def monthCol = date_format(trunc(to_date(col("o_orderdate")), "MM"), "yyyy-MM-dd")
@@ -171,7 +171,7 @@ object PipelineQueries {
     * into the warehouse, then joined to nation/customer; the oracle inlines
     * the same static rows as VALUES — a seed IS literal config data. */
   def q65SeedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_seed").toString
+    val whDir = graft.runtime.TempDirs.create("graft_seed")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val schema = org.apache.spark.sql.types.StructType(
       Seq("country_code", "country_name", "region_name", "nation_name").map(n =>
@@ -208,7 +208,7 @@ object PipelineQueries {
     * grows, and partitions written before the change read NULL revenue —
     * which is exactly the closed form the oracle states. */
   def q66SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val whDir = graft.runtime.TempDirs.create("graft_evolve")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val cutoff = "1997-01"
     val model = Model("orders_monthly",

@@ -32,7 +32,7 @@ object Scd2Queries {
   }
 
   def q53Scd2Pipeline(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val whDir = graft.runtime.TempDirs.create("graft_scd2")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val orders = Tables(spark, dir, "orders")
     val strat = Scd2Strategy.Timestamp("updated_at")
@@ -59,7 +59,7 @@ object Scd2Queries {
     * valid_from/to are the run timestamps (not data timestamps), which is the
     * strategy's defining difference from `timestamp`. */
   def q60Scd2Check(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2chk").toString
+    val whDir = graft.runtime.TempDirs.create("graft_scd2chk")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val orders = Tables(spark, dir, "orders")
     val building = Tables(spark, dir, "customer")
@@ -98,7 +98,7 @@ object Scd2Queries {
     * is what the closed-form DuckDB oracle reconstructs; only buckets holding
     * changed/new/deleted keys were rewritten along the way. */
   def q73Scd2Bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2bkt").toString
+    val whDir = graft.runtime.TempDirs.create("graft_scd2bkt")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val orders = Tables(spark, dir, "orders")
     val building = Tables(spark, dir, "customer")
@@ -200,7 +200,7 @@ object Scd2Queries {
       |{% endsnapshot %}""".stripMargin
 
   def q80SnapshotFile(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_scd2file").toString
+    val whDir = graft.runtime.TempDirs.create("graft_scd2file")
     val wh = new Warehouse(spark, whDir)
     val model = SqlTemplater.snapshotModel(snapshotFileSql)
     require(model.materialization == Materialization.Snapshot(

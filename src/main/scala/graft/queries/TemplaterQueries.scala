@@ -114,7 +114,7 @@ object TemplaterQueries {
       |DISTRIBUTE BY session_start_date""".stripMargin
 
   def q59OnfySessions(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_templater").toString
+    val whDir = graft.runtime.TempDirs.create("graft_templater")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       macros = SqlTemplater.parseMacros(macroDefs))
     val model = SqlTemplater.sqlModel("onfy_sessions", modelSql)
@@ -199,7 +199,7 @@ object TemplaterQueries {
       |DISTRIBUTE BY payment_dt""".stripMargin
 
   def q68FunnelRank(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_templater3").toString
+    val whDir = graft.runtime.TempDirs.create("graft_templater3")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val model = SqlTemplater.sqlModel("funnel_rank", funnelRankSql)
     val statuses = new DagRunner(Seq(model)).run(ctx)
@@ -220,7 +220,7 @@ object TemplaterQueries {
       |QUALIFY rnk_session_payment = 1""".stripMargin
 
   def q63ActiveDevices(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_templater2").toString
+    val whDir = graft.runtime.TempDirs.create("graft_templater2")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val model = SqlTemplater.sqlModel("active_devices", activeDevicesSql)
     val statuses = new DagRunner(Seq(model)).run(ctx)
@@ -268,7 +268,7 @@ object TemplaterQueries {
       |GROUP BY o_orderpriority""".stripMargin
 
   def q71StatusMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_templater4").toString
+    val whDir = graft.runtime.TempDirs.create("graft_templater4")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
     val model = SqlTemplater.sqlModel("status_matrix", statusMatrixSql)
     val statuses = new DagRunner(Seq(model)).run(ctx)
@@ -350,7 +350,7 @@ object TemplaterQueries {
       |GROUP BY user_id""".stripMargin
 
   def q78EventMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val whDir = java.nio.file.Files.createTempDirectory("graft_templater5").toString
+    val whDir = graft.runtime.TempDirs.create("graft_templater5")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
       vars = Map("event_types" -> "view,click,purchase"))
     val model = SqlTemplater.sqlModelAuto("event_matrix", eventMatrixSql)

@@ -206,8 +206,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
       } finally {
         deleteRecursively(Paths.get(staging))
         val parent = Paths.get(staging).getParent
-        if (Files.exists(parent) && !Files.list(parent).findAny().isPresent)
-          Files.delete(parent)
+        if (Files.exists(parent)) {
+          val listing = Files.list(parent)
+          val empty = try !listing.findAny().isPresent finally listing.close()
+          if (empty) Files.delete(parent)
+        }
       }
     affected.filterNot(r => outParts.contains(partitionBy.indices.map(r.get)))
       .foreach { r =>
@@ -216,15 +219,30 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
   }
 
-  /** `col=value/...` relative path of one partition, hive-escaped. */
+  /** `col=value/...` relative path of one partition, hive-escaped.
+    *
+    * Value rendering MUST match what Spark's dynamic-partition writer put on
+    * disk: `Cast(col, StringType, sessionLocalTimeZone)` fed through
+    * `ExternalCatalogUtils.getPartitionPathString` (see Spark's
+    * `FileFormatDataWriter.partitionPathExpression`). `Row.get(i).toString`
+    * diverges for typed columns — `java.sql.Timestamp.toString` appends
+    * ".0" for whole seconds, so a timestamp-partitioned merge would compute
+    * directory names that don't exist and silently drop survivors. */
   private def partitionDir(partitionBy: Seq[String],
-                           r: org.apache.spark.sql.Row): String =
+                           r: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
     partitionBy.zipWithIndex.map { case (c, i) =>
       val v = r.get(i)
-      c + "=" + (if (v == null) "__HIVE_DEFAULT_PARTITION__"
-                 else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                   .escapePathName(v.toString))
+      val str =
+        if (v == null) null
+        else Option(Cast(Literal(v), StringType,
+          Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+          .map(_.toString).orNull
+      ExternalCatalogUtils.getPartitionPathString(c, str)
     }.mkString("/")
+  }
 
   /** Read ONLY the given partition directories of a table. At a large
     * partition count this skips the full-table file listing that a plain
@@ -279,9 +297,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
         // the probe is the only whole-table access (key columns only);
         // read(name) is constructed here, not at the top, so pruned mode
         // never pays the full file listing
-        val matchedParts = read(name).join(keys, uniqueKey, "left_semi")
-          .select(partitionBy.map(col): _*).distinct()
-        incParts.union(matchedParts).distinct().collect()
+        val matched = read(name).join(keys, uniqueKey, "left_semi")
+          .select(partitionBy.map(col): _*).distinct().collect()
+        // matched partitions were just read off disk, so their directories
+        // MUST resolve; a miss means partitionDir's encoding diverged from
+        // the writer's and survivors would silently vanish — fail loudly
+        val missing = matched.map(r => partitionDir(partitionBy, r))
+          .filterNot(d => Files.exists(Paths.get(tablePath(name), d)))
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"mergeUpsert($name): matched partition directories not found under " +
+            s"${tablePath(name)}: ${missing.mkString(", ")} — partition-path " +
+            "encoding mismatch would silently drop surviving rows")
+        (incParts.collect() ++ matched).distinct
       }
     // survivors come from a directory-scoped read of ONLY the affected
     // partitions: the affected set is already collected, so listing cost is

@@ -117,6 +117,54 @@ class RuntimeSpec extends SparkSpec {
     assert(out == expected, out.toSeq.sortBy(_._1).mkString("\n"))
   }
 
+  test("incremental merge: timestamp partition values round-trip (no survivor loss)") {
+    // java.sql.Timestamp.toString renders "2024-01-05 10:30:00.0" while
+    // Spark's partition writer renders "2024-01-05 10:30:00" (cast-to-string
+    // semantics) — partitionDir must use the writer's encoding or the
+    // survivors read misses every timestamp partition silently
+    val ctx = freshCtx()
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2024-01-05 10:30:00")     // whole second: .0 trap
+    val t2 = Timestamp.valueOf("2024-01-06 00:00:00")
+    val t3 = Timestamp.valueOf("2024-01-07 08:15:00.123") // fractional seconds
+    val mat = Materialization.IncrementalMerge(Seq("id"), Seq("ts"))
+    var incremental = false
+    val model = Model("mrg_ts", c => {
+      if (!incremental)
+        Seq((1L, t1, 10), (2L, t1, 20), (3L, t2, 30), (4L, t2, 40), (5L, t3, 50),
+          (6L, t3, 60)).toDF("id", "ts", "v")
+      else Seq((1L, t1, 11), (3L, t2, 33), (5L, t3, 55)).toDF("id", "ts", "v")
+    }, mat)
+    val dag = new DagRunner(Seq(model))
+    dag.run(ctx)
+    incremental = true
+    dag.run(ctx) // updates one key per partition; the other key must survive
+    val out = ctx.ref("mrg_ts").as[(Long, Timestamp, Int)].collect().toSet
+    assert(out == Set((1L, t1, 11), (2L, t1, 20), (3L, t2, 33), (4L, t2, 40),
+      (5L, t3, 55), (6L, t3, 60)), out.toSeq.sortBy(_._1).mkString("\n"))
+  }
+
+  test("incremental merge: missing matched partition dir fails loudly") {
+    // sabotage the on-disk escaping (rename "a%3Ab" to raw "a:b"): Spark's
+    // partition discovery still reads the value as a:b, but the computed
+    // survivor directory no longer exists — the merge must throw, not
+    // silently drop the partition's surviving rows
+    val ctx = freshCtx()
+    val wh = ctx.warehouse
+    wh.createTable("mrg_loud",
+      Seq((1L, "a:b", 10), (2L, "a:b", 20)).toDF("id", "part_col", "v"),
+      partitionBy = Seq("part_col"))
+    val tp = ctx.warehouse.tablePath("mrg_loud")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tp, "part_col=a%3Ab"),
+      java.nio.file.Paths.get(tp, "part_col=a:b"))
+    val ex = intercept[IllegalStateException] {
+      wh.mergeUpsert("mrg_loud", Seq((1L, "a:b", 11)).toDF("id", "part_col", "v"),
+        Seq("id"), Seq("part_col"))
+    }
+    assert(ex.getMessage.contains("partition"))
+  }
+
   test("incremental merge: upsert by key, cross-partition move, pruned rewrite") {
     val ctx = freshCtx()
     val mat = Materialization.IncrementalMerge(Seq("id"), Seq("part_col"))
