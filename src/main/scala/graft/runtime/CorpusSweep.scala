@@ -132,14 +132,29 @@ object CorpusSweep {
       failure.getOrElse(ModelResult(name, p.toString, "ok", None, refs, incremental, tags))
     }
 
-    val (failed, passed) = results.partition(_.error.isDefined)
+    // dbt model names are project-global: two files with the same stem in
+    // different directories make every ref() to that name ambiguous, and
+    // would collapse into a single Kahn node below — surfacing as a phantom
+    // "cycle". Classify them as their own failure class and build the DAG
+    // over uniquely-named models only.
+    val dupNames = results.groupBy(_.name).collect {
+      case (n, rs) if rs.size > 1 => n }.toSet
+    val flagged = results.map { r =>
+      if (dupNames.contains(r.name))
+        r.copy(phase = "duplicate-name", error = Some(
+          s"model name '${r.name}' defined by ${results.count(_.name == r.name)} " +
+            "files — ref() resolution is ambiguous"))
+      else r
+    }
+    val (failed, passed) = flagged.partition(_.error.isDefined)
 
     // corpus DAG: edges ref -> model; refs may also resolve to snapshot
     // blocks or seed CSVs (extraRefTargets) — anything else is unresolved
-    val byName = results.map(r => r.name -> r).toMap
-    val unresolved = results.flatMap(r =>
+    val unique = flagged.filterNot(r => dupNames.contains(r.name))
+    val byName = unique.map(r => r.name -> r).toMap
+    val unresolved = unique.flatMap(r =>
       r.refs.filterNot(x => byName.contains(x) || extraRefTargets.contains(x)).map(r.name -> _))
-    val edges = results.map(r => r.name -> r.refs.filter(byName.contains))
+    val edges = unique.map(r => r.name -> r.refs.filter(byName.contains))
 
     // Kahn topological order over the in-corpus ref graph
     val inDeg = scala.collection.mutable.Map(edges.map { case (n, ds) => n -> ds.size }: _*)
@@ -155,7 +170,7 @@ object CorpusSweep {
         if (inDeg(d) == 0) queue += d
       }
     }
-    val cycle = if (topo.size == results.size) None
+    val cycle = if (topo.size == unique.size) None
                 else Some(inDeg.collect { case (n, d) if d > 0 => n }.toSeq.sorted)
 
     Report(results.size, passed, failed, unresolved, cycle, topo.toSeq)

@@ -253,17 +253,23 @@ object SqlTemplater {
     val expanded = expandMacros(CommentRe.replaceAllIn(sql, ""), macros)
     val blocks = ConfigArgsRe.findAllMatchIn(expanded).toVector
     if (blocks.isEmpty) return Map.empty
-    if (blocks.size == 1) return parseConfigArgs(blocks.head.group(1))
+    // no 1-block fast path: a lone config inside a DEAD {% if %} branch must
+    // not apply, so control flow is rendered for every block count; only if
+    // rendering fails (corpus models may reference unprovided context) fall
+    // back to the first block — the pre-render behavior
     val masked = blocks.zipWithIndex.reverse.foldLeft(expanded) {
       case (txt, (m, i)) =>
         txt.substring(0, m.start) + s"__GRAFT_CONFIG_${i}__" + txt.substring(m.end)
     }
-    val rendered = Jinja.render(masked, Jinja.Env(vars, isIncremental = false,
+    scala.util.Try(Jinja.render(masked, Jinja.Env(vars, isIncremental = false,
       bindings = Map("target" -> Jinja.VMap(scala.collection.mutable.LinkedHashMap(
-        "name" -> Jinja.VStr(vars.getOrElse("target_name", "prod")))))))
-    """__GRAFT_CONFIG_(\d+)__""".r.findFirstMatchIn(rendered) match {
-      case Some(m) => parseConfigArgs(blocks(m.group(1).toInt).group(1))
-      case None => Map.empty
+        "name" -> Jinja.VStr(vars.getOrElse("target_name", "prod")))))))) match {
+      case scala.util.Success(rendered) =>
+        """__GRAFT_CONFIG_(\d+)__""".r.findFirstMatchIn(rendered) match {
+          case Some(m) => parseConfigArgs(blocks(m.group(1).toInt).group(1))
+          case None => Map.empty
+        }
+      case scala.util.Failure(_) => parseConfigArgs(blocks.head.group(1))
     }
   }
 

@@ -42,6 +42,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("sweep flags duplicate model stems as their own failure class, not a cycle") {
+    // dbt model names are project-global: the same stem in two directories
+    // used to collapse into one Kahn in-degree entry and surface as a
+    // phantom "cycle" (or silently shadow in the jobs graph)
+    val dir = Files.createTempDirectory("graft_dupstem")
+    try {
+      Files.createDirectories(dir.resolve("mart_a"))
+      Files.createDirectories(dir.resolve("mart_b"))
+      Files.writeString(dir.resolve("mart_a/dup_model.sql"), "SELECT 1 AS x")
+      Files.writeString(dir.resolve("mart_b/dup_model.sql"), "SELECT 2 AS x")
+      Files.writeString(dir.resolve("consumer.sql"),
+        "SELECT * FROM {{ ref('dup_model') }}")
+      val emptyMacros = Files.createTempDirectory("graft_dupstem_macros")
+      val rep = CorpusSweep.sweep(spark, dir, emptyMacros)
+      assert(rep.cycle.isEmpty, s"phantom cycle: ${rep.cycle}")
+      val dups = rep.failed.filter(_.phase == "duplicate-name")
+      assert(dups.size == 2 && dups.forall(_.name == "dup_model"), rep.failed.toString)
+      // the consumer survives; its ref to the ambiguous name reads as
+      // unresolved rather than wiring to an arbitrary winner
+      assert(rep.passed.map(_.name) == Seq("consumer"))
+      assert(rep.unresolvedRefs == Seq("consumer" -> "dup_model"), rep.unresolvedRefs)
+      assert(rep.topoOrder == Seq("consumer"))
+    } finally {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
   test("the REAL 423-model jobs graph exports with resolved deps and dag slices") {
     // build Model metadata (config/tags/meta/deps) for every corpus file via
     // sqlModelAuto — nothing executes — union dbt_project.yml dir tags, and

@@ -650,6 +650,22 @@ class RuntimeSpec extends SparkSpec {
       "active_users_with_ephemeral")
   }
 
+  test("effectiveConfig: lone config inside a dead {% if %} branch is not applied") {
+    // the single-block fast path used to apply this config without rendering
+    // control flow — a macro-carried config selected by {% if %} could pick
+    // the wrong materialization when only one branch carries a block
+    val sql =
+      """{% if var('mode', 'live') == 'special' %}
+        |{{ config(materialized='incremental', incremental_strategy='append') }}
+        |{% endif %}
+        |SELECT 1 AS x""".stripMargin
+    assert(SqlTemplater.effectiveConfig(sql, Map.empty) == Map.empty,
+      "dead-branch config must not apply")
+    val live = SqlTemplater.effectiveConfig(sql, Map.empty, Map("mode" -> "special"))
+    assert(SqlTemplater.materializationFromConfig(live) ==
+      Materialization.IncrementalAppend(), live.toString)
+  }
+
   test("REAL fact_order_change.sql (443 LoC) executes verbatim on a typed event mock") {
     // the corpus's hardest nested-struct model: triple-chained
     // posexplode_outer over array<struct<..array<struct<..array<struct>>>>>,
