@@ -16,7 +16,7 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def freshCtx(vars: Map[String, String] = Map.empty): Ctx = {
-    val wh = new Warehouse(spark, java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    val wh = new Warehouse(spark, graft.runtime.TempDirs.create("graft_wh"))
     Ctx(spark, wh, SourceRegistry.overDir(spark, "/root/testdata/sf0.001"), vars)
   }
 }
