@@ -14,7 +14,7 @@ object ScaleProbe {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     // "keep": reuse an existing /tmp/graft_scale replication (same factor)
     val keep = args.contains("keep")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.runtime.Dialect(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

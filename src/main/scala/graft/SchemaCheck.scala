@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc debug main: print Spark-read schemas of the test tables. */
 object SchemaCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[2]")
+    val spark = graft.runtime.Dialect(SparkSession.builder()).master("local[2]")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
       .config("spark.ui.enabled","false").getOrCreate()

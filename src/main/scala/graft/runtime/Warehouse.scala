@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final class Warehouse(val spark: SparkSession, val root: String,
                       namer: String => String = identity) {
 
+  // Every model execution reads/writes through a Warehouse, so this is the
+  // runtime chokepoint for the reference's non-ANSI dialect (see [[Dialect]]).
+  Dialect.pin(spark)
+
   private val views = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** `namer` is the generate_schema_name / generate_alias_name hook
