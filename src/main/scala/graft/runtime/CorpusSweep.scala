@@ -140,11 +140,17 @@ object CorpusSweep {
     val dupNames = results.groupBy(_.name).collect {
       case (n, rs) if rs.size > 1 => n }.toSet
     val flagged = results.map { r =>
-      if (dupNames.contains(r.name))
-        r.copy(phase = "duplicate-name", error = Some(
+      if (dupNames.contains(r.name)) {
+        val dupNote =
           s"model name '${r.name}' defined by ${results.count(_.name == r.name)} " +
-            "files — ref() resolution is ambiguous"))
-      else r
+            "files — ref() resolution is ambiguous"
+        // append to a genuine config/render/parse failure rather than
+        // replacing it — the report must not lose the underlying defect
+        r.error match {
+          case Some(e) => r.copy(error = Some(s"$e; $dupNote"))
+          case None    => r.copy(phase = "duplicate-name", error = Some(dupNote))
+        }
+      } else r
     }
     val (failed, passed) = flagged.partition(_.error.isDefined)
 

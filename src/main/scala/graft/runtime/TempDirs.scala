@@ -23,11 +23,16 @@ object TempDirs {
   }
 
   private def deleteQuietly(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach { f =>
-        try Files.delete(f)
-        catch { case _: java.io.IOException => () } // best-effort at exit
-      } finally walk.close()
-    }
+    // the walk itself can throw too (dir removed concurrently after the
+    // exists check, permission error) — nothing here may escape, or the
+    // shutdown-hook forEach aborts the sweep for all remaining directories
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach { f =>
+          try Files.delete(f)
+          catch { case _: java.io.IOException => () } // best-effort at exit
+        } finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -293,8 +293,25 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private[graft] def mergeSlice(name: String, df: DataFrame, uniqueKey: Seq[String],
                                 partitionBy: Seq[String], incrementPartitionsOnly: Boolean)
       : (DataFrame, Array[org.apache.spark.sql.Row]) = {
-    val keys = df.select(uniqueKey.map(col): _*).distinct()
-    val incParts = df.select(partitionBy.map(col): _*).distinct()
+    // Partition values are compared driver-side via Row equality — both in
+    // (incParts ++ matched).distinct here and in the caller's
+    // outParts.contains cleanup — and Row equality has no Spark set-op type
+    // coercion: an increment whose partition column drifted (int vs long
+    // under append_new_columns/sync, which alignSchema does not cast) would
+    // make equal values unequal, duplicating survivor reads and
+    // mis-classifying a just-written partition as dropped. Normalize the
+    // increment's partition columns to the canonical types once, up front:
+    // `matched` (from read(), canonical-typed), the union fed to staging,
+    // and the cleanup comparison then all agree.
+    val canonTypes: Map[String, DataType] = canonicalSchema(name)
+      .map(_.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    val dfN = df.select(df.columns.toSeq.map { c =>
+      if (partitionBy.contains(c))
+        canonTypes.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+      else col(c)
+    }: _*)
+    val keys = dfN.select(uniqueKey.map(col): _*).distinct()
+    val incParts = dfN.select(partitionBy.map(col): _*).distinct()
     val affected =
       if (incrementPartitionsOnly) incParts.collect()
       else {
@@ -320,7 +337,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     // listing was the dominant merge term (100× probe, SCALE.md)
     val survivors = readPartitionDirs(name, partitionBy, affected.toSeq)
       .join(keys, uniqueKey, "left_anti")
-    (df.unionByName(survivors.select(df.columns.map(col).toSeq: _*)), affected)
+    (dfN.unionByName(survivors.select(dfN.columns.map(col).toSeq: _*)), affected)
   }
 
   /** Row append (reference: incremental_strategy='append'). */

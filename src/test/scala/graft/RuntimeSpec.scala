@@ -165,6 +165,26 @@ class RuntimeSpec extends SparkSpec {
     assert(ex.getMessage.contains("partition"))
   }
 
+  test("incremental merge: partition-column type drift (int vs long) neither dups survivors nor drops partitions") {
+    // Row equality has no set-op coercion: before normalization, an increment
+    // whose partition column arrives as long against an int-canonical table
+    // made (incParts ++ matched).distinct keep both Row(5) and Row(5L) —
+    // duplicating the survivor read — and the outParts.contains cleanup saw
+    // the just-written partition as dropped and deleted its directory
+    val ctx = freshCtx()
+    val wh = ctx.warehouse
+    wh.createTable("mrg_drift",
+      Seq((1L, 5, 10), (2L, 5, 20), (3L, 7, 30)).toDF("id", "p", "v"),
+      partitionBy = Seq("p"))
+    wh.mergeUpsert("mrg_drift",
+      Seq((1L, 5L, 11)).toDF("id", "p", "v"), // p drifted to long
+      Seq("id"), Seq("p"))
+    val out = wh.read("mrg_drift").select($"id", $"p".cast("int"), $"v")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set((1L, 5, 11), (2L, 5, 20), (3L, 7, 30)),
+      out.toSeq.sortBy(_._1).mkString("\n"))
+  }
+
   test("incremental merge: upsert by key, cross-partition move, pruned rewrite") {
     val ctx = freshCtx()
     val mat = Materialization.IncrementalMerge(Seq("id"), Seq("part_col"))
