@@ -10,7 +10,15 @@ import org.apache.spark.sql.functions._
   * check strategy incl. check_cols='all':
   * snapshots/spark/b2b_mart/scd2_offer_products_snapshot.sql:12).
   *
-  * History columns: `dbt_valid_from` / `dbt_valid_to` (open = null).
+  * History columns: `dbt_valid_from` / `dbt_valid_to` (open = null), plus
+  * dbt's other two snapshot meta columns `dbt_updated_at` / `dbt_scd_id`
+  * (consumed verbatim by downstream models, e.g.
+  * models/spark/b2b_mart/scd2/scd2_mongo_order.sql:69-72). Both are pure
+  * functions of (unique_key, dbt_valid_from) — dbt sets dbt_updated_at to
+  * the version's updated_at (timestamp strategy) / run start (check
+  * strategy), which is exactly dbt_valid_from at insertion, and dbt_scd_id
+  * to an md5 surrogate over key+updated_at — so every run recomputes
+  * identical values and the bucket-pruned path stays byte-stable.
   * The update is ONE full-outer join of the staged snapshot against the open
   * rows on the unique key (closed history passes through untouched), then an
   * atomic table rewrite — no Delta MERGE needed. At scale both sides shuffle
@@ -32,6 +40,13 @@ object Scd2 {
       cols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
   }
 
+  /** dbt's remaining snapshot meta columns, derived from the version row
+    * itself (see class scaladoc). */
+  private def withMetaCols(df: DataFrame, uniqueKey: String): DataFrame = df
+    .withColumn("dbt_updated_at", col("dbt_valid_from"))
+    .withColumn("dbt_scd_id", md5(concat_ws("|",
+      col(uniqueKey).cast("string"), col("dbt_valid_from").cast("string"))))
+
   def snapshot(ctx: Ctx, name: String, staged: DataFrame, uniqueKey: String,
                strategy: Scd2Strategy, invalidateHardDeletes: Boolean,
                runTs: Timestamp): Unit = {
@@ -44,12 +59,12 @@ object Scd2 {
     }
 
     if (!wh.tableExists(name)) {
-      wh.createTable(name, staged
+      wh.createTable(name, withMetaCols(staged
         .withColumn("dbt_valid_from", strategy match {
           case Scd2Strategy.Timestamp(u) => col(u).cast("timestamp")
           case Scd2Strategy.Check(_) => lit(runTs)
         })
-        .withColumn("dbt_valid_to", lit(null).cast("timestamp")))
+        .withColumn("dbt_valid_to", lit(null).cast("timestamp")), uniqueKey))
       return
     }
 
@@ -86,7 +101,7 @@ object Scd2 {
 
     // replaceTable stages to a tmp dir first, so reading the old files while
     // writing the new version is safe; the swap happens after the write.
-    wh.replaceTable(name, result)
+    wh.replaceTable(name, withMetaCols(result, uniqueKey))
   }
 
   /** Internal bucket partition column of bucketed snapshot tables. */
@@ -127,12 +142,12 @@ object Scd2 {
     }
 
     if (!wh.tableExists(name)) {
-      wh.createTable(name, staged
+      wh.createTable(name, withMetaCols(staged
         .withColumn("dbt_valid_from", strategy match {
           case Scd2Strategy.Timestamp(u) => col(u).cast("timestamp")
           case Scd2Strategy.Check(_) => lit(runTs)
         })
-        .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+        .withColumn("dbt_valid_to", lit(null).cast("timestamp")), uniqueKey)
         .withColumn(BucketCol, bucketOf(col(uniqueKey))),
         partitionBy = Seq(BucketCol))
       return
@@ -173,9 +188,9 @@ object Scd2 {
       .filter(col(BucketCol).isin(touched: _*))
       .select((payloadCols ++ Seq("dbt_valid_from", "dbt_valid_to")).map(col): _*)
 
-    val result = closedTouched
+    val result = withMetaCols(closedTouched
       .unionByName(keepOrClose)
-      .unionByName(opened)
+      .unionByName(opened), uniqueKey)
       .withColumn(BucketCol, bucketOf(col(uniqueKey)))
       .filter(col(BucketCol).isin(touched: _*))
     wh.insertOverwritePartitions(name, result, Seq(BucketCol), OnSchemaChange.Ignore)
