@@ -1,0 +1,184 @@
+package graft
+
+import graft.runtime._
+
+/** Three more reference models executed VERBATIM, each the sole (or
+  * canonical) instance of an archetype not yet run from its file:
+  *
+  *  - models/spark/mart/fact_table_update.sql — the corpus's ONLY
+  *    incremental_strategy='append' model: per-run bookkeeping row with
+  *    NOW(), two vars, and two-level partitioning ['table_name','partition_date'];
+  *  - models/spark/points/points_redemptions.sql — ObjectId→timestamp
+  *    extraction (CONV(SUBSTR(_id,1,8),16,10) seconds hex), Moscow-time
+  *    date derivation, LATERAL VIEW EXPLODE(MAP_VALUES(...)) over a
+  *    map-of-struct, and a ref() to a SEED — the engine's seed loader and
+  *    the SQL-file pipeline composed end-to-end on the reference's own
+  *    seed_points_groups_mapping.csv;
+  *  - models/spark/b2b_mart/ss/ss_events_by_session.sql — TO_JSON(MAP_FILTER(
+  *    MAP(...), lambda)), FROM_JSON landing extraction inside COLLECT_LIST
+  *    of structs, COLLECT_SET of structs, alias-in-HAVING fake-user filter,
+  *    backticked `user` column, a raw `threat.bot_devices_joompro` catalog
+  *    name, and 30-min gap sessionization with asc/desc ROW_NUMBER
+  *    first/last extraction.
+  */
+class MoreArchetypesRealSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def s(v: String): String = if (v == null) "CAST(NULL AS STRING)" else s"'$v'"
+
+  private def refModel(name: String, rel: String): Model =
+    SqlTemplater.sqlModelAuto(name, java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"/root/reference/models/spark/$rel")))
+
+  test("REAL fact_table_update.sql: append-strategy bookkeeping rows accumulate per run") {
+    val ctx = freshCtx(vars = Map(
+      "table_name" -> "gold_orders", "start_date_ymd" -> "2026-08-01"))
+    val model = refModel("fact_table_update", "mart/fact_table_update.sql")
+    assert(model.materialization == Materialization.IncrementalAppend(
+      Seq("table_name", "partition_date")))
+    assert(model.tags.contains("manual"))
+
+    def run(vars: Map[String, String]): Unit =
+      new DagRunner(Seq(model)).run(ctx.copy(vars = vars),
+        selectors = Seq("fact_table_update"))
+        .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    run(ctx.vars)
+    run(Map("table_name" -> "gold_regions", "start_date_ymd" -> "2026-08-02"))
+
+    val rows = ctx.ref("fact_table_update")
+      .selectExpr("table_name", "CAST(partition_date AS STRING)",
+        "update_ts IS NOT NULL")
+      .as[(String, String, Boolean)].collect().toSet
+    // append strategy: the first run's row SURVIVES the second run
+    assert(rows == Set(
+      ("gold_orders", "2026-08-01", true),
+      ("gold_regions", "2026-08-02", true)), rows.toString)
+  }
+
+  test("REAL points_redemptions.sql: ObjectId epoch, MAP_VALUES explode, seed ref") {
+    val ctx = freshCtx(vars = Map("end_date_ymd" -> "2024-07-01"))
+    // the reference's own seed CSV through the engine's seed loader
+    Seeds.load(ctx, "seed_points_groups_mapping",
+      "/root/reference/seeds/seed_points_groups_mapping.csv")
+
+    // ObjectId prefix: 1717243200 = 2024-06-01 12:00:00 UTC -> 15:00 MSK
+    val oid = java.lang.Long.toHexString(1717243200L) + "a" * 16
+    ctx.sources.register("mongo", "points_points_transactions_daily_snapshot")(sp => sp.sql(
+      s"""SELECT '$oid' AS _id, 'u1' AS userId, 'PURCHASE' AS type,
+         |  named_struct('isDistributed', true, 'byTx', map(
+         |    'tx1', named_struct('txType', 'cashback', 'amountUSD', 2500000L),
+         |    'tx2', named_struct('txType', 'adminCompensation', 'amountUSD', 1000000L))) AS distribution
+         |UNION ALL
+         |SELECT '$oid', 'u2', 'cashout',
+         |  named_struct('isDistributed', true, 'byTx', map(
+         |    'tx3', named_struct('txType', 'mysteryBonus', 'amountUSD', 4000000L)))
+         |UNION ALL -- wrong type: filtered
+         |SELECT '$oid', 'u3', 'earn',
+         |  named_struct('isDistributed', true, 'byTx', map(
+         |    'tx4', named_struct('txType', 'cashback', 'amountUSD', 9000000L)))
+         |UNION ALL -- not distributed: filtered
+         |SELECT '$oid', 'u4', 'purchase',
+         |  named_struct('isDistributed', false, 'byTx', map(
+         |    'tx5', named_struct('txType', 'cashback', 'amountUSD', 9000000L)))""".stripMargin))
+
+    val model = refModel("points_redemptions", "points/points_redemptions.sql")
+    assert(model.deps.contains("seed_points_groups_mapping"))
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("points_redemptions"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val rows = ctx.ref("points_redemptions")
+      .selectExpr("CAST(date_msk AS STRING)", "user_id", "points_type",
+        "points_redemption_type", "points_group", "points_redeemed_usd")
+      .as[(String, String, String, String, String, Double)].collect().toSet
+    // hand-tally: amounts are micro-USD; LOWER() maps 'PURCHASE'->'purchase';
+    // mysteryBonus is absent from the seed -> 'Other'
+    assert(rows == Set(
+      ("2024-06-01", "u1", "cashback", "purchase", "Marketing", 2.5),
+      ("2024-06-01", "u1", "adminCompensation", "purchase", "Compensation", 1.0),
+      ("2024-06-01", "u2", "mysteryBonus", "cashout", "Other", 4.0)), rows.toString)
+  }
+
+  /** One device_events document for ss_events_by_session. */
+  private def ssEv(uid: String, dev: String, os: String, typ: String, ts: String,
+                   pageUrl: String = null, query: String = null,
+                   productId: String = null): String =
+    s"""SELECT named_struct('userId', ${s(uid)}) AS `user`,
+       |  named_struct('id', '$dev', 'osType', '$os') AS device,
+       |  '$typ' AS type,
+       |  TIMESTAMP'$ts' AS event_ts_msk,
+       |  '2024-05-01' AS partition_date,
+       |  named_struct('pageUrl', ${s(pageUrl)}, 'page', CAST(NULL AS STRING),
+       |    'pageName', CAST(NULL AS STRING), 'source', CAST(NULL AS STRING),
+       |    'productId', ${s(productId)}, 'timeBeforeClick', CAST(NULL AS STRING),
+       |    'productsNumber', CAST(NULL AS STRING), 'query', ${s(query)},
+       |    'topProductsNumber', CAST(NULL AS STRING), 'hasNextPage', CAST(NULL AS STRING),
+       |    'searchResultsUniqId', CAST(NULL AS STRING), 'isSearchByImage', CAST(NULL AS STRING),
+       |    'index', CAST(NULL AS STRING), 'position', CAST(NULL AS STRING),
+       |    'promotionId', CAST(NULL AS STRING)) AS payload""".stripMargin
+
+  test("REAL ss_events_by_session.sql: MAP_FILTER params, landing JSON, session collapse") {
+    val ctx = freshCtx()
+    ctx.sources.register("b2b_mart", "device_events")(sp => sp.sql(Seq(
+      // U1: two sessions on device da (31-min gap splits them)
+      ssEv("U1", "da", "android", "search", "2024-05-01 10:00:00",
+        pageUrl = "https://x/pt-br/s", query = "shoes"),
+      ssEv("U1", "da", "android", "productOpen", "2024-05-01 10:10:00",
+        productId = "p1"),
+      ssEv("U1", "da", "android", "cartOpen", "2024-05-01 11:00:00"),
+      ssEv("U1", "da", "android", "deviceCreate", "2024-05-01 09:59:00"), // type-excluded
+      // U2: search-only -> fake_search HAVING filter drops the user
+      ssEv("U2", "db", "windows", "search", "2024-05-01 10:00:00", query = "q"),
+      ssEv("U2", "db", "windows", "search", "2024-05-01 10:05:00", query = "q2"),
+      // U3: on a bot device -> bots join drops every event
+      ssEv("U3", "dbot", "ios", "productOpen", "2024-05-01 10:00:00"),
+      // anonymous event -> userId IS NULL filter
+      ssEv(null, "da", "android", "productOpen", "2024-05-01 10:01:00")
+    ).mkString("\nUNION ALL\n")))
+
+    // the model names threat.bot_devices_joompro as a bare catalog table
+    val dbLoc = TempDirs.create("graft_threatdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS threat LOCATION '$dbLoc'")
+    try {
+      spark.sql(
+        """SELECT 'dbot' AS device_id, true AS is_device_marked_as_bot,
+          |  false AS is_retrospectively_detected_bot
+          |UNION ALL
+          |SELECT 'da', false, false""".stripMargin)
+        .write.mode("overwrite").option("path", s"$dbLoc/bot_devices_joompro")
+        .saveAsTable("threat.bot_devices_joompro")
+
+      val model = refModel("ss_events_by_session", "b2b_mart/ss/ss_events_by_session.sql")
+      new DagRunner(Seq(model)).run(ctx, selectors = Seq("ss_events_by_session"))
+        .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+      val out = ctx.ref("ss_events_by_session")
+      val sessions = out.selectExpr("user_id", "session_id", "session_num",
+        "CAST(session_start AS STRING)", "CAST(session_end AS STRING)",
+        "session_duration_seconds", "first_event_name", "last_event_name",
+        "events_in_session_count", "events_in_session_unique_count",
+        "size(events_in_session)", "size(unique_devices_in_session)")
+        .as[(String, String, Long, String, String, Long, String, String,
+          Long, Long, Int, Int)].collect().toSet
+      assert(sessions == Set(
+        ("U1", "U1s1", 1L, "2024-05-01 10:00:00", "2024-05-01 10:10:00", 600L,
+          "search", "productOpen", 2L, 2L, 2, 1),
+        ("U1", "U1s2", 2L, "2024-05-01 11:00:00", "2024-05-01 11:00:00", 0L,
+          "cartOpen", "cartOpen", 1L, 1L, 1, 1)), sessions.toString)
+
+      // nested event structs: MAP_FILTER kept only non-null params
+      // (TO_JSON), and the pt-br pageUrl maps to the BR landing
+      val nested = out.filter($"session_id" === "U1s1")
+        .selectExpr("explode(events_in_session) AS e")
+        .selectExpr("e.event_type", "e.event_params", "e.event_landing",
+          "e.device_platform")
+        .as[(String, String, Option[String], String)].collect().toSet
+      assert(nested == Set(
+        ("search", """{"pageUrl":"https://x/pt-br/s","query":"shoes"}""",
+          Some("BR"), "mobile"),
+        ("productOpen", """{"product_id":"p1"}""", None, "mobile")), nested.toString)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS threat CASCADE")
+    }
+  }
+}
