@@ -99,6 +99,85 @@ class MoreArchetypesRealSpec extends SparkSpec {
       ("2024-06-01", "u2", "mysteryBonus", "cashout", "Other", 4.0)), rows.toString)
   }
 
+  test("REAL onfy_unique_querying_devices.sql: CUBE + APPROX_COUNT_DISTINCT + grouping HAVING") {
+    val ctx = freshCtx(vars = Map(
+      "start_date_ymd" -> "2024-05-01", "end_date_ymd" -> "2024-05-02"))
+    ctx.sources.register("onfy_mart", "auth_proxy_devices_without_bots")(sp => sp.sql(
+      """SELECT 'd1' AS device_id, false AS is_bot
+        |UNION ALL SELECT 'd2', false
+        |UNION ALL SELECT 'db', true""".stripMargin))
+    ctx.sources.register("threat", "bot_factors_onfy")(sp => sp.sql(
+      """SELECT 'd1' AS device_id, TIMESTAMP'2024-05-01 10:00:30' AS published_at,
+        |  'att' AS isp, 'ff' AS user_agent
+        |UNION ALL SELECT 'd2', TIMESTAMP'2024-05-01 10:01:00', 'att', 'chrome'
+        |UNION ALL SELECT 'd1', TIMESTAMP'2024-05-01 10:07:00', 'att', 'ff'
+        |UNION ALL SELECT 'db', TIMESTAMP'2024-05-01 10:00:00', 'att', 'ff'""".stripMargin))
+
+    val model = refModel("onfy_unique_querying_devices",
+      "onfy/onfy_unique_querying_devices.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("onfy_unique_querying_devices"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val rows = ctx.ref("onfy_unique_querying_devices")
+      .selectExpr("frequency", "CAST(ts AS STRING)", "isp", "user_agent",
+        "unique_querying_devices")
+      .as[(String, String, Option[String], Option[String], Long)].collect().toSet
+    // hand-tally: CUBE(frequency, ts, isp, user_agent) emits 16 grouping
+    // sets; HAVING keeps the 4 where frequency AND ts are grouped. The bot
+    // device db is excluded by the USING join. Bucketing floors to 5 min:
+    // 10:00:30 and 10:01:00 share the 10:00 bucket, 10:07 -> 10:05.
+    val t0 = "2024-05-01 10:00:00"; val t5 = "2024-05-01 10:05:00"
+    assert(rows == Set(
+      ("5m", t0, Some("att"), Some("ff"), 1L),
+      ("5m", t0, Some("att"), Some("chrome"), 1L),
+      ("5m", t0, Some("att"), None, 2L),
+      ("5m", t0, None, Some("ff"), 1L),
+      ("5m", t0, None, Some("chrome"), 1L),
+      ("5m", t0, None, None, 2L),
+      ("5m", t5, Some("att"), Some("ff"), 1L),
+      ("5m", t5, Some("att"), None, 1L),
+      ("5m", t5, None, Some("ff"), 1L),
+      ("5m", t5, None, None, 1L)), rows.toSeq.sortBy(_.toString).mkString("\n"))
+  }
+
+  test("REAL banners_stats.sql: named WINDOW clause, interval joins, banner attribution") {
+    val ctx = freshCtx()
+    val day = java.time.LocalDate.now().minusDays(10).toString
+    def bev(id: String, time: String, typ: String, pzn: String, block: String): String =
+      s"""SELECT 'd1' AS device_id, named_struct('osType', 'desktop') AS device,
+         |  '$id' AS event_id, TIMESTAMP'$day $time' AS event_ts_cet,
+         |  DATE'$day' AS partition_date_cet, '$typ' AS type,
+         |  named_struct('sourceScreen', 'home', 'pzn', ${s(pzn)},
+         |    'blockName', 'b1') AS payload""".stripMargin
+    ctx.sources.register("onfy_mart", "device_events")(sp => sp.sql(Seq(
+      bev("e1", "10:00:00", "producerBannerShown", null, "b1"),   // promo 'banner'
+      bev("e2", "10:01:00", "producerBannerClicked", "Z1", "b1"), // promo = pzn
+      bev("e3", "10:05:00", "productOpen", "Z1", "b1")            // the click-through
+    ).mkString("\nUNION ALL\n")))
+    ctx.warehouse.createTable("orders_info", spark.sql(
+      s"""SELECT 'o1' AS order_id, 'd1' AS device_id,
+         |  TIMESTAMP'$day 11:00:00' AS order_created_time_cet, 'Z1' AS pzn,
+         |  CAST(30.0 AS DOUBLE) AS products_price, 3 AS quantity""".stripMargin))
+
+    val model = refModel("banners_stats", "onfy/banners_stats.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("banners_stats"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val rows = ctx.ref("banners_stats")
+      .selectExpr("CAST(partition_date_cet AS STRING)", "sourceScreen",
+        "promo_type", "blockName", "impressions", "clicks", "orders", "gmv",
+        "packs_sold")
+      .as[(String, String, String, String, Long, Long, Long, Double, Long)]
+      .collect().toSet
+    // hand-tally: the shown event (NULL pzn) rolls up under promo 'banner'
+    // with 1 impression and no order; the clicked event attributes the
+    // product open within 30 min, then order o1 within 5h on the same pzn —
+    // FIRST_VALUE/MAX over the named WINDOW dedup the order to one row.
+    assert(rows == Set(
+      (day, "home", "banner", "b1", 1L, 0L, 0L, 0.0, 0L),
+      (day, "home", "Z1", "b1", 0L, 1L, 1L, 30.0, 3L)), rows.toString)
+  }
+
   /** One device_events document for ss_events_by_session. */
   private def ssEv(uid: String, dev: String, os: String, typ: String, ts: String,
                    pageUrl: String = null, query: String = null,
