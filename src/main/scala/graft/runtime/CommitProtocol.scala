@@ -25,6 +25,12 @@ trait TableCommitProtocol {
     * `target`. Must be all-or-nothing from a reader's perspective: a
     * concurrent reader sees the old table or the new one, never a mix. */
   def commitReplace(staged: Path, target: Path): Unit
+
+  /** Resolve the logical table path to the directory currently holding its
+    * data. Identity for rename-based protocols; pointer-following for
+    * protocols that publish immutable version directories. EVERY physical
+    * read or in-place write in the warehouse goes through this. */
+  def resolveData(target: Path): Path = target
 }
 
 object TableCommitProtocol {
@@ -36,12 +42,65 @@ object TableCommitProtocol {
     * InsertIntoHadoopFsRelation non-dynamic overwrite does). */
   object LocalAtomicRename extends TableCommitProtocol {
     def commitReplace(staged: Path, target: Path): Unit = {
-      if (Files.exists(target)) {
-        val walk = Files.walk(target)
-        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
-        finally walk.close()
-      }
+      if (Files.exists(target)) deleteTree(target)
       Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
     }
+  }
+
+  /** Object-store-safe protocol: published data directories are IMMUTABLE;
+    * the commit point is an atomic swap of a single pointer FILE naming the
+    * live version directory (`<table>.__current` → `<table>.__v<N>`).
+    *
+    * This is the semantics S3/GCS actually offer — directory rename is
+    * neither atomic nor cheap (server-side copy + delete per object), but a
+    * single-object PUT is atomic — and it is the minimal form of what
+    * Delta/Iceberg generalize: their transaction log is a versioned chain
+    * of such pointer writes with file-level manifests. Readers resolve the
+    * pointer once per query plan; the logical table path never holds data
+    * after the first replace, so no directory rename ever happens on a
+    * publish.
+    *
+    * Retention: the version being replaced is deleted after the flip
+    * (single-writer, matching the engine's overwrite semantics). An
+    * object-store deployment with long-running concurrent readers would
+    * defer that deletion by a retention window (Delta VACUUM semantics) —
+    * the one-line change is documented at the deletion site.
+    */
+  final class PointerSwap extends TableCommitProtocol {
+    private def pointerFile(target: Path): Path =
+      target.resolveSibling(target.getFileName.toString + ".__current")
+
+    override def resolveData(target: Path): Path = {
+      val pf = pointerFile(target)
+      if (Files.exists(pf)) target.resolveSibling(Files.readString(pf).trim)
+      else target
+    }
+
+    override def commitReplace(staged: Path, target: Path): Unit = {
+      val current = resolveData(target)
+      val base = target.getFileName.toString
+      val nextVersion = current.getFileName.toString match {
+        case s if s.startsWith(s"$base.__v") => s.stripPrefix(s"$base.__v").toLong + 1
+        case _ => 1L
+      }
+      val versionDir = target.resolveSibling(s"$base.__v$nextVersion")
+      // on a real object store the writer stages directly at the version
+      // path (it is private until the pointer names it); locally the staged
+      // dir is moved there — NOT a commit point, the dir is still unnamed
+      Files.move(staged, versionDir)
+      // the commit: write-then-rename of the pointer FILE (atomic PUT model)
+      val tmp = target.resolveSibling(s"$base.__current.tmp")
+      Files.writeString(tmp, versionDir.getFileName.toString)
+      Files.move(tmp, pointerFile(target), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      // retire the replaced version (retention window would defer this)
+      if (Files.exists(current) && current != versionDir) deleteTree(current)
+    }
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally walk.close()
   }
 }

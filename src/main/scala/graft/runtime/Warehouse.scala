@@ -36,10 +36,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * (reference: macros/get_custom_schema.sql:1-22,
     * macros/generate_alias_name.sql:1-28 — dev runs prefix relations). */
   def tablePath(name: String): String = s"$root/${namer(name)}"
-  private def schemaPath(name: String): Path = Paths.get(tablePath(name), "_schema.json")
+
+  /** Directory currently holding the table's data: the logical path under a
+    * rename protocol, the pointed-to version directory under [[TableCommitProtocol.PointerSwap]].
+    * Every physical read and in-place write resolves through here; only
+    * [[replaceTable]]'s publish targets the logical path. */
+  private def dataDir(name: String): String =
+    commitProtocol.resolveData(Paths.get(tablePath(name))).toString
+  private def schemaPath(name: String): Path = Paths.get(dataDir(name), "_schema.json")
 
   def tableExists(name: String): Boolean =
-    views.contains(name) || Files.exists(Paths.get(tablePath(name)))
+    views.contains(name) || Files.exists(Paths.get(dataDir(name)))
 
   def registerView(name: String, df: DataFrame): Unit = views.put(name, df)
 
@@ -58,9 +65,9 @@ final class Warehouse(val spark: SparkSession, val root: String,
         case Some(schema) =>
           // partition columns surface last regardless of the given schema;
           // project back to canonical order (no extra I/O, plan-only)
-          spark.read.schema(schema).parquet(tablePath(name))
+          spark.read.schema(schema).parquet(dataDir(name))
             .select(schema.fieldNames.toSeq.map(col): _*)
-        case None => spark.read.option("mergeSchema", "true").parquet(tablePath(name))
+        case None => spark.read.option("mergeSchema", "true").parquet(dataDir(name))
       }
   }
 
@@ -71,7 +78,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   }
 
   private def writeSchema(name: String, schema: StructType): Unit = {
-    Files.createDirectories(Paths.get(tablePath(name)))
+    Files.createDirectories(Paths.get(dataDir(name)))
     Files.writeString(schemaPath(name), schema.json)
   }
 
@@ -96,14 +103,14 @@ final class Warehouse(val spark: SparkSession, val root: String,
     // across runs); SaveMode.Overwrite wipes the directory incl. the sidecar.
     // Restore happens in a finally (a failed write must not lose the docs),
     // filtered to columns that still exist in the new schema.
-    val docsPath = Paths.get(tablePath(name), "_docs.json")
+    val docsPath = Paths.get(dataDir(name), "_docs.json")
     val savedDocs = docs(name)
     try {
       val out =
         if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*)
         else distributeForWrite(df, partitionBy, hashSpread)
       val w = out.write.mode(SaveMode.Overwrite)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dataDir(name))
       writeSchema(name, df.schema)
     } finally {
       val survivors = savedDocs.filter { case (k, _) =>
@@ -131,7 +138,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val out = distributeForWrite(aligned, partitionBy, hashSpread)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(tablePath(name))
+    try out.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(dataDir(name))
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -220,7 +227,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
     affected.filterNot(r => outParts.contains(partitionBy.indices.map(r.get)))
       .foreach { r =>
-        val p = Paths.get(tablePath(name), partitionDir(partitionBy, r))
+        val p = Paths.get(dataDir(name), partitionDir(partitionBy, r))
         if (Files.exists(p)) deleteRecursively(p)
       }
   }
@@ -258,7 +265,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * skipped; with none on disk the result is an empty slice. */
   private def readPartitionDirs(name: String, partitionBy: Seq[String],
                                 parts: Seq[org.apache.spark.sql.Row]): DataFrame = {
-    val base = tablePath(name)
+    val base = dataDir(name)
     val dirs = parts.map(r => s"$base/${partitionDir(partitionBy, r)}")
       .filter(p => Files.exists(Paths.get(p)))
     val schema = canonicalSchema(name)
@@ -326,10 +333,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
         // MUST resolve; a miss means partitionDir's encoding diverged from
         // the writer's and survivors would silently vanish — fail loudly
         val missing = matched.map(r => partitionDir(partitionBy, r))
-          .filterNot(d => Files.exists(Paths.get(tablePath(name), d)))
+          .filterNot(d => Files.exists(Paths.get(dataDir(name), d)))
         if (missing.nonEmpty) throw new IllegalStateException(
           s"mergeUpsert($name): matched partition directories not found under " +
-            s"${tablePath(name)}: ${missing.mkString(", ")} — partition-path " +
+            s"${dataDir(name)}: ${missing.mkString(", ")} — partition-path " +
             "encoding mismatch would silently drop surviving rows")
         (incParts.collect() ++ matched).distinct
       }
@@ -346,7 +353,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val aligned = alignSchema(name, df, OnSchemaChange.Ignore)
     val w = aligned.write.mode(SaveMode.Append)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath(name))
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dataDir(name))
   }
 
   /** Docs persistence (reference: persist_docs + alter_column_comment,
@@ -355,7 +362,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * metadata (`comment`) on read. */
   def setDocs(name: String, tableComment: String,
               columnComments: Map[String, String]): Unit =
-    Files.writeString(Paths.get(tablePath(name), "_docs.json"),
+    Files.writeString(Paths.get(dataDir(name), "_docs.json"),
       serializeDocs(Map("__table__" -> tableComment) ++ columnComments))
 
   private def serializeDocs(m: Map[String, String]): String =
@@ -365,7 +372,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   def docs(name: String): Map[String, String] = {
-    val p = Paths.get(tablePath(name), "_docs.json")
+    val p = Paths.get(dataDir(name), "_docs.json")
     if (!Files.exists(p)) Map.empty
     else {
       val re = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
@@ -383,7 +390,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def createBucketedTable(name: String, df: DataFrame, bucketCols: Seq[String],
                           numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
-      .option("path", tablePath(name))
+      .option("path", dataDir(name))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -400,10 +407,14 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def replaceTable(name: String, df: DataFrame): Unit = {
     val tmp = s"$root/.staging_$name"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // the schema sidecar ships INSIDE the staged directory, so the commit
+    // publishes a complete table (no post-flip sidecar write a concurrent
+    // reader could miss); underscore-prefixed files are invisible to
+    // Spark's listing, so the staged dir stays a valid parquet directory
+    Files.writeString(Paths.get(tmp, "_schema.json"), df.schema.json)
     // the publish step is the pluggable commit point (see
     // [[TableCommitProtocol]] — a Delta/Iceberg log-append drops in here)
     commitProtocol.commitReplace(Paths.get(tmp), Paths.get(tablePath(name)))
-    writeSchema(name, df.schema)
   }
 
   /** Apply the on_schema_change policy against the canonical schema, update
