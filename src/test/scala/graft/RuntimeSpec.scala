@@ -909,6 +909,37 @@ class RuntimeSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("REAL docs yml files parse corpus-wide and persist through setDocs") {
+    // single-file shape: src_gold.yml has 16 model entries incl. folded
+    // (>-) descriptions that must collapse to one line
+    val gold = DocsYaml.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/models/spark/gold/src_gold.yml")))
+    assert(gold.size == 16, gold.map(_.name).toString)
+    val aDev = gold.find(_.name == "gold_active_devices_with_ephemeral").get
+    assert(aDev.columns("date_msk") == "Date of activity in UTC+3")
+    val folded = aDev.columns("is_converted_next_w1")
+    assert(folded.startsWith("Flag indicating whether device_id made a purchase in the 1st calendar week"))
+    assert(!folded.contains("\n") && folded.endsWith("elapsed."))
+
+    // corpus-wide sweep: every yml under models/spark parses; 58 model-doc
+    // entries with non-empty names (docs-bearing subset of the 423 models)
+    val all = DocsYaml.parseDir("/root/reference/models/spark")
+    assert(all.size == 58, s"got ${all.size}")
+    assert(all.forall(_.name.nonEmpty))
+    assert(all.count(_.columns.nonEmpty) >= 40, all.count(_.columns.nonEmpty).toString)
+
+    // persist_docs equivalent: the REAL yml descriptions land in the
+    // warehouse docs sidecar for materialized tables
+    val ctx = freshCtx()
+    ctx.warehouse.createTable("gold_active_devices_with_ephemeral",
+      Seq(("2024-01-01", "d1")).toDF("date_msk", "device_id"))
+    val applied = DocsYaml.applyTo(ctx.warehouse, gold)
+    assert(applied == Seq("gold_active_devices_with_ephemeral"))
+    val docs = ctx.warehouse.docs("gold_active_devices_with_ephemeral")
+    assert(docs("date_msk") == "Date of activity in UTC+3")
+    assert(docs("__table__").startsWith("Key metrics of a user on a specific date"))
+  }
+
   test("docs survive a rebuild filtered to surviving columns") {
     val ctx = freshCtx()
     val wh = ctx.warehouse
