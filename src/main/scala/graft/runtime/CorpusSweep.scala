@@ -30,7 +30,8 @@ object CorpusSweep {
 
   final case class ModelResult(name: String, path: String, phase: String,
                                error: Option[String], refs: Seq[String],
-                               incremental: Boolean, tags: Set[String] = Set.empty)
+                               incremental: Boolean, tags: Set[String] = Set.empty,
+                               sources: Seq[(String, String)] = Nil)
 
   /** Directory-scoped tag inheritance, the dbt_project.yml `+tags` contract
     * (reference: dbt_project.yml models: section — subtrees b2b_mart / onfy /
@@ -97,12 +98,13 @@ object CorpusSweep {
       val incremental = sql.contains("is_incremental")
       val tags = dirTags(p)
       var refs: Seq[String] = Nil
+      var srcs: Seq[(String, String)] = Nil
 
       def attempt(phase: String)(body: => Unit): Option[ModelResult] =
         try { body; None } catch {
           case e: Throwable => Some(ModelResult(name, p.toString, phase,
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ")}"),
-            refs, incremental, tags))
+            refs, incremental, tags, srcs))
         }
 
       val failure =
@@ -123,13 +125,14 @@ object CorpusSweep {
             attempt(if (inc) "render(incremental)" else "render") {
               rendered = SqlTemplater.renderText(name, sql, macros, vars, vars(_), inc)
               refs = rendered.refs
+              srcs = (srcs ++ rendered.sources).distinct
             }.orElse(attempt(if (inc) "parse(incremental)" else "parse") {
               parser.parsePlan(rendered.text)
             })
           }.nextOption()
         }
 
-      failure.getOrElse(ModelResult(name, p.toString, "ok", None, refs, incremental, tags))
+      failure.getOrElse(ModelResult(name, p.toString, "ok", None, refs, incremental, tags, srcs))
     }
 
     // dbt model names are project-global: two files with the same stem in

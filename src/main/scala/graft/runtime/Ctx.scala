@@ -42,14 +42,26 @@ final class SourceRegistry(
 
   private val providers =
     scala.collection.concurrent.TrieMap.empty[(String, String), SparkSession => DataFrame]
+  @volatile private var declarations: Option[Map[String, Set[String]]] = None
 
   def register(schema: String, table: String)(p: SparkSession => DataFrame): Unit =
     providers.put((schema, table), p)
 
-  def resolve(spark: SparkSession, schema: String, table: String): DataFrame =
+  /** Load sources.yml declarations (see [[SourcesYaml]]); once set, every
+    * resolve of an UNDECLARED (schema, table) fails — dbt's compile-time
+    * "source not found" contract. */
+  def requireDeclared(decls: Map[String, Set[String]]): Unit =
+    declarations = Some(decls)
+
+  def resolve(spark: SparkSession, schema: String, table: String): DataFrame = {
+    for (d <- declarations)
+      if (!d.get(schema).exists(_.contains(table)))
+        throw new IllegalArgumentException(
+          s"source $schema.$table is not declared in sources.yml")
     providers.get((schema, table)).map(_(spark))
       .orElse(default.map(_(schema, table)))
       .getOrElse(throw new IllegalArgumentException(s"unknown source $schema.$table"))
+  }
 }
 
 object SourceRegistry {

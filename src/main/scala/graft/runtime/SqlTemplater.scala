@@ -26,6 +26,11 @@ object SqlTemplater {
   private val CommentRe = """(?s)\{#.*?#\}""".r
   private val RefRe = """\{\{\s*ref\s*\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
   private val SourceRe = """\{\{\s*source\s*\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+
+  /** Static (schema, table) source() calls in a raw template text — used by
+    * the corpus sources.yml resolution sweep. */
+  def staticSources(text: String): Seq[(String, String)] =
+    SourceRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2))).toSeq.distinct
   private val VarRe = """\{\{\s*var\s*\(\s*['"]([^'"]+)['"](?:\s*,\s*['"]([^'"]*)['"])?\s*\)\s*\}\}""".r
   private val IncrRe = """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
   private val ThisRe = """\{\{\s*this\s*\}\}""".r

@@ -42,6 +42,43 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("every source() call corpus-wide resolves against the REAL sources.yml declarations") {
+    assume(Files.isDirectory(modelsDir))
+    // dbt's compile-time contract: an undeclared source('s','t') is an
+    // error. Load the reference's own 3 sources.yml files and resolve every
+    // call in all 423 models + 54 snapshot files against them.
+    val declared = SourcesYaml.parseFiles(Seq(
+      "/root/reference/models/spark/sources.yml",
+      "/root/reference/models/spark/b2b_mart/sources.yml",
+      "/root/reference/models/spark/onfy/sources.yml"))
+    assert(declared.size == 31, s"schemas: ${declared.size}")
+    assert(declared.valuesIterator.map(_.size).sum == 282,
+      s"tables: ${declared.valuesIterator.map(_.size).sum}")
+
+    val report = CorpusSweep.sweep(spark, modelsDir, macrosDir,
+      extraRefTargets = CorpusSweep.refTargets(
+        Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds")))
+    val modelSources = (report.passed ++ report.failed).flatMap(_.sources)
+    val snapshotSources = Files.walk(Paths.get("/root/reference/snapshots"))
+      .iterator().asScala.filter(_.toString.endsWith(".sql"))
+      .flatMap(p => SqlTemplater.staticSources(Files.readString(p))).toSeq
+    val used = (modelSources ++ snapshotSources).distinct
+    assert(used.size >= 250, s"only ${used.size} distinct source calls found")
+    val undeclared = used.filterNot { case (sch, t) =>
+      declared.get(sch).exists(_.contains(t)) }
+    assert(undeclared.isEmpty, s"undeclared sources: ${undeclared.mkString(", ")}")
+
+    // and the registry enforces the same contract at resolve time
+    val reg = new SourceRegistry()
+    reg.register("mart", "device_events")(s => s.range(1).toDF("x"))
+    reg.register("mart", "no_such_table_anywhere")(s => s.range(1).toDF("x"))
+    reg.requireDeclared(declared)
+    val ex = intercept[IllegalArgumentException](
+      reg.resolve(spark, "mart", "no_such_table_anywhere")) // provider exists, undeclared
+    assert(ex.getMessage.contains("not declared"))
+    assert(reg.resolve(spark, "mart", "device_events").count() == 1) // declared -> resolves
+  }
+
   test("sweep flags duplicate model stems as their own failure class, not a cycle") {
     // dbt model names are project-global: the same stem in two directories
     // used to collapse into one Kahn in-degree entry and surface as a
