@@ -32,6 +32,10 @@ object Jinja {
   final case class VStr(s: String) extends V { def truthy = s.nonEmpty; def render = s }
   final case class VBool(b: Boolean) extends V { def truthy = b; def render = if (b) "True" else "False" }
   final case class VInt(n: Long) extends V { def truthy = n != 0; def render = n.toString }
+  /** Float literal; keeps the source text so render is byte-faithful
+    * (reference: bigquery_check_counts_max_diff_fraction: 0.0001,
+    * models/spark/gold/gold_order_groups.sql:17). */
+  final case class VFloat(text: String) extends V { def truthy = text.toDouble != 0; def render = text }
   final case class VList(xs: Seq[V]) extends V { def truthy = xs.nonEmpty; def render = xs.map(_.render).mkString("[", ", ", "]") }
   final case class VMap(m: mutable.LinkedHashMap[String, V]) extends V { def truthy = m.nonEmpty; def render = m.map { case (k, v) => s"$k: ${v.render}" }.mkString("{", ", ", "}") }
 
@@ -211,6 +215,10 @@ object Jinja {
       } else if (c.isDigit) {
         val start = i
         while (i < s.length && s(i).isDigit) i += 1
+        if (i + 1 < s.length && s(i) == '.' && s(i + 1).isDigit) {
+          i += 1
+          while (i < s.length && s(i).isDigit) i += 1
+        }
         out += Tok("num", s.substring(start, i))
       } else if (c.isLetter || c == '_') {
         val start = i
@@ -324,7 +332,8 @@ object Jinja {
 
     private def primary(): V = peek match {
       case Some(Tok("str", s)) => take(); VStr(s)
-      case Some(Tok("num", n)) => take(); VInt(n.toLong)
+      case Some(Tok("num", n)) => take()
+        if (n.contains('.')) VFloat(n) else VInt(n.toLong)
       case Some(Tok("op", "(")) => take(); val v = expr(); expect("op", ")"); v
       case Some(Tok("op", "[")) =>
         take()
@@ -422,6 +431,7 @@ object Jinja {
 
     private def asLong(v: V): Long = v match {
       case VInt(n) => n
+      case VFloat(t) => t.toDouble.toLong
       case VStr(s) => s.trim.toLong
       case VBool(b) => if (b) 1 else 0
       case _ => throw new IllegalArgumentException(s"not a number: ${v.render}")

@@ -220,6 +220,21 @@ object SqlTemplater {
 
   private val ConfigArgsRe = """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
 
+  /** Index just past the dict literal that opens `s` (brace-balanced,
+    * quote-aware); -1 if unbalanced. */
+  private def balancedDictEnd(s: String): Int = {
+    var depth = 0; var i = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '{') depth += 1
+      else if (c == '}') { depth -= 1; if (depth == 0) return i + 1 }
+      i += 1
+    }
+    -1
+  }
+
   private def parseConfigArgs(args: String): Map[String, Jinja.V] =
     splitArgs(args).filter(_.nonEmpty).flatMap { kv =>
       val i = kv.indexOf('=')
@@ -227,11 +242,27 @@ object SqlTemplater {
       else {
         val k = kv.substring(0, i).trim
         val raw = kv.substring(i + 1).trim
-        val v = scala.util.Try(Jinja.eval(raw,
+        def evalV(e: String): scala.util.Try[Jinja.V] = scala.util.Try(Jinja.eval(e,
           scala.collection.mutable.LinkedHashMap.empty,
           Jinja.Env(Map.empty, isIncremental = false)))
-          .getOrElse(Jinja.VStr(stripQuotes(raw)))
-        Some(k -> v)
+        evalV(raw) match {
+          case scala.util.Success(v) => Seq(k -> v)
+          case scala.util.Failure(_) if raw.startsWith("{") =>
+            // missing-comma recovery: a dict value followed directly by the
+            // next kwarg (reference corpus defect:
+            // snapshots/spark/b2b_mart/scd2_product_tiers_snapshot.sql:5-8
+            // closes `meta = {...}` with no comma before target_schema) —
+            // evaluate the balanced dict, re-parse the remainder as kwargs
+            balancedDictEnd(raw) match {
+              case -1 => Seq(k -> Jinja.VStr(stripQuotes(raw)))
+              case end =>
+                val head = evalV(raw.substring(0, end))
+                  .getOrElse(Jinja.VStr(stripQuotes(raw.substring(0, end))))
+                val rest = raw.substring(end).trim.stripPrefix(",").trim
+                (k -> head) +: (if (rest.nonEmpty) parseConfigArgs(rest).toSeq else Nil)
+            }
+          case scala.util.Failure(_) => Seq(k -> Jinja.VStr(stripQuotes(raw)))
+        }
       }
     }.toMap
 

@@ -79,6 +79,30 @@ class CorpusSpec extends SparkSpec {
     assert(reg.resolve(spark, "mart", "device_events").count() == 1) // declared -> resolves
   }
 
+  test("REAL CI static gates: owners, file_format, unused sources over the whole corpus") {
+    assume(Files.isDirectory(modelsDir))
+    val declared = SourcesYaml.parseFiles(Seq(
+      "/root/reference/models/spark/sources.yml",
+      "/root/reference/models/spark/b2b_mart/sources.yml",
+      "/root/reference/models/spark/onfy/sources.yml"))
+    val report = CiGates.sweep(modelsDir, Paths.get("/root/reference/snapshots"),
+      Paths.get("/root/reference/tests"), macrosDir, declared)
+    // macro-aware config extraction: the two gold_active_*_with_ephemeral
+    // models get their owner + file_format from the template macro body, so
+    // the owner gate is clean across all 423 models + 54 snapshots
+    assert(report.noOwner.isEmpty, report.noOwner.toString)
+    // the reference CI only enforces file_format on PR-changed files; these
+    // three legacy table-materialized segment models genuinely lack it
+    // (sale_dates_v2 declares no materialized -> dbt-default view -> exempt)
+    assert(report.noFileFormat.sorted == Seq("frequent_buyers", "occasional_buyers",
+      "regular_buyers"), report.noFileFormat.toString)
+    // all 282 declared sources are referenced by some model/snapshot/test
+    // node — consistent with the reference's own green CI (note: several
+    // calls are spelled `source ('s', 't')` with a space, so the match must
+    // be whitespace-tolerant)
+    assert(report.unusedSources.isEmpty, report.unusedSources.toString)
+  }
+
   test("sweep flags duplicate model stems as their own failure class, not a cycle") {
     // dbt model names are project-global: the same stem in two directories
     // used to collapse into one Kahn in-degree entry and surface as a
