@@ -178,6 +178,57 @@ class MoreArchetypesRealSpec extends SparkSpec {
       (day, "home", "Z1", "b1", 0L, 1L, 1L, 30.0, 3L)), rows.toString)
   }
 
+  test("REAL pzns_not_connected_into_one_medical_group.sql: TRANSFORM, struct-equality joins, array clustering") {
+    val ctx = freshCtx()
+    ctx.warehouse.createTable("orders_info", spark.sql(
+      """SELECT 'Z1' AS pzn, CAST(10.0 AS DOUBLE) AS products_price
+        |UNION ALL SELECT 'Z2', 20.0
+        |UNION ALL SELECT 'Z3', 5.0""".stripMargin))
+    // P1/P2: identical ingredient lists, same dosage form + manufacturer,
+    // DIFFERENT medicine groups -> analogs of each other; P3: different
+    // active ingredient and no extras -> no analogs (HAVING drops it)
+    ctx.sources.register("pharmacy_landing", "medicine_ingredient")(sp => sp.sql(
+      """SELECT 'P1' AS medicine_id, 'I1' AS ingredient_id, 1 AS index,
+        |  CAST(400.0 AS DOUBLE) AS quantity, 'mg' AS unit, true AS active
+        |UNION ALL SELECT 'P1', 'I2', 2, 50.0, 'mg', false
+        |UNION ALL SELECT 'P2', 'I1', 1, 400.0, 'mg', true
+        |UNION ALL SELECT 'P2', 'I2', 2, 50.0, 'mg', false
+        |UNION ALL SELECT 'P3', 'I3', 1, 500.0, 'mg', true""".stripMargin))
+    ctx.sources.register("pharmacy_landing", "ingredient")(sp => sp.sql(
+      """SELECT 'I1' AS id, 'ibuprofen' AS name
+        |UNION ALL SELECT 'I2', 'lactose'
+        |UNION ALL SELECT 'I3', 'paracetamol'""".stripMargin))
+    ctx.sources.register("pharmacy_landing", "medicine")(sp => sp.sql(
+      """SELECT 'P1' AS id, 'Z1' AS country_local_id, 'g1' AS medicine_group_id,
+        |  'DF1' AS dosage_form_id
+        |UNION ALL SELECT 'P2', 'Z2', 'g2', 'DF1'
+        |UNION ALL SELECT 'P3', 'Z3', 'g3', 'DF1'""".stripMargin))
+    ctx.sources.register("pharmacy_landing", "dosage_form")(sp => sp.sql(
+      "SELECT 'DF1' AS id, 'TAB' AS short_name, 'tablet' AS long_name"))
+    ctx.sources.register("pharmacy_landing", "product")(sp => sp.sql(
+      """SELECT 'P1' AS id, 'M1' AS manufacturer_id, 'Bayer' AS name
+        |UNION ALL SELECT 'P2', 'M1', 'Bayer'
+        |UNION ALL SELECT 'P3', 'M1', 'Bayer'""".stripMargin))
+
+    val model = refModel("pzns_not_connected_into_one_medical_group",
+      "onfy/pzns_not_connected_into_one_medical_group.sql")
+    new DagRunner(Seq(model)).run(ctx,
+      selectors = Seq("pzns_not_connected_into_one_medical_group"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val rows = ctx.ref("pzns_not_connected_into_one_medical_group")
+      .selectExpr("new_cluster_id", "medicine_group_id", "pzn", "product_id",
+        "product_name", "manufacturer_id", "dosage_form_short_name", "gmv",
+        "cluster_gmv")
+      .as[(Int, String, String, String, String, String, String, Double, Double)]
+      .collect().toSet
+    // hand-tally: P1's analog set (incl. self) is [Z1, Z2] -> one DENSE_RANK
+    // cluster; cluster_gmv = 10 + 20; P3 never appears
+    assert(rows == Set(
+      (1, "g1", "Z1", "P1", "Bayer", "M1", "TAB", 10.0, 30.0),
+      (1, "g2", "Z2", "P2", "Bayer", "M1", "TAB", 20.0, 30.0)), rows.toString)
+  }
+
   /** One device_events document for ss_events_by_session. */
   private def ssEv(uid: String, dev: String, os: String, typ: String, ts: String,
                    pageUrl: String = null, query: String = null,
