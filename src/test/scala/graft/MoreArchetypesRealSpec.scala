@@ -229,6 +229,69 @@ class MoreArchetypesRealSpec extends SparkSpec {
       (1, "g2", "Z2", "P2", "Bayer", "M1", "TAB", 20.0, 30.0)), rows.toString)
   }
 
+  test("REAL ss_events_startsession.sql: URL param inline, gclid slicing, auth-gated bot flag") {
+    val ctx = freshCtx()
+    def sev(uid: String, dev: String, id: String, ts: String, typ: String,
+            url: String): String =
+      s"""SELECT '$id' AS id, named_struct('userId', '$uid') AS `user`,
+         |  named_struct('id', '$dev', 'osType', 'windows', 'osVersion', '11',
+         |    'browserName', 'ff') AS device,
+         |  '$typ' AS type,
+         |  TIMESTAMP'$ts' AS event_ts_utc, TIMESTAMP'$ts' AS event_ts_msk,
+         |  CAST(DATE(TIMESTAMP'$ts') AS STRING) AS partition_date,
+         |  named_struct('pageUrl', ${s(url)}) AS payload""".stripMargin
+    ctx.sources.register("b2b_mart", "device_events")(sp => sp.sql(Seq(
+      // U1: full utm + gclid URL; has a prior "active" event -> active_user 1
+      sev("U1", "d1", "e1", "2024-05-02 10:00:00", "sessionStart",
+        "https://joom.pro/de/home?utm_source=google&utm_medium=cpc&utm_campaign=x&gclid=ABC123&foo=1"),
+      sev("U1", "d1", "e0", "2024-05-01 09:00:00", "productPreview",
+        "https://joom.pro/de/p"),
+      // U2: bounceCheck on a bot device, no params -> bot_flag 1
+      sev("U2", "db", "e2", "2024-05-02 11:00:00", "bounceCheck",
+        "https://joom.pro/ru/x"),
+      // U3: authenticated on a bot device -> auth overrides the bot flag;
+      // gad_source without utm_source -> 'unrecognized_google_advertising'
+      sev("U3", "db2", "e3", "2024-05-02 12:00:00", "sessionStart",
+        "https://joom.pro/en/y?gad_source=1")
+    ).mkString("\nUNION ALL\n")))
+    ctx.warehouse.createTable("ss_events_authentication",
+      Seq("U3").toDF("user_id"))
+
+    val dbLoc = TempDirs.create("graft_threatdb2")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS threat LOCATION '$dbLoc'")
+    try {
+      spark.sql(
+        """SELECT 'db' AS device_id, true AS is_device_marked_as_bot,
+          |  false AS is_retrospectively_detected_bot
+          |UNION ALL SELECT 'db2', false, true""".stripMargin)
+        .write.mode("overwrite").option("path", s"$dbLoc/bot_devices_joompro")
+        .saveAsTable("threat.bot_devices_joompro")
+
+      val model = refModel("ss_events_startsession", "b2b_mart/ss/ss_events_startsession.sql")
+      new DagRunner(Seq(model)).run(ctx, selectors = Seq("ss_events_startsession"))
+        .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+      val rows = ctx.ref("ss_events_startsession")
+        .selectExpr("user_id", "device_id", "type", "active_user", "landing",
+          "utm_source", "utm_medium", "utm_campaign", "gclid", "bot_flag")
+        .as[(String, String, String, Int, String, Option[String], Option[String],
+          Option[String], Option[String], Int)].collect().toSet
+      // hand-tally: U1's query string survives split_part/inline/collect_set
+      // merging; gclid is sliced out by POSITION/SUBSTRING up to the next &;
+      // U2 keeps the bot flag; U3's auth zeroes it and gad_source-without-
+      // utm_source becomes 'unrecognized_google_advertising'
+      assert(rows == Set(
+        ("U1", "d1", "sessionStart", 1, "de", Some("google"), Some("cpc"),
+          Some("x"), Some("ABC123"), 0),
+        ("U2", "db", "bounceCheck", 0, "ru", None, None, None, None, 1),
+        ("U3", "db2", "sessionStart", 0, "en",
+          Some("unrecognized_google_advertising"), None, None, None, 0)),
+        rows.toString)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS threat CASCADE")
+    }
+  }
+
   /** One device_events document for ss_events_by_session. */
   private def ssEv(uid: String, dev: String, os: String, typ: String, ts: String,
                    pageUrl: String = null, query: String = null,
