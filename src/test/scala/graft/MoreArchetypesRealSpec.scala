@@ -178,6 +178,23 @@ class MoreArchetypesRealSpec extends SparkSpec {
       (day, "home", "Z1", "b1", 0L, 1L, 1L, 30.0, 3L)), rows.toString)
   }
 
+  test("REAL key_amo_status.sql (1,371 LoC): 272-branch literal UNION ALL lookup table") {
+    // the corpus's second-largest file is a pure-literal CRM status
+    // dictionary — no refs/sources, Cyrillic status names, one SELECT per
+    // row chained by 271 UNION ALLs
+    val ctx = freshCtx()
+    val model = refModel("key_amo_status", "b2b_mart/key/key_amo_status.sql")
+    assert(model.deps.isEmpty)
+    assert(model.materialization == Materialization.Table())
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("key_amo_status"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val out = ctx.ref("key_amo_status")
+    assert(out.count() == 272)
+    assert(out.filter($"status_id" === 57209866).selectExpr("pipeline_name", "status_name")
+      .as[(String, String)].head() == (("SDR", "Неразобранное")))
+    assert(out.select($"pipeline_id").distinct().count() >= 5)
+  }
+
   test("REAL pzns_not_connected_into_one_medical_group.sql: TRANSFORM, struct-equality joins, array clustering") {
     val ctx = freshCtx()
     ctx.warehouse.createTable("orders_info", spark.sql(
