@@ -195,6 +195,43 @@ class MoreArchetypesRealSpec extends SparkSpec {
     assert(out.select($"pipeline_id").distinct().count() >= 5)
   }
 
+  test("REAL fbj_parcel_speed.sql: DATE_DIFF(HOUR,...), per-parcel rollup, fbj parcel classes") {
+    val ctx = freshCtx()
+    // parcel A (RU): one fbj + one non-fbj order -> 'not only fbj' class;
+    // parcel B (DE->nonRU): pure fbj; parcel C: origin TR -> filtered
+    ctx.sources.register("logistics_mart", "fact_order")(sp => sp.sql(
+      """SELECT 'A' AS parcel_id, 'RU' AS country, 'CN' AS origin_country,
+        |  'o1' AS order_id, true AS is_fbj_order, 2L AS quantity,
+        |  TIMESTAMP'2025-02-01 00:00:00' AS order_created_time_utc,
+        |  TIMESTAMP'2025-02-02 00:00:00' AS outbound_time_utc
+        |UNION ALL SELECT 'A', 'RU', 'CN', 'o2', false, 1L,
+        |  TIMESTAMP'2025-02-01 06:00:00', TIMESTAMP'2025-02-02 00:00:00'
+        |UNION ALL SELECT 'B', 'DE', 'CN', 'o3', true, 4L,
+        |  TIMESTAMP'2025-02-01 12:00:00', TIMESTAMP'2025-02-02 00:00:00'
+        |UNION ALL SELECT 'C', 'RU', 'TR', 'o4', true, 9L,
+        |  TIMESTAMP'2025-02-01 00:00:00', TIMESTAMP'2025-02-02 00:00:00'""".stripMargin))
+
+    val model = refModel("fbj_parcel_speed", "category_management/fbj/fbj_parcel_speed.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("fbj_parcel_speed"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val rows = ctx.ref("fbj_parcel_speed")
+      .selectExpr("CAST(dt AS STRING)", "country_type", "parcel_cnt",
+        "CAST(avg_dif_days AS DOUBLE)", "fbj_parcel_cnt",
+        "CAST(avg_fbj_dif_days AS DOUBLE)", "not_only_fbj_parcel_cnt",
+        "CAST(avg_fbj_quantity_share_in_not_only_fbj_parcel AS DOUBLE)",
+        "not_fbj_parcel_cnt")
+      .as[(String, String, Long, Option[Double], Long, Option[Double], Long,
+        Option[Double], Long)].collect().toSet
+    // hand-tally: A spans 24h (dif 1.0), B 12h (0.5); the UNION ALL re-agg
+    // adds the 'total' slice; fbj share in A = 2/3 rounded to 0.667
+    assert(rows == Set(
+      ("2025-02-02", "RU", 1L, Some(1.0), 0L, None, 1L, Some(0.667), 0L),
+      ("2025-02-02", "nonRU", 1L, Some(0.5), 1L, Some(0.5), 0L, None, 0L),
+      ("2025-02-02", "total", 2L, Some(0.75), 1L, Some(0.5), 1L, Some(0.667), 0L)),
+      rows.toString)
+  }
+
   test("REAL pzns_not_connected_into_one_medical_group.sql: TRANSFORM, struct-equality joins, array clustering") {
     val ctx = freshCtx()
     ctx.warehouse.createTable("orders_info", spark.sql(
