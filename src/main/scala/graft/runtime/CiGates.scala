@@ -1,7 +1,6 @@
 package graft.runtime
 
 import java.nio.file.{Files, Path}
-import scala.jdk.CollectionConverters._
 
 /** The reference's CI static gates, engine-side (reference:
   * .github/workflows/dbt-jobs-pr-tests.yaml:42-60):
@@ -23,51 +22,54 @@ import scala.jdk.CollectionConverters._
 object CiGates {
 
   final case class Report(noOwner: Seq[String], noFileFormat: Seq[String],
-                          unusedSources: Seq[(String, String)])
-
-  private def sqlFiles(dir: Path): Seq[Path] =
-    if (!Files.isDirectory(dir)) Nil
-    else {
-      val walk = Files.walk(dir)
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p)).toList
-        .sortBy(_.toString)
-      finally walk.close()
-    }
+                          unusedSources: Seq[(String, String)],
+                          unparsed: Seq[String])
 
   def sweep(modelsDir: Path, snapshotsDir: Path, testsDir: Path, macrosDir: Path,
             declaredSources: Map[String, Set[String]]): Report = {
     val macros = CorpusSweep.loadMacros(macrosDir)
     val noOwner = scala.collection.mutable.ArrayBuffer.empty[String]
     val noFileFormat = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a node whose config cannot be parsed is NOT silently exempt from the
+    // gates — it is its own failure class, like the reference CI failing
+    // loudly on an unparseable manifest node
+    val unparsed = scala.collection.mutable.ArrayBuffer.empty[String]
     val used = scala.collection.mutable.Set.empty[(String, String)]
 
-    for (p <- sqlFiles(modelsDir)) {
+    for (p <- CorpusSweep.sqlFiles(modelsDir)) {
       val name = p.getFileName.toString.stripSuffix(".sql")
       val sql = Files.readString(p)
       used ++= SqlTemplater.staticSources(sql)
-      scala.util.Try(SqlTemplater.effectiveConfig(sql, macros, CorpusSweep.defaultVars))
-        .foreach { cfg =>
+      scala.util.Try(SqlTemplater.effectiveConfig(sql, macros, CorpusSweep.defaultVars)) match {
+        case scala.util.Success(cfg) =>
           val meta = cfg.get("meta").collect {
             case Jinja.VMap(m) => m.keySet.toSet[String] }.getOrElse(Set.empty[String])
           if (!meta.contains("model_owner")) noOwner += name
           val materialized = cfg.get("materialized").map(_.render).getOrElse("view")
           if (materialized != "view" && !cfg.contains("file_format")) noFileFormat += name
-        }
-    }
-    for (p <- sqlFiles(snapshotsDir)) {
-      val sql = Files.readString(p)
-      used ++= SqlTemplater.staticSources(sql)
-      scala.util.Try(SqlTemplater.snapshotModel(sql, macros)).foreach { m =>
-        if (!m.meta.contains("model_owner")) noOwner += m.name
+        case scala.util.Failure(_) => unparsed += name
       }
     }
-    for (p <- sqlFiles(testsDir)) used ++= SqlTemplater.staticSources(Files.readString(p))
+    for (p <- CorpusSweep.sqlFiles(snapshotsDir)) {
+      val sql = Files.readString(p)
+      used ++= SqlTemplater.staticSources(sql)
+      scala.util.Try(SqlTemplater.snapshotModel(sql, macros)) match {
+        case scala.util.Success(m) =>
+          if (!m.meta.contains("model_owner")) noOwner += m.name
+        case scala.util.Failure(_) =>
+          unparsed += p.getFileName.toString.stripSuffix(".sql")
+      }
+    }
+    for (p <- CorpusSweep.sqlFiles(testsDir)) used ++= SqlTemplater.staticSources(Files.readString(p))
+    // macro bodies can carry source() calls that reach models only after
+    // expansion — count them as used, matching the owner gate's macro
+    // awareness (a source referenced solely through a macro is not unused)
+    for (p <- CorpusSweep.sqlFiles(macrosDir)) used ++= SqlTemplater.staticSources(Files.readString(p))
 
     val unused = for {
       (schema, tables) <- declaredSources.toSeq.sortBy(_._1)
       table <- tables.toSeq.sorted if !used.contains((schema, table))
     } yield (schema, table)
-    Report(noOwner.toSeq, noFileFormat.toSeq, unused)
+    Report(noOwner.toSeq, noFileFormat.toSeq, unused, unparsed.toSeq)
   }
 }

@@ -1,7 +1,6 @@
 package graft.runtime
 
 import java.nio.file.{Files, Path, StandardCopyOption}
-import java.util.Comparator
 
 /** Commit protocol for atomically publishing a fully-staged table directory
   * as the live table — the seam where a table-format transaction log would
@@ -79,11 +78,23 @@ object TableCommitProtocol {
     override def commitReplace(staged: Path, target: Path): Unit = {
       val current = resolveData(target)
       val base = target.getFileName.toString
-      val nextVersion = current.getFileName.toString match {
-        case s if s.startsWith(s"$base.__v") => s.stripPrefix(s"$base.__v").toLong + 1
-        case _ => 1L
+      // next version comes from a SIBLING-DIRECTORY SCAN, not the pointer
+      // content: an orphan version dir left by a crash between move and
+      // flip, or a corrupt/truncated pointer file, must not wedge every
+      // future publish — the writer simply claims the next free number
+      val existing: Seq[Long] = {
+        val ls = Files.list(target.getParent)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.startsWith(s"$base.__v") =>
+            n.stripPrefix(s"$base.__v") }
+          .collect { case d if d.nonEmpty && d.forall(_.isDigit) => d.toLong }
+          .toSeq
+        } finally ls.close()
       }
-      val versionDir = target.resolveSibling(s"$base.__v$nextVersion")
+      val versionDir = target.resolveSibling(
+        s"$base.__v${(existing :+ 0L).max + 1}")
       // on a real object store the writer stages directly at the version
       // path (it is private until the pointer names it); locally the staged
       // dir is moved there — NOT a commit point, the dir is still unnamed
@@ -93,14 +104,15 @@ object TableCommitProtocol {
       Files.writeString(tmp, versionDir.getFileName.toString)
       Files.move(tmp, pointerFile(target), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      // retire the replaced version (retention window would defer this)
-      if (Files.exists(current) && current != versionDir) deleteTree(current)
+      // retire every non-live version — the one just replaced AND any
+      // orphans from crashed commits (retention window would defer this)
+      for (v <- existing) {
+        val d = target.resolveSibling(s"$base.__v$v")
+        if (d != versionDir && Files.exists(d)) deleteTree(d)
+      }
+      if (Files.exists(target) && current == target) deleteTree(target)
     }
   }
 
-  private def deleteTree(p: Path): Unit = {
-    val walk = Files.walk(p)
-    try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-    finally walk.close()
-  }
+  private def deleteTree(p: Path): Unit = TempDirs.deleteTree(p)
 }

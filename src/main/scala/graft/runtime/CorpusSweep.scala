@@ -50,10 +50,17 @@ object CorpusSweep {
     def ok: Boolean = failed.isEmpty && cycle.isEmpty
   }
 
-  private def sqlFiles(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
+  /** All .sql files under `dir` (empty if absent); the walk stream is
+    * closed (shared by CiGates). */
+  def sqlFiles(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
+        .toList.sortBy(_.toString)
+      finally walk.close()
+    }
 
   /** Load every `{% macro %}` definition under `macrosDir`. */
   def loadMacros(macrosDir: Path): Map[String, SqlTemplater.MacroDef] =

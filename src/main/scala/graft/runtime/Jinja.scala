@@ -268,14 +268,29 @@ object Jinja {
     private def notE(): V =
       if (at("name", "not")) { take(); VBool(!notE().truthy) } else cmpE()
 
+    private def isNum(v: V): Boolean = v match {
+      case VInt(_) | VFloat(_) => true
+      case _ => false
+    }
+    private def asDouble(v: V): Double = v match {
+      case VInt(n) => n.toDouble
+      case VFloat(t) => t.toDouble
+      case VStr(s) => s.trim.toDouble
+      case VBool(b) => if (b) 1 else 0
+      case _ => throw new IllegalArgumentException(s"not a number: ${v.render}")
+    }
     private def cmpE(): V = {
       val l = concatE()
-      if (at("op", "==")) { take(); VBool(l.render == concatE().render) }
-      else if (at("op", "!=")) { take(); VBool(l.render != concatE().render) }
+      // == / != on two numerics compare by value (0.50 == 0.5), else by text
+      if (at("op", "==")) { take(); val r = concatE()
+        VBool(if (isNum(l) && isNum(r)) asDouble(l) == asDouble(r) else l.render == r.render) }
+      else if (at("op", "!=")) { take(); val r = concatE()
+        VBool(if (isNum(l) && isNum(r)) asDouble(l) != asDouble(r) else l.render != r.render) }
       else if (at("op", "<") || at("op", ">") || at("op", "<=") || at("op", ">=")) {
         val op = take().text
         val r = concatE()
-        val (a, b) = (asLong(l), asLong(r))
+        // double-compare: a Long from asLong would silently truncate floats
+        val (a, b) = (asDouble(l), asDouble(r))
         VBool(op match { case "<" => a < b; case ">" => a > b; case "<=" => a <= b; case _ => a >= b })
       } else if (at("name", "in")) { take(); VBool(contains(concatE(), l)) }
       else if (at("name", "not") && toks.lift(i + 1).exists(t => t.kind == "name" && t.text == "in")) {

@@ -28,7 +28,10 @@ object SourcesYaml {
         schema = s; out.getOrElseUpdate(schema, Set.empty)
       case TableItem(t) if inSources && schema != null =>
         out(schema) = out(schema) + t
-      case l if l.nonEmpty && !l.startsWith(" ") && !l.startsWith("-") =>
+      case l if l.nonEmpty && !l.startsWith(" ") && !l.startsWith("-")
+          && !l.startsWith("#") && l.contains(":") =>
+        // only another top-level KEY ends the section — a column-0 comment
+        // must not silently truncate the declarations the registry enforces
         if (l.trim != "version: 2") inSources = false
       case _ =>
     }

@@ -22,6 +22,15 @@ object TempDirs {
     p.toString
   }
 
+  /** Shared recursive delete (strict: first failure propagates). The ONE
+    * walk+reverse+delete implementation — Warehouse and the commit
+    * protocols delegate here so future fixes land once. */
+  def deleteTree(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+
   private def deleteQuietly(p: Path): Unit =
     // the walk itself can throw too (dir removed concurrently after the
     // exists check, permission error) — nothing here may escape, or the

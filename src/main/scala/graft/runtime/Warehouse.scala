@@ -443,6 +443,5 @@ final class Warehouse(val spark: SparkSession, val root: String,
         }
     }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  private def deleteRecursively(p: Path): Unit = TempDirs.deleteTree(p)
 }

@@ -47,6 +47,28 @@ class CommitProtocolSpec extends SparkSpec {
     assert(wh.read("t").as[(Int, String)].collect().toSet == Set((9, "z"), (10, "y")))
   }
 
+  test("PointerSwap: orphan version dir and corrupt pointer don't wedge future publishes") {
+    val ctx = pointerCtx()
+    val wh = ctx.warehouse
+    wh.createTable("t", Seq((1, "a")).toDF("id", "v"))
+    wh.replaceTable("t", Seq((2, "b")).toDF("id", "v")) // -> t.__v1
+    val logical = Paths.get(wh.tablePath("t"))
+
+    // simulate a crash between the version-dir move and the pointer flip:
+    // an orphan dir exists at the next version number
+    Files.createDirectories(logical.resolveSibling("t.__v2"))
+    wh.replaceTable("t", Seq((3, "c")).toDF("id", "v")) // must NOT collide
+    assert(wh.read("t").as[(Int, String)].collect().toSet == Set((3, "c")))
+    assert(Files.readString(logical.resolveSibling("t.__current")).trim == "t.__v3")
+    assert(!Files.exists(logical.resolveSibling("t.__v2")), "orphan retired")
+
+    // corrupt pointer: publish still succeeds and self-heals the pointer
+    Files.writeString(logical.resolveSibling("t.__current"), "t.__v")
+    wh.replaceTable("t", Seq((4, "d")).toDF("id", "v"))
+    assert(wh.read("t").as[(Int, String)].collect().toSet == Set((4, "d")))
+    assert(Files.readString(logical.resolveSibling("t.__current")).trim == "t.__v4")
+  }
+
   test("PointerSwap: SCD2 snapshot history identical to the rename protocol") {
     def history(ctx: Ctx): Set[(String, String, Option[String])] = {
       var rows = Seq(("k1", "v1", 1000L), ("k2", "w1", 1000L))

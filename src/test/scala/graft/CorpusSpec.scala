@@ -101,6 +101,8 @@ class CorpusSpec extends SparkSpec {
     // calls are spelled `source ('s', 't')` with a space, so the match must
     // be whitespace-tolerant)
     assert(report.unusedSources.isEmpty, report.unusedSources.toString)
+    // nothing is silently exempt: every model/snapshot config parsed
+    assert(report.unparsed.isEmpty, report.unparsed.toString)
   }
 
   test("sweep flags duplicate model stems as their own failure class, not a cycle") {

@@ -176,9 +176,12 @@ class RuntimeSpec extends SparkSpec {
     wh.createTable("mrg_drift",
       Seq((1L, 5, 10), (2L, 5, 20), (3L, 7, 30)).toDF("id", "p", "v"),
       partitionBy = Seq("p"))
+    // AppendNewColumns is the policy whose alignSchema does NOT cast the
+    // increment (Ignore casts to canonical, Sync adopts the drifted schema),
+    // so it is the only route on which the drifted type reaches mergeSlice
     wh.mergeUpsert("mrg_drift",
       Seq((1L, 5L, 11)).toDF("id", "p", "v"), // p drifted to long
-      Seq("id"), Seq("p"))
+      Seq("id"), Seq("p"), OnSchemaChange.AppendNewColumns)
     val out = wh.read("mrg_drift").select($"id", $"p".cast("int"), $"v")
       .as[(Long, Int, Int)].collect().toSet
     assert(out == Set((1L, 5, 11), (2L, 5, 20), (3L, 7, 30)),
@@ -446,6 +449,20 @@ class RuntimeSpec extends SparkSpec {
     assert(SqlTemplater.expandMacros("{{ var('k') }}", defs) == "{{ var('k') }}")
     intercept[IllegalArgumentException](
       SqlTemplater.parseMacros("{% macro ref(x) %}{{ x }}{% endmacro %}"))
+  }
+
+  test("jinja float literals: value-true comparisons and byte-faithful render") {
+    def render(t: String): String =
+      Jinja.render(t, Jinja.Env(Map.empty, isIncremental = false)).trim
+    // ordered comparisons are numeric, not Long-truncated
+    assert(render("{% if 0.7 > 0.5 %}yes{% else %}no{% endif %}") == "yes")
+    assert(render("{% if 1 >= 1.5 %}yes{% else %}no{% endif %}") == "no")
+    // equality between numerics is by value ('0.50' == '0.5')
+    assert(render("{% if 0.50 == 0.5 %}yes{% else %}no{% endif %}") == "yes")
+    assert(render("{% if 2 == 2.0 %}yes{% else %}no{% endif %}") == "yes")
+    // render keeps the source text (meta values must round-trip verbatim —
+    // reference: 0.0001 in gold_order_groups.sql:17)
+    assert(render("{{ 0.0001 }}") == "0.0001")
   }
 
   test("jinja {% set %}/{% for %} dict guard selects alias (generate_alias_name shape)") {
