@@ -195,6 +195,39 @@ class MoreArchetypesRealSpec extends SparkSpec {
     assert(out.select($"pipeline_id").distinct().count() >= 5)
   }
 
+  test("REAL aws_costs.sql: Prophet predictor meta passthrough (nested list-of-dicts config)") {
+    // the anomaly-detection contract is pure metadata: external infra reads
+    // the predictor_*/anomalies_* keys (SURVEY data-model row 'Time series /
+    // forecasting — delegated'). The meta block is the corpus's deepest —
+    // lists of dicts of lists with trailing commas — so executing this file
+    // is primarily a config-parser proof.
+    val ctx = freshCtx()
+    ctx.sources.register("platform", "aws_service_costs")(sp => sp.sql(
+      """SELECT DATE'2024-05-01' AS day, 'AmazonRDS' AS service,
+        |  CAST(120.5 AS DOUBLE) AS cost
+        |UNION ALL SELECT DATE'2024-05-01', 'AWSELB', 30.25""".stripMargin))
+
+    val model = refModel("aws_costs", "anomaly_detection/aws_costs.sql")
+    assert(model.tags.contains("platform"))
+    assert(model.meta("model_owner") == "@vladimir")
+    assert(model.meta("predictor_enabled") == "true")
+    assert(model.meta("predictor_model") == "prophet_generic")
+    assert(model.meta("predictor_value_column") == "cost")
+    assert(model.meta("anomalies_significance_threshold") == "0.2")
+    assert(model.meta("anomalies_main_owners").contains("@aleksandrov"))
+    // the nested list-of-dicts survives parsing and renders both groups
+    val nested = model.meta("anomalies_dimensions_owners")
+    assert(nested.contains("AmazonVPC") && nested.contains("AWSELB")
+      && nested.contains("AmazonRDS"), nested)
+
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("aws_costs"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val rows = ctx.ref("aws_costs").selectExpr("CAST(day AS STRING)", "service", "cost")
+      .as[(String, String, Double)].collect().toSet
+    assert(rows == Set(("2024-05-01", "AmazonRDS", 120.5),
+      ("2024-05-01", "AWSELB", 30.25)), rows.toString)
+  }
+
   test("REAL fbj_parcel_speed.sql: DATE_DIFF(HOUR,...), per-parcel rollup, fbj parcel classes") {
     val ctx = freshCtx()
     // parcel A (RU): one fbj + one non-fbj order -> 'not only fbj' class;
