@@ -54,7 +54,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries FAILED")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures only the stdout TAIL (2,000 chars), which truncates
+    // this line's head and has made per-query timings unreadable in every
+    // round's BENCH artifact — persist the full JSON where it can be read
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json + "\n")
+    catch { case scala.util.control.NonFatal(_) => () } // stdout already has it
     spark.stop()
   }
 }
