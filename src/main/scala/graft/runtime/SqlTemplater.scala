@@ -185,6 +185,27 @@ object SqlTemplater {
     text = SourceRe.replaceAllIn(text, m =>
       scala.util.matching.Regex.quoteReplacement(viewName(s"${m.group(1)}__${m.group(2)}")))
 
+    // dbt renders ref()/source() to literal `schema.table` names, so corpus
+    // models freely reference columns by FULL QUALIFICATION —
+    // `pharmacy_landing.order.id`, `onfy.lndc_user_attribution.source_corrected`
+    // (reference: models/spark/onfy/onfy_transactions_new.sql:21-35). The
+    // engine substitutes unqualified temp-view names, so rewrite 3-part
+    // references to rendered relations onto the same view names. The
+    // `(?=\s*\.)` lookahead restricts the rewrite to column access
+    // (`schema.table.column`), leaving raw catalog reads and everything
+    // else untouched.
+    for ((schema, table) <- sources) {
+      val q = s"""(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(schema)}\\s*\\.\\s*${java.util.regex.Pattern.quote(table)}\\b(?=\\s*\\.)"""
+      text = text.replaceAll(q,
+        scala.util.matching.Regex.quoteReplacement(viewName(s"${schema}__${table}")))
+    }
+    for (ref <- refs) {
+      // the qualifying schema is the REFERENCED model's schema, which the
+      // templater does not know — accept any single qualifier
+      val q = s"""(?i)(?<![\\w.`])[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*${java.util.regex.Pattern.quote(ref)}\\b(?=\\s*\\.)"""
+      text = text.replaceAll(q, scala.util.matching.Regex.quoteReplacement(viewName(ref)))
+    }
+
     val usesThis = ThisRe.findFirstIn(text).isDefined
     if (usesThis)
       text = ThisRe.replaceAllIn(text, viewName(s"__this_$modelName"))

@@ -451,6 +451,39 @@ class RuntimeSpec extends SparkSpec {
       SqlTemplater.parseMacros("{% macro ref(x) %}{{ x }}{% endmacro %}"))
   }
 
+  test("fully-qualified column references to ref/source relations resolve (dbt rendering parity)") {
+    // dbt renders ref()/source() to literal schema.table names, so corpus
+    // models reference columns as pharmacy_landing.order.id (reference:
+    // onfy_transactions_new.sql:21-35) — the templater must map those onto
+    // its substituted view names
+    val ctx = freshCtx()
+    ctx.sources.register("pharmacy_landing", "order")(s => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    })
+    ctx.warehouse.createTable("lndc_user_attribution",
+      Seq((1L, "google")).toDF("id", "source_corrected"))
+    val model = SqlTemplater.sqlModelAuto("qualrefs",
+      """SELECT pharmacy_landing.order.id AS order_id,
+        |  onfy.lndc_user_attribution.source_corrected AS src
+        |FROM {{ source('pharmacy_landing', 'order') }}
+        |LEFT JOIN {{ ref('lndc_user_attribution') }}
+        |  ON pharmacy_landing.order.id = onfy.lndc_user_attribution.id""".stripMargin)
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("qualrefs"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val rows = ctx.ref("qualrefs").as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, Some("google")), (2L, None)), rows.toString)
+
+    // struct access through a 3-part chain must NOT be rewritten: the first
+    // part is a table alias, guarded by the first-part lookbehind + the
+    // whole-chain shape (t.payment.advancePercent where 'payment' is NOT a
+    // rendered relation of this model)
+    val r = SqlTemplater.renderText("x",
+      "SELECT t.state.status FROM {{ source('pharmacy_landing', 'order') }} t",
+      Map.empty, Map.empty, _ => "", isIncremental = false)
+    assert(r.text.contains("t.state.status"), r.text)
+  }
+
   test("jinja float literals: value-true comparisons and byte-faithful render") {
     def render(t: String): String =
       Jinja.render(t, Jinja.Env(Map.empty, isIncremental = false)).trim
