@@ -195,6 +195,62 @@ class MoreArchetypesRealSpec extends SparkSpec {
     assert(out.select($"pipeline_id").distinct().count() >= 5)
   }
 
+  test("REAL cancel_rates.sql: half-month periods via LAST_DAY arithmetic, metric-note gating") {
+    val ctx = freshCtx()
+    ctx.sources.register("mongo", "merchant_order")(sp => sp.sql(
+      """SELECT 'MO1' AS order_id, 'M1' AS merchant_id, 'P1' AS product_id,
+        |  'cancelledByMerchant' AS status,
+        |  TIMESTAMP'2025-03-11 10:00:00' AS cancelled_by_merchant_time_utc,
+        |  TIMESTAMP'2025-03-10 09:00:00' AS created_time_utc,
+        |  named_struct('kind', 'joom') AS source
+        |UNION ALL
+        |SELECT 'MO2', 'M1', 'P1', 'completed', CAST(NULL AS TIMESTAMP),
+        |  TIMESTAMP'2025-03-12 09:00:00', named_struct('kind', 'joom')""".stripMargin))
+    ctx.sources.register("mongo", "merchant_order_order_metric_notes_daily_snapshot")(sp => sp.sql(
+      """SELECT 'MO1' AS _id, named_struct('cancelRate', named_struct(
+        |  'ignored', named_struct('value', false),
+        |  'decision', named_struct('value', 1))) AS metrics""".stripMargin))
+
+    // gold.merchants / gold.products / gold.merchant_categories are RAW
+    // catalog reads (SURVEY data-model: the metrics map shape comes from
+    // gold_orders.sql:70 metrics['cancelRate']['ignored']['value'])
+    val dbLoc = TempDirs.create("graft_golddb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS gold LOCATION '$dbLoc'")
+    try {
+      spark.sql("SELECT 'M1' AS merchant_id, 'CN' AS origin_name")
+        .write.mode("overwrite").option("path", s"$dbLoc/merchants").saveAsTable("gold.merchants")
+      spark.sql("SELECT 'P1' AS product_id, 'MC1' AS merchant_category_id")
+        .write.mode("overwrite").option("path", s"$dbLoc/products").saveAsTable("gold.products")
+      spark.sql(
+        """SELECT 'MC1' AS merchant_category_id, 'Goods' AS business_line,
+          |  'L1' AS l1_merchant_category_name, 'L2' AS l2_merchant_category_name,
+          |  'L3' AS l3_merchant_category_name, 'L4' AS l4_merchant_category_name,
+          |  'L5' AS l5_merchant_category_name""".stripMargin)
+        .write.mode("overwrite").option("path", s"$dbLoc/merchant_categories")
+        .saveAsTable("gold.merchant_categories")
+
+      val model = refModel("cancel_rates", "merchant/cancel_rates.sql")
+      new DagRunner(Seq(model)).run(ctx, selectors = Seq("cancel_rates"))
+        .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+      val rows = ctx.ref("cancel_rates").selectExpr(
+        "merchant_id", "CAST(period_start_date AS STRING)",
+        "CAST(period_end_date AS STRING)", "origin_name", "business_line",
+        "l1_merchant_category_name", "orders_count", "cancelled_count",
+        "last_cancelled_order_id", "CAST(last_cancelled_time_utc AS STRING)")
+        .as[(String, String, String, String, String, String, Long, Long,
+          String, String)].collect().toSet
+      // hand-tally: March 2025 has 31 days -> INT(31/2)=15 -> first half-month
+      // period is 03-01..03-15; both orders land in it; MO1 cancelled with
+      // decision 1 counts, MO2 completed does not
+      assert(rows == Set(
+        ("M1", "2025-03-01", "2025-03-15", "CN", "Goods", "L1", 2L, 1L,
+          "MO1", "2025-03-11 10:00:00")), rows.toString)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS gold CASCADE")
+    }
+  }
+
   test("REAL aws_costs.sql: Prophet predictor meta passthrough (nested list-of-dicts config)") {
     // the anomaly-detection contract is pure metadata: external infra reads
     // the predictor_*/anomalies_* keys (SURVEY data-model row 'Time series /
