@@ -251,6 +251,47 @@ class MoreArchetypesRealSpec extends SparkSpec {
     }
   }
 
+  test("REAL analytics_payments.sql: MILLIS_TO_TS, per-day rate spine, package typing") {
+    val ctx = freshCtx()
+    // 2025-07-02 00:00 UTC in epoch millis; paid one hour later
+    val created = 1751414400000L
+    ctx.sources.register("mart", "dim_currency_rate")(sp => sp.sql(
+      """SELECT 'BRL' AS currency_code, CAST(200000.0 AS DOUBLE) AS rate,
+        |  DATE'2025-07-01' AS effective_date, DATE'2025-07-03' AS next_effective_date""".stripMargin))
+    ctx.sources.register("mongo", "b2b_core_analytics_payments_daily_snapshot")(sp => sp.sql(
+      s"""SELECT 'PAY1' AS _id, 'INT1' AS payhubPaymentIntentId, 'U1' AS usedId,
+         |  ${created}L AS createdTimeMs, ${created + 3600000L}L AS paidTimeMs,
+         |  named_struct('_id', 'pkg_diamond_1',
+         |    'duration', named_struct('unit', 'year', 'value', 1),
+         |    'price', named_struct('amount', 120000000L, 'ccy', 'BRL')) AS packageSnapshot,
+         |  named_struct('amount', 100000000L, 'ccy', 'BRL') AS price,
+         |  named_struct('_id', 'PC1', 'code', 'WELCOME',
+         |    'discount', named_struct(
+         |      'fixed', named_struct('amount', 0L),
+         |      'percentage', named_struct('percentage', 10))) AS promocodeSnapshot,
+         |  CAST(NULL AS STRING) AS coupon, 'paid' AS status,
+         |  CAST(NULL AS STRING) AS refundPayhubId, CAST(NULL AS STRING) AS refundStatus,
+         |  CAST(NULL AS BIGINT) AS refundTimeMs, 'SUB1' AS subscriptionId""".stripMargin))
+
+    val model = refModel("analytics_payments", "pulse/analytics_payments.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("analytics_payments"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val r = ctx.ref("analytics_payments").selectExpr(
+      "payment_id", "user_id", "package_type", "package_duration",
+      "CAST(package_price AS DOUBLE)", "CAST(price AS DOUBLE)", "promocode",
+      "discount_percentage", "CAST(rate AS DOUBLE)",
+      "CAST(paid_time AS STRING)", "CAST(paid_date AS STRING)", "payment_valid")
+      .as[(String, String, String, Int, Double, Double, String, Int, Double,
+        String, String, Int)].collect().toSeq
+    // hand-tally: diamond package id -> 'Diamond'; 1 year -> 12 months;
+    // micro-amounts /1e6; 1000000/200000 = 5.0 BRL rate on the exploded
+    // per-day spine; paid within the July window and <=1 day after created
+    // -> paid_time is the paid timestamp (UTC +1h)
+    assert(r == Seq(("PAY1", "U1", "Diamond", 12, 120.0, 100.0, "WELCOME",
+      10, 5.0, "2025-07-02 01:00:00", "2025-07-02", 1)), r.toString)
+  }
+
   test("REAL aws_costs.sql: Prophet predictor meta passthrough (nested list-of-dicts config)") {
     // the anomaly-detection contract is pure metadata: external infra reads
     // the predictor_*/anomalies_* keys (SURVEY data-model row 'Time series /
