@@ -292,6 +292,36 @@ class MoreArchetypesRealSpec extends SparkSpec {
       10, 5.0, "2025-07-02 01:00:00", "2025-07-02", 1)), r.toString)
   }
 
+  test("REAL fact_referral_purchase.sql: millis_to_ts AND millis_to_ts_msk side by side") {
+    val ctx = freshCtx()
+    ctx.sources.register("mart", "device_events")(sp => sp.sql(
+      """SELECT DATE'2024-06-01' AS partition_date, 'd1' AS device_id,
+        |  'u1' AS user_id, 1717243200000L AS event_ts,
+        |  'referralPurchase' AS type,
+        |  named_struct('referrerId', 'R1', 'effectiveUSD', CAST(12.5 AS DOUBLE),
+        |    'orderId', 'O1', 'revenueShareType', 'standard',
+        |    'productCollectionId', 'PC1', 'socialPostId', 'SP1') AS payload
+        |UNION ALL
+        |SELECT DATE'2024-06-01', 'd2', 'u2', 1717243200000L, 'productOpen',
+        |  named_struct('referrerId', CAST(NULL AS STRING), 'effectiveUSD', CAST(NULL AS DOUBLE),
+        |    'orderId', CAST(NULL AS STRING), 'revenueShareType', CAST(NULL AS STRING),
+        |    'productCollectionId', CAST(NULL AS STRING), 'socialPostId', CAST(NULL AS STRING))""".stripMargin))
+
+    val model = refModel("fact_referral_purchase", "engagement/fact_referral_purchase.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("fact_referral_purchase"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val r = ctx.ref("fact_referral_purchase").selectExpr(
+      "CAST(partition_date_msk AS STRING)", "device_id", "user_id",
+      "CAST(event_ts AS STRING)", "CAST(event_ts_msk AS STRING)",
+      "referrer_id", "effective_usd", "order_id")
+      .as[(String, String, String, String, String, String, Double, String)]
+      .collect().toSeq
+    // the same epoch millis through BOTH server UDFs: UTC 12:00, MSK 15:00
+    assert(r == Seq(("2024-06-01", "d1", "u1",
+      "2024-06-01 12:00:00", "2024-06-01 15:00:00", "R1", 12.5, "O1")), r.toString)
+  }
+
   test("REAL aws_costs.sql: Prophet predictor meta passthrough (nested list-of-dicts config)") {
     // the anomaly-detection contract is pure metadata: external infra reads
     // the predictor_*/anomalies_* keys (SURVEY data-model row 'Time series /
