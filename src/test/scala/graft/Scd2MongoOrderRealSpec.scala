@@ -71,6 +71,62 @@ class Scd2MongoOrderRealSpec extends SparkSpec {
        |  CAST($utms AS BIGINT) AS utms,
        |  named_struct('deviceId', 'dev-$id', 'Id', 'user-$id') AS csmr""".stripMargin
 
+  test("REAL scd2_offer_products_snapshot.sql: explicit check_cols list + raw catalog body") {
+    // check_cols = 5 named columns (not 'all'): a change OUTSIDE the list
+    // must NOT open a new version (and the surviving row keeps the OLD
+    // payload); the body reads mongo.* as a RAW catalog table and derives
+    // created_time_msk = millis_to_ts_msk(ctms+1)
+    val snap = SqlTemplater.snapshotModel(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(
+        "/root/reference/snapshots/spark/b2b_mart/scd2_offer_products_snapshot.sql")))
+    assert(snap.materialization == Materialization.Snapshot("offer_product_id",
+      Scd2Strategy.Check(Seq("created_time_msk", "product_id", "offer_id",
+        "disabled", "type")), invalidateHardDeletes = true))
+
+    val ctx = freshCtx(vars = Map("run_ts" -> "2024-06-02 00:00:00"))
+    val dbLoc = TempDirs.create("graft_mongodb2")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS mongo LOCATION '$dbLoc'")
+    def plant(tm1: String, dis2: Boolean): Unit =
+      spark.sql(
+        s"""SELECT 'OP1' AS _id, 'P1' AS id, 'O1' AS offerId, '$tm1' AS trademark,
+           |  'HS' AS hsCode, 'M1' AS manufacturerId, 'N' AS name, 'NI' AS nameInv,
+           |  't' AS type, false AS disabled, 'L' AS link,
+           |  named_struct('isCertificationRequired', true,
+           |    'isAgencyRegistrationRequired', false, 'agencyName', 'AG') AS logisticFields,
+           |  1717243200000L AS ctms
+           |UNION ALL
+           |SELECT 'OP2', 'P2', 'O1', 'TM', 'HS', 'M1', 'N2', 'NI2', 't',
+           |  $dis2, 'L2',
+           |  named_struct('isCertificationRequired', false,
+           |    'isAgencyRegistrationRequired', false, 'agencyName', 'AG'),
+           |  1717243200000L""".stripMargin)
+        .write.mode("overwrite").option("path", s"$dbLoc/b2b_core_offer_products_daily_snapshot")
+        .saveAsTable("mongo.b2b_core_offer_products_daily_snapshot")
+    try {
+      plant("TM", dis2 = false)
+      def run(at: String): Unit =
+        new DagRunner(Seq(snap)).run(ctx.copy(vars = Map("run_ts" -> at)))
+          .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+      run("2024-06-02 00:00:00")
+      assert(ctx.ref("scd2_offer_products_snapshot").count() == 2)
+
+      // run 2: OP1 changes only trademark (NOT in check_cols) -> no new
+      // version, OLD payload survives; OP2 flips disabled (IS in the list)
+      plant("TM-CHANGED", dis2 = true)
+      run("2024-06-03 00:00:00")
+      val h = ctx.ref("scd2_offer_products_snapshot")
+        .selectExpr("offer_product_id", "trademark", "disabled",
+          "CAST(created_time_msk AS STRING)", "CAST(dbt_valid_to AS STRING)")
+        .as[(String, String, Boolean, String, Option[String])].collect().toSet
+      assert(h == Set(
+        ("OP1", "TM", false, "2024-06-01 15:00:00.001", None), // untouched
+        ("OP2", "TM", false, "2024-06-01 15:00:00.001", Some("2024-06-03 00:00:00")),
+        ("OP2", "TM", true, "2024-06-01 15:00:00.001", None)), h.toString)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS mongo CASCADE")
+    }
+  }
+
   test("REAL scd2_orders_v2_snapshot.sql + scd2_mongo_order.sql: two-run SCD2, arrays_zip roll-up") {
     val snapModel = SqlTemplater.snapshotModel(java.nio.file.Files.readString(
       java.nio.file.Paths.get(
