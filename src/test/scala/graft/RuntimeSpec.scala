@@ -273,6 +273,30 @@ class RuntimeSpec extends SparkSpec {
     assert(ctx.ref("app").as[Int].collect().sorted.toSeq == Seq(1, 2, 2))
   }
 
+  test("REAL: all 25 reference seed CSVs load through the seed loader") {
+    import scala.jdk.CollectionConverters._
+    val ctx = freshCtx()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("/root/reference/seeds"))
+    val csvs =
+      try walk.iterator().asScala.filter(_.toString.endsWith(".csv")).toList.sortBy(_.toString)
+      finally walk.close()
+    assert(csvs.size == 25, s"found ${csvs.size}")
+    for (p <- csvs) {
+      val name = p.getFileName.toString.stripSuffix(".csv")
+      val df = Seeds.load(ctx, name, p.toString)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() >= 1, s"$name is empty")
+      assert(ctx.ref(name).columns.sameElements(df.columns), name)
+    }
+    // spot checks: typed inference + content from two seeds used by
+    // executed models
+    assert(ctx.ref("seed_points_groups_mapping")
+      .filter($"points_type" === "cashback").select($"points_group")
+      .as[String].head() == "Marketing")
+    assert(ctx.ref("joom_pro_manual_orders").schema("gmv_initial").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+  }
+
   test("repo seed CSV files load with pinned schemas") {
     import org.apache.spark.sql.types._
     val ctx = freshCtx()
