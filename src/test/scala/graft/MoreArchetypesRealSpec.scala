@@ -322,6 +322,60 @@ class MoreArchetypesRealSpec extends SparkSpec {
       "2024-06-01 12:00:00", "2024-06-01 15:00:00", "R1", 12.5, "O1")), r.toString)
   }
 
+  test("REAL fixed_price_promotions.sql: struct-typed _id fields, 1e6 scaling") {
+    val ctx = freshCtx()
+    ctx.sources.register("mongo", "product_fixed_price_variant_items_v2_daily_snapshot")(sp => sp.sql(
+      """SELECT named_struct('g', 'G1', 'v', 'V1') AS _id, 'P1' AS p,
+        |  named_struct('amount', 2500000L, 'ccy', 'EUR') AS tP""".stripMargin))
+    ctx.sources.register("mart", "promotions")(sp => sp.sql(
+      """SELECT 'PR1' AS promo_id, 'Summer' AS promo_title, 'G1' AS product_group_id,
+        |  'P1' AS product_id, TIMESTAMP'2024-06-01 00:00:00' AS promo_start_time_utc,
+        |  TIMESTAMP'2024-06-10 00:00:00' AS promo_end_time_utc,
+        |  CAST(NULL AS INT) AS discount
+        |UNION ALL  -- discounted promo: excluded (fixed-price only)
+        |SELECT 'PR2', 'Sale', 'G1', 'P1', TIMESTAMP'2024-06-01 00:00:00',
+        |  TIMESTAMP'2024-06-10 00:00:00', 15""".stripMargin))
+
+    val model = refModel("fixed_price_promotions",
+      "category_management/fixed_promo/fixed_price_promotions.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("fixed_price_promotions"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val rows = ctx.ref("fixed_price_promotions").selectExpr(
+      "promo_id", "promo_title", "CAST(promo_start_date AS STRING)",
+      "product_group_id", "product_id", "product_variant_id",
+      "CAST(promo_price AS DOUBLE)", "currency")
+      .as[(String, String, String, String, String, String, Double, String)]
+      .collect().toSet
+    assert(rows == Set(("PR1", "Summer", "2024-06-01", "G1", "P1", "V1", 2.5, "EUR")),
+      rows.toString)
+  }
+
+  test("REAL merchant_fulfillment_time.sql: exact PERCENTILE aggregate + outlier null gate") {
+    val ctx = freshCtx()
+    ctx.sources.register("merchant", "order_data")(sp => sp.sql(
+      """SELECT 'F1' AS friendly_id, 86400000L AS aft
+        |UNION ALL SELECT 'F2', 172800000L
+        |UNION ALL SELECT 'F3', 259200000L""".stripMargin))
+    ctx.warehouse.createTable("gold_orders", spark.sql(
+      """SELECT DATE'2024-07-01' AS order_date_msk, 'F1' AS friendly_order_id,
+        |  false AS is_fbj, 'Chinese' AS origin_name, CAST(NULL AS STRING) AS refund_reason
+        |UNION ALL SELECT DATE'2024-07-01', 'F2', false, 'Chinese', NULL
+        |UNION ALL SELECT DATE'2024-07-01', 'F3', false, 'Chinese', NULL
+        |UNION ALL SELECT DATE'2024-07-01', 'F4', false, 'Chinese', NULL -- no aft -> 9999
+        |UNION ALL SELECT DATE'2024-07-01', 'F5', true, 'Chinese', NULL  -- fbj: excluded""".stripMargin))
+
+    val model = refModel("merchant_fulfillment_time", "merchant/merchant_fulfillment_time.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("merchant_fulfillment_time"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val r = ctx.ref("merchant_fulfillment_time").selectExpr(
+      "CAST(order_date_msk AS STRING)", "merchant_fulfillment_time_p50",
+      "merchant_fulfillment_time_p80", "merchant_fulfillment_time_p95")
+      .as[(String, Option[Double], Option[Double], Option[Double])].collect().toSeq
+    // hand-tally: aft days [1, 2, 3, 9999] -> exact interpolated p50 = 2.5;
+    // p80 = 3 + 0.4*(9999-3) and p95 exceed the 100-day gate -> NULL
+    assert(r == Seq(("2024-07-01", Some(2.5), None, None)), r.toString)
+  }
+
   test("REAL aws_costs.sql: Prophet predictor meta passthrough (nested list-of-dicts config)") {
     // the anomaly-detection contract is pure metadata: external infra reads
     // the predictor_*/anomalies_* keys (SURVEY data-model row 'Time series /
