@@ -376,6 +376,37 @@ class MoreArchetypesRealSpec extends SparkSpec {
     assert(r == Seq(("2024-07-01", Some(2.5), None, None)), r.toString)
   }
 
+  test("REAL js2_product_clusters.sql: ARRAY_SORT comparator lambda, status decode") {
+    val ctx = freshCtx()
+    ctx.sources.register("mongo", "product_product_cluster_links_daily_snapshot")(sp => sp.sql(
+      """SELECT 'CL1' AS _id, 'C1' AS cid, 'P1' AS pId,
+        |  array(named_struct('vid', 'V1', 'cvid', 'CV1')) AS vLinks,
+        |  2 AS clt,
+        |  array(named_struct('ut', 200L, 'cs', 1),
+        |        named_struct('ut', 100L, 'cs', 0)) AS sh""".stripMargin))
+    ctx.sources.register("mongo", "product_product_clusters_daily_snapshot")(sp => sp.sql(
+      """SELECT 'C1' AS _id, 'P0' AS initProdId, 'Cluster A' AS n,
+        |  TIMESTAMP'2024-05-01 00:00:00' AS ct, 3 AS ver, 0 AS st,
+        |  array(named_struct('_id', 'CV1')) AS vars""".stripMargin))
+
+    val model = refModel("js2_product_clusters",
+      "category_management/joom_select_v2/js2_product_clusters.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("js2_product_clusters"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val rows = ctx.ref("js2_product_clusters").selectExpr(
+      "cluster_id", "initial_product_id", "cluster_name", "version",
+      "cluster_state", "cluster_link_id", "product_id", "variant_id",
+      "cluster_variant_id", "store_link_type", "current_link_status")
+      .as[(String, String, String, Int, String, String, String, String,
+        String, String, String)].collect().toSet
+    // the 0/1-only comparator (no -1) relies on TimSort's comparison
+    // direction: with latest-ut planted first, [0].cs stays the LATEST
+    // history entry — the author's 'current status' intent: cs 1 ->
+    // 'Approved'; clt 2 -> 'AutoLink'; st 0 -> 'Enabled'
+    assert(rows == Set(("C1", "P0", "Cluster A", 3, "Enabled", "CL1", "P1",
+      "V1", "CV1", "AutoLink", "Approved")), rows.toString)
+  }
+
   test("REAL aws_costs.sql: Prophet predictor meta passthrough (nested list-of-dicts config)") {
     // the anomaly-detection contract is pure metadata: external infra reads
     // the predictor_*/anomalies_* keys (SURVEY data-model row 'Time series /
