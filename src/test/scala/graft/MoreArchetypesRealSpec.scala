@@ -376,6 +376,46 @@ class MoreArchetypesRealSpec extends SparkSpec {
     assert(r == Seq(("2024-07-01", Some(2.5), None, None)), r.toString)
   }
 
+  test("REAL uzum_available_products.sql: ARRAYS_OVERLAP, seed-built stopword regex, IN-subquery seeds") {
+    val ctx = freshCtx()
+    // both gate dictionaries are the REAL reference seeds
+    Seeds.load(ctx, "uzum_stopwords", "/root/reference/seeds/uzum_stopwords.csv")
+    Seeds.load(ctx, "uzum_restricted_categories",
+      "/root/reference/seeds/uzum_restricted_categories.csv")
+
+    ctx.warehouse.createTable("gold_merchants", spark.sql(
+      "SELECT 'M1' AS merchant_id, 'Chinese' AS origin_name"))
+    ctx.warehouse.createTable("gold_merchant_categories", spark.sql(
+      """SELECT 'MC1' AS merchant_category_id, 'L1x' AS l1_merchant_category_id,
+        |  'L2x' AS l2_merchant_category_id, 'L3x' AS l3_merchant_category_id,
+        |  CAST(NULL AS STRING) AS l4_merchant_category_id,
+        |  CAST(NULL AS STRING) AS l5_merchant_category_id""".stripMargin))
+    ctx.sources.register("mart", "published_products_current")(sp => sp.sql(
+      """SELECT 'P1' AS product_id, 'MC1' AS category_id, CAST(4.0 AS DOUBLE) AS rating,
+        |  array(named_struct('key', 'harmless')) AS labels
+        |UNION ALL -- P3 carries a banned label -> ARRAYS_OVERLAP excludes it
+        |SELECT 'P3', 'MC1', 4.0, array(named_struct('key', 'labubu'))
+        |UNION ALL
+        |SELECT 'P2', 'MC1', 4.0, array(named_struct('key', 'harmless'))""".stripMargin))
+    ctx.sources.register("mongo", "product_products_daily_snapshot")(sp => sp.sql(
+      """SELECT 'P1' AS _id, 'M1' AS merchantId, true AS public, true AS hasActive,
+        |  true AS enabledByMerchant, 'Nice Lamp' AS origName, 'A lamp' AS origDescription
+        |UNION ALL -- P2's name hits a real stopword from the seed
+        |SELECT 'P2', 'M1', true, true, true, 'Sex toy deluxe', 'toy'
+        |UNION ALL
+        |SELECT 'P3', 'M1', true, true, true, 'Plush', 'plush'""".stripMargin))
+    ctx.sources.register("mongo", "core_entity_labels_entries_daily_snapshot")(sp => sp.sql(
+      """SELECT 'refurbishedWhiteList' AS k, named_struct('id', 'OTHER_M') AS e"""))
+
+    val model = refModel("uzum_available_products", "uzum/uzum_available_products.sql")
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("uzum_available_products"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    // P2 dies on the seed-built stopword regex, P3 on ARRAYS_OVERLAP with
+    // the banned label list; P1 survives every gate
+    val rows = ctx.ref("uzum_available_products").as[String].collect().toSeq
+    assert(rows == Seq("P1"), rows.toString)
+  }
+
   test("REAL js2_product_clusters.sql: ARRAY_SORT comparator lambda, status decode") {
     val ctx = freshCtx()
     ctx.sources.register("mongo", "product_product_cluster_links_daily_snapshot")(sp => sp.sql(
