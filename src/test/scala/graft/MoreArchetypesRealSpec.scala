@@ -416,6 +416,32 @@ class MoreArchetypesRealSpec extends SparkSpec {
     assert(rows == Seq("P1"), rows.toString)
   }
 
+  test("REAL s3_file_usage_v2.sql: hierarchical prefix rollup via sequence+slice") {
+    val ctx = freshCtx()
+    ctx.sources.register("platform", "s3_inventory_with_tables")(sp => sp.sql(
+      """SELECT array('a', 'b', 'c.parquet') AS parts, 'STANDARD' AS storage_class,
+        |  100L AS size, DATE'2024-06-01' AS `date`, 'bkt' AS bucket,
+        |  named_struct('db', 'gold', 'table_name', 'orders') AS `table`
+        |UNION ALL
+        |SELECT array('a', 'b', 'd.parquet'), 'STANDARD', 50L, DATE'2024-06-01',
+        |  'bkt', named_struct('db', 'gold', 'table_name', 'orders')""".stripMargin))
+
+    val model = refModel("s3_file_usage_v2", "platform/s3_file_usage_v2.sql")
+    assert(model.materialization == Materialization.View)
+    new DagRunner(Seq(model)).run(ctx, selectors = Seq("s3_file_usage_v2"))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+    val rows = ctx.ref("s3_file_usage_v2").selectExpr(
+      "prefix", "path_length", "is_file", "size", "file_count")
+      .as[(String, Int, Boolean, Long, Long)].collect().toSet
+    // every path explodes into all its prefixes (sequence 1..len sliced and
+    // re-joined); directories aggregate both files, leaves stay individual
+    assert(rows == Set(
+      ("a", 1, false, 150L, 2L),
+      ("a/b", 2, false, 150L, 2L),
+      ("a/b/c.parquet", 3, true, 100L, 1L),
+      ("a/b/d.parquet", 3, true, 50L, 1L)), rows.toString)
+  }
+
   test("REAL js2_product_clusters.sql: ARRAY_SORT comparator lambda, status decode") {
     val ctx = freshCtx()
     ctx.sources.register("mongo", "product_product_cluster_links_daily_snapshot")(sp => sp.sql(
