@@ -59,8 +59,11 @@ object Bench {
     // the driver captures only the stdout TAIL (2,000 chars), which truncates
     // this line's head and has made per-query timings unreadable in every
     // round's BENCH artifact — persist the full JSON where it can be read
+    // (path overridable; defaults to the working directory, not a hardcoded
+    // absolute repo path)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+        .toAbsolutePath, json + "\n")
     catch { case scala.util.control.NonFatal(_) => () } // stdout already has it
     spark.stop()
   }

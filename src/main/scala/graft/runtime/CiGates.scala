@@ -56,6 +56,11 @@ object CiGates {
       scala.util.Try(SqlTemplater.snapshotModel(sql, macros)) match {
         case scala.util.Success(m) =>
           if (!m.meta.contains("model_owner")) noOwner += m.name
+          // snapshots are always non-view materializations, so the
+          // file_format gate applies to them exactly as to table models
+          // (reference: every snapshot declares file_format='delta')
+          if (!SqlTemplater.parseConfig(sql).contains("file_format"))
+            noFileFormat += m.name
         case scala.util.Failure(_) =>
           unparsed += p.getFileName.toString.stripSuffix(".sql")
       }

@@ -21,8 +21,16 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 trait TableCommitProtocol {
   /** Publish `staged` (a complete, self-consistent table directory) as
-    * `target`. Must be all-or-nothing from a reader's perspective: a
-    * concurrent reader sees the old table or the new one, never a mix. */
+    * `target`, under SINGLE-WRITER semantics: a reader that resolves the
+    * table after the commit point sees the new table, never a mix of old and
+    * new files. Long-running concurrent readers are NOT isolated — both
+    * implementations reclaim the replaced data immediately (LocalAtomicRename
+    * has a delete-then-move window; PointerSwap deletes the replaced version
+    * directory right after the pointer flip), so an in-flight lazy scan that
+    * resolved the old version can fail mid-read. Full snapshot isolation
+    * needs a retention window on replaced versions — that is the Delta/
+    * Iceberg log's job, and the first thing a log-backed implementation of
+    * this trait would add. */
   def commitReplace(staged: Path, target: Path): Unit
 
   /** Resolve the logical table path to the directory currently holding its

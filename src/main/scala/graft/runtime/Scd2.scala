@@ -41,7 +41,16 @@ object Scd2 {
   }
 
   /** dbt's remaining snapshot meta columns, derived from the version row
-    * itself (see class scaladoc). */
+    * itself (see class scaladoc).
+    *
+    * dbt_scd_id here is md5 over `key|dbt_valid_from` — a DELIBERATE byte
+    * divergence from dbt's own surrogate (md5 over key and updated_at in
+    * dbt's coercion format). Every reference model treats dbt_scd_id as an
+    * opaque version handle (uniqueness within the snapshot is the only
+    * property consumed), so semantics are preserved; matching dbt's exact
+    * bytes would buy nothing. A string key containing the `|` separator can
+    * theoretically collide with another key/timestamp pair; dbt's own
+    * concat-based surrogate shares this property. */
   private def withMetaCols(df: DataFrame, uniqueKey: String): DataFrame = df
     .withColumn("dbt_updated_at", col("dbt_valid_from"))
     .withColumn("dbt_scd_id", md5(concat_ws("|",

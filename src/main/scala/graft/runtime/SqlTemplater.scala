@@ -134,10 +134,47 @@ object SqlTemplater {
 
   /** The template pipeline's output: final runnable SQL text (relations
     * renamed to catalog-safe view identifiers) plus the relations the body
-    * referenced, so a caller can bind them before execution. */
+    * referenced, so a caller can bind them before execution.
+    * `rewriteLog` records every qualified-reference rewrite applied (see
+    * renderText's 3-part rewrite) so a miscompile is observable. */
   final case class Rendered(text: String, refs: Seq[String],
-                            sources: Seq[(String, String)], usesThis: Boolean) {
+                            sources: Seq[(String, String)], usesThis: Boolean,
+                            rewriteLog: Seq[String] = Nil) {
     def thisView(modelName: String): String = viewName(s"__this_$modelName")
+  }
+
+  /** [start, end) spans of single-quoted SQL string literals ('' escapes). */
+  private def quotedSpans(text: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < text.length) {
+      if (text(i) == '\'') {
+        val start = i
+        i += 1
+        var open = true
+        while (i < text.length && open) {
+          if (text(i) == '\'') {
+            if (i + 1 < text.length && text(i + 1) == '\'') i += 2 // escaped ''
+            else { open = false; i += 1 }
+          } else i += 1
+        }
+        out += ((start, i))
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Relation aliases and CTE names defined in `text` — identifiers that a
+    * `qualifier.name.column` reference could legitimately resolve through
+    * WITHOUT being a rendered `schema.model` reference. */
+  private def definedNames(text: String): Set[String] = {
+    val cte = """(?i)(?<![\w.])(\w+)\s+AS\s*\(""".r
+      .findAllMatchIn(text).map(_.group(1).toLowerCase)
+    val alias = """(?i)\b(?:FROM|JOIN)\s+[`"\w.]+\s+(?:AS\s+)?([A-Za-z_]\w*)""".r
+      .findAllMatchIn(text).map(_.group(1).toLowerCase)
+      .filterNot(Set("on", "where", "group", "order", "left", "right", "inner",
+        "full", "cross", "join", "lateral", "union", "select", "as", "using"))
+    (cte ++ alias).toSet
   }
 
   /** Pure-text render of a dbt-style SQL body: config/comment strip, macro
@@ -194,23 +231,42 @@ object SqlTemplater {
     // `(?=\s*\.)` lookahead restricts the rewrite to column access
     // (`schema.table.column`), leaving raw catalog reads and everything
     // else untouched.
-    for ((schema, table) <- sources) {
-      val q = s"""(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(schema)}\\s*\\.\\s*${java.util.regex.Pattern.quote(table)}\\b(?=\\s*\\.)"""
-      text = text.replaceAll(q,
-        scala.util.matching.Regex.quoteReplacement(viewName(s"${schema}__${table}")))
+    val rewriteLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rewriteOutsideLiterals(input: String, re: scala.util.matching.Regex,
+                               guard: scala.util.matching.Regex.Match => Boolean,
+                               replacement: String, what: String): String = {
+      val spans = quotedSpans(input)
+      def quoted(pos: Int) = spans.exists { case (s, e) => pos >= s && pos < e }
+      re.replaceAllIn(input, m =>
+        if (quoted(m.start) || !guard(m)) scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          rewriteLog += s"$what: '${m.matched}' -> $replacement"
+          scala.util.matching.Regex.quoteReplacement(replacement)
+        })
     }
+    for ((schema, table) <- sources) {
+      val q = s"""(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(schema)}\\s*\\.\\s*${java.util.regex.Pattern.quote(table)}\\b(?=\\s*\\.)""".r
+      text = rewriteOutsideLiterals(text, q, _ => true,
+        viewName(s"${schema}__${table}"), s"source $schema.$table")
+    }
+    // the qualifying schema of a rendered ref is the REFERENCED model's
+    // schema, which the templater does not know — accept any single
+    // qualifier EXCEPT identifiers the statement itself defines (a table
+    // alias or CTE named like a qualifier means `alias.<ref>.field` is a
+    // struct-column access, not a schema-qualified relation), and never
+    // inside string literals
+    val defined = definedNames(text)
     for (ref <- refs) {
-      // the qualifying schema is the REFERENCED model's schema, which the
-      // templater does not know — accept any single qualifier
-      val q = s"""(?i)(?<![\\w.`])[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*${java.util.regex.Pattern.quote(ref)}\\b(?=\\s*\\.)"""
-      text = text.replaceAll(q, scala.util.matching.Regex.quoteReplacement(viewName(ref)))
+      val q = s"""(?i)(?<![\\w.`])([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*${java.util.regex.Pattern.quote(ref)}\\b(?=\\s*\\.)""".r
+      text = rewriteOutsideLiterals(text, q,
+        m => !defined.contains(m.group(1).toLowerCase), viewName(ref), s"ref $ref")
     }
 
     val usesThis = ThisRe.findFirstIn(text).isDefined
     if (usesThis)
       text = ThisRe.replaceAllIn(text, viewName(s"__this_$modelName"))
 
-    Rendered(text, refs, sources, usesThis)
+    Rendered(text, refs, sources, usesThis, rewriteLog.toSeq)
   }
 
   /** Render + execute a dbt-style SQL body in `ctx`. */

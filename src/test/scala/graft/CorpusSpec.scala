@@ -93,9 +93,12 @@ class CorpusSpec extends SparkSpec {
     assert(report.noOwner.isEmpty, report.noOwner.toString)
     // the reference CI only enforces file_format on PR-changed files; these
     // three legacy table-materialized segment models genuinely lack it
-    // (sale_dates_v2 declares no materialized -> dbt-default view -> exempt)
+    // (sale_dates_v2 declares no materialized -> dbt-default view -> exempt),
+    // and scd2_product_tier_snapshot's config is the reference's own broken
+    // file (missing comma after the meta dict drops everything after it,
+    // file_format included) — the snapshot-side gate correctly flags it
     assert(report.noFileFormat.sorted == Seq("frequent_buyers", "occasional_buyers",
-      "regular_buyers"), report.noFileFormat.toString)
+      "regular_buyers", "scd2_product_tier_snapshot"), report.noFileFormat.toString)
     // all 282 declared sources are referenced by some model/snapshot/test
     // node — consistent with the reference's own green CI (note: several
     // calls are spelled `source ('s', 't')` with a space, so the match must
