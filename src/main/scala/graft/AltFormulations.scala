@@ -37,10 +37,11 @@ object AltFormulations {
     }),
     "q39_ann_ivf" -> ((s, dir) => Similarity.withComposableDot {
       val e = Tables(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-        centroids = e.filter(col("vec_id") % 31 === 0).limit(16), k = 5, nProbe = 2)
+      val cents = Similarity.kmeansCentroids(e,
+        e.filter(col("vec_id") % 31 === 0).limit(16), iters = 8, tol = 1e-3)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents, k = 5, nProbe = 2)
     }),
     "q56_ann_lsh_neardup" -> ((s, dir) => Similarity.withComposableDot {
-      Similarity.signBucketNearDup(Tables(s, dir, "embeddings"), 0.35, nBits = 4)
+      Similarity.signBucketNearDup(Tables(s, dir, "embeddings"), 0.35, nBits = 4, tables = 8)
     }))
 }

@@ -121,14 +121,27 @@ object Similarity {
   /** Deterministic Lloyd (k-means) refinement of IVF centroids — pure
     * DataFrame ops, no driver-side math: assign to nearest centroid, then
     * element-wise mean per cell via posexplode + groupBy(cell, dim). Empty
-    * cells drop out (k shrinks). Plugs straight into [[ivfTopK]]. */
-  def kmeansCentroids(vecs: DataFrame, init: DataFrame, iters: Int = 3,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    * cells drop out (k shrinks). Plugs straight into [[ivfTopK]].
+    *
+    * Runs TO CONVERGENCE: stops as soon as no centroid coordinate moved by
+    * more than `tol` between rounds (`iters` is the safety cap, like
+    * Dedup.dupGroups' maxIter). The per-round movement check is one
+    * broadcast-join + max aggregate — a single driver scalar of control
+    * flow, no data collected. `localCheckpoint` truncates the growing
+    * iterative lineage (the same trap dupGroups guards against); the points
+    * relation is cached once since every round rescans it. */
+  def kmeansCentroids(vecs: DataFrame, init: DataFrame, iters: Int = 10,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      tol: Double = 1e-4): DataFrame = {
     registered(vecs)
     val points = vecs.select(col(idCol).as("pid"), col(vecCol).as("pv"))
-      .withColumn("pn", norm(col("pv")))
+      .withColumn("pn", norm(col("pv"))).cache()
     var cents = init.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    for (_ <- 0 until iters) {
+      .localCheckpoint()
+    var round = 0
+    var moved = Double.MaxValue
+    while (round < iters && moved > tol) {
+      round += 1
       val c = broadcast(cents.withColumn("cent_n", norm(col("cent_v"))))
       val w = Window.partitionBy(col("pid")).orderBy(col("cc").desc, col("cent_id"))
       val assigned = points.crossJoin(c)
@@ -136,14 +149,25 @@ object Similarity {
           cosinePre(col("pv"), col("cent_v"), col("pn"), col("cent_n")).as("cc"),
           col("cent_id"))
         .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      cents = assigned
+      val next = assigned
         .select(col("cent_id"), posexplode(col("pv")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cent_id"),
           transform(col("dm"), s => s.getField("m")).as("cent_v"))
+        .localCheckpoint()
+      // max coordinate movement this round (vanished cells count as converged
+      // for the cells that remain — k may shrink, which is Lloyd's behavior)
+      val mv = next.join(cents.select(col("cent_id"), col("cent_v").as("prev_v")), Seq("cent_id"))
+        .select(aggregate(
+          zip_with(col("cent_v"), col("prev_v"), (a, b) => abs(a - b.cast("double"))),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("mv"))
+        .agg(max(col("mv"))).head()
+      moved = if (mv.isNullAt(0)) 0.0 else mv.getDouble(0)
+      cents = next
     }
+    points.unpersist()
     cents.withColumnRenamed("cent_id", idCol).withColumnRenamed("cent_v", vecCol)
   }
 
@@ -194,26 +218,40 @@ object Similarity {
 
   /** Random-hyperplane LSH near-dup: bucket by the sign pattern of `nBits`
     * deterministic pseudo-random projections; only same-bucket pairs are
-    * verified — the equi-join candidate pattern that survives 100TB. */
+    * verified — the equi-join candidate pattern that survives 100TB.
+    *
+    * `tables` independent projection tables are OR-ed (a pair is a candidate
+    * if ANY table buckets it together): per-pair recall rises from p^b to
+    * 1-(1-p^b)^L where p = 1-θ/π. At τ=0.35, nBits=4: one table ≈ 0.14,
+    * eight ≈ 0.71 — the standard recall/cost dial for sign LSH. Candidates
+    * are deduped on the pair key BEFORE the cosine verify, so each surviving
+    * pair pays the dot product once regardless of how many tables found it. */
   def signBucketNearDup(vecs: DataFrame, threshold: Double, nBits: Int = 8,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        tables: Int = 1): DataFrame = {
     registered(vecs)
     // deterministic "random" plane component: hash(bit, dim) mapped to [-1, 1)
     def planeComponent(bit: Int, dim: Column): Column =
       (pmod(xxhash64(lit(bit), dim), lit(2000000L)).cast("double") / 1000000.0) - 1.0
-    val sigBits = (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => x.cast("double") * planeComponent(j, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    // table t uses planes t*nBits .. t*nBits+nBits-1, so t=0 with tables=1
+    // reproduces the single-table signature exactly
+    val tableBuckets = (0 until tables).map { t =>
+      val sigBits = (0 until nBits).map { j =>
+        val proj = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, i) => x.cast("double") * planeComponent(t * nBits + j, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), sigBits.reduce(_ bitwiseOR _).as("b"))
     }
     val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-      .withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
+      .withColumn("bucket", explode(array(tableBuckets: _*)))
     bucketed.toDF("id_a", "va", "na", "bucket")
       .join(bucketed.toDF("id_b", "vb", "nb", "bucket"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)

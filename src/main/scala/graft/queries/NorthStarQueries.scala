@@ -189,12 +189,14 @@ object NorthStarQueries {
       |WHERE q.vec_id < 10
       |QUALIFY rank <= 5""".stripMargin
 
-  /** IVF ANN: 16 fixed coarse cells, 2 probes (no oracle: approximate; recall
-    * vs brute force asserted in NorthStarSpec). */
+  /** IVF ANN: 16 coarse cells refined by Lloyd-to-convergence k-means from a
+    * deterministic seed, 2 probes (no oracle: approximate; recall vs brute
+    * force asserted in NorthStarSpec). */
   def q39AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-      centroids = e.filter(col("vec_id") % 31 === 0).limit(16), k = 5, nProbe = 2)
+    val cents = Similarity.kmeansCentroids(e,
+      e.filter(col("vec_id") % 31 === 0).limit(16), iters = 8, tol = 1e-3)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents, k = 5, nProbe = 2)
   }
 
   /** Exact embedding near-dup pairs at cosine >= 0.4. */
@@ -211,7 +213,7 @@ object NorthStarQueries {
     * candidates come from an equi-join on the sign pattern; always a subset
     * of the exact pairs (spec-checked), no oracle (approximate). */
   def q56AnnLshNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.signBucketNearDup(Tables(spark, dir, "embeddings"), 0.35, nBits = 4)
+    Similarity.signBucketNearDup(Tables(spark, dir, "embeddings"), 0.35, nBits = 4, tables = 8)
 
   /** Multimodal plumbing: pack text→binary media, stub-decode features,
     * frame-sample, aggregate per source. Decode is a deterministic fake

@@ -39,6 +39,39 @@ class OpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("LSH gates are independent of the pipelines they gate: " +
+    "q33/q56 candidates ⊆ exact pairs at threshold, recall floored (sf0.01)") {
+    // the dual-formulation gate varies only the signature computation; this
+    // check pins the BANDING/BUCKETING itself against ground truth computed
+    // by a different operator entirely (inverted-index exact join / block-
+    // tiled exact self-join)
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val lsh = graft.ops.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5) // = q33 params
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs at 0.5")
+    // precision 1.0 — candidate verification makes every surviving pair an
+    // exact-Jaccard pair, with the identical jaccard value
+    assert(lsh.subsetOf(exact), s"LSH pairs not ⊆ exact: ${(lsh -- exact).take(5)}")
+    info(s"minhash-LSH recall vs exact Jaccard: ${lsh.size}/${exact.size}")
+    assert(lsh.size.toDouble / exact.size >= 0.9,
+      s"recall ${lsh.size}/${exact.size} below floor 0.9")
+
+    val vecs = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val lshCos = graft.ops.Similarity.signBucketNearDup(vecs, 0.35, nBits = 4, tables = 8) // = q56 params
+      .as[(Long, Long, Double)].collect().toSet
+    val exactCos = graft.ops.Similarity.embeddingNearDupExact(vecs, 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exactCos.nonEmpty, "fixture has no exact cosine pairs at 0.35")
+    assert(lshCos.subsetOf(exactCos), s"sign-LSH pairs not ⊆ exact: ${(lshCos -- exactCos).take(5)}")
+    info(s"sign-bucket recall vs exact cosine: ${lshCos.size}/${exactCos.size}")
+    assert(lshCos.size.toDouble / exactCos.size >= 0.5,
+      s"recall ${lshCos.size}/${exactCos.size} below floor 0.5 (4-bit buckets)")
+  }
+
   test("queries smoke: every SparkEntry query runs and returns rows at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries) {
