@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Paths
+
+/** Corpus-wide EXECUTE phase runner: materialize every reference model +
+  * snapshot against negotiated synthetic sources (see
+  * [[graft.runtime.CorpusExecute]]) and print the per-status report —
+  * the artifact behind CORPUS.md's `executed` counts. */
+object CorpusExec {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.runtime.Dialect(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "4") // 0-row plans: scheduling floor dominates
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val report = graft.runtime.CorpusExecute.run(spark,
+      Paths.get("/root/reference/models"), Paths.get("/root/reference/macros"),
+      Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds"))
+    println(report.describe)
+    println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

@@ -50,6 +50,15 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   def registerView(name: String, df: DataFrame): Unit = views.put(name, df)
 
+  /** Remove a table or view entirely (e.g. corpus-execute fixpoint passes
+    * rebuild every node from scratch so schema growth never has to merge
+    * into last pass's files). */
+  def drop(name: String): Unit = {
+    views.remove(name)
+    val p = Paths.get(tablePath(name))
+    if (Files.exists(p)) TempDirs.deleteTree(p)
+  }
+
   /** Read a managed table or view. Tables with a `_schema.json` sidecar are
     * read with that canonical schema applied directly — no per-file footer
     * sweep (`mergeSchema`), which at 100TB is a full listing+footer read per
