@@ -19,9 +19,11 @@ object CorpusExec {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
+    val only = if (args.isEmpty) None else Some(args.toSet)
     val report = graft.runtime.CorpusExecute.run(spark,
       Paths.get("/root/reference/models"), Paths.get("/root/reference/macros"),
-      Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds"))
+      Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds"),
+      only = only)
     println(report.describe)
     println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()

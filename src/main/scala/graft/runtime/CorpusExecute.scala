@@ -426,10 +426,13 @@ object CorpusExecute {
     }
 
     /** Retype the table-qualified or best-effort-attributed `path` to `dt`.
-      * Falls back to closure sources, then the unique global owner — the
-      * cases where a downstream model learns the type of a column its
-      * upstream ref only passed through (fixpoint passes re-run upstream). */
-    def retypeByPath(rawPath: Seq[String], dt: DataType): Boolean = {
+      * Falls back to closure sources, then the unique global owner, then a
+      * derived-alias trace (`<src path> AS name` in the rendered SQL), then
+      * leaf-name nested retype — the cases where a downstream model learns
+      * the type of a column its upstream ref only passed through (fixpoint
+      * passes re-run upstream). */
+    def retypeByPath(rawPath: Seq[String], dt: DataType, depth: Int = 2): Boolean = {
+      if (depth <= 0) return false
       val path = rawPath match {
         case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
           return synth.retypePath(aliases(head.toLowerCase), rest, dt)
@@ -443,13 +446,16 @@ object CorpusExecute {
         owners match {
           case Seq(only) => synth.retypePath(only, path, dt)
           case _ =>
-            // last resort: the path names a field of an exploded/lambda
-            // element (`col.phones`, `product.variants`) — retype every
-            // string-typed NESTED field with that leaf name
-            (modelSources ++ closureSources).flatMap(k =>
-              synth.stringFieldPaths(k, path.last).map(k -> _))
-              .map { case (k, fp) => synth.retypePath(k, fp, dt) }
-              .exists(identity)
+            // the name may be a SELECT-list alias over a real source path
+            aliasDefPaths(path.mkString(".")).map(retypeByPath(_, dt, depth - 1))
+              .exists(identity) ||
+              // last resort: the path names a field of an exploded/lambda
+              // element (`col.phones`, `product.variants`) — retype every
+              // string-typed NESTED field with that leaf name
+              (modelSources ++ closureSources).flatMap(k =>
+                synth.stringFieldPaths(k, path.last).map(k -> _))
+                .map { case (k, fp) => synth.retypePath(k, fp, dt) }
+                .exists(identity)
         }
       }
     }
@@ -523,10 +529,37 @@ object CorpusExecute {
       targets.map(t => promoteArrayElems(t.split("\\.").toSeq)).exists(identity)
     }
 
-    /** Progressive complex-type ladder for extraction over a scalar: string
-      * → struct (covers `.f` and `['f']`); an already-struct base failing
-      * again means ordinal access → array of its current self. */
-    def promoteExtractBase(rawPath: Seq[String]): Boolean = {
+    /** Definitions of a derived alias in the rendered text: `<path> AS name`
+      * yields the underlying identifier path(s) — the negotiation's answer
+      * to errors that name a SELECT-list alias rather than a source column
+      * (`payload.orderids AS order_ids` … `EXPLODE(order_ids)`). */
+    def aliasDefPaths(name: String, depth: Int = 2): Seq[Seq[String]] = {
+      if (depth <= 0) return Nil
+      val re = ("(?i)(?<![\\w.'\"`])([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s+AS\\s+" +
+        java.util.regex.Pattern.quote(name) + "(?![\\w])").r
+      re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+        .map(_.split("\\s*\\.\\s*").toSeq)
+        .filter(p => p != Seq(name)) // `x AS x` loops
+        .flatMap { p =>
+          val resolvable = (modelSources ++ closureSources)
+            .exists(k => synth.typeAt(k, dropAliasHead(p)).isDefined) ||
+            (p.size > 1 && aliases.contains(p.head.toLowerCase))
+          if (resolvable) Seq(p)
+          else if (p.size == 1) aliasDefPaths(p.head, depth - 1) // chain of aliases
+          else Seq(p)
+        }
+    }
+
+    def dropAliasHead(p: Seq[String]): Seq[String] = p match {
+      case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) => rest
+      case _ => p
+    }
+
+    /** Promote extraction bases whose CURRENT type equals the type the
+      * analyzer reported (`other` param) — never escalate a base the error
+      * is not about (the old any-rung ladder turned structs into arrays when
+      * the true culprit was an unpromoted twin on another table). */
+    def promoteExtractBase(rawPath: Seq[String], reported: Option[String]): Boolean = {
       val resolved: Seq[((String, String), Seq[String])] = rawPath match {
         case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
           Seq(aliases(head.toLowerCase) -> rest)
@@ -540,15 +573,20 @@ object CorpusExecute {
             case _ => Nil
           }
       }
-      resolved.map { case (k, path) =>
+      val wantString = reported.forall(_.toUpperCase.contains("STRING")) &&
+        !reported.exists(_.toUpperCase.contains("ARRAY"))
+      val step = resolved.map { case (k, path) =>
         synth.typeAt(k, path) match {
-          case Some(StringType) => synth.retypePath(k, path, emptyStruct)
-          case Some(s: StructType) => synth.retypePath(k, path, ArrayType(StringType))
-          case Some(ArrayType(StringType, _)) =>
+          case Some(StringType) if wantString => synth.retypePath(k, path, emptyStruct)
+          case Some(ArrayType(StringType, _))
+            if reported.exists(_.toUpperCase.contains("ARRAY")) =>
             synth.retypePath(k, path, ArrayType(emptyStruct))
-          case Some(MapType(_, _, _)) => false
           case _ => false
         }
+      }.exists(identity)
+      // the named base may itself be a SELECT alias over a source path
+      step || aliasDefPaths(rawPath.mkString(".")).map { p =>
+        promoteExtractBase(p, reported)
       }.exists(identity)
     }
 
@@ -732,11 +770,15 @@ object CorpusExecute {
     memo.toMap
   }
 
+  /** Set (e.g. via GRAFT_CORPUS_DEBUG=1) to print every negotiation step. */
+  private[runtime] val debug: Boolean = sys.env.contains("GRAFT_CORPUS_DEBUG")
+
   def run(spark: SparkSession, modelsDir: Path, macrosDir: Path,
           snapshotsDir: Path, seedsDir: Path,
           vars: Map[String, String] = CorpusSweep.defaultVars ++ Map(
             "run_ts" -> "2024-01-31 00:00:00", "run_dow" -> "1"),
-          maxIter: Int = 200, maxPasses: Int = 6): Report = {
+          maxIter: Int = 200, maxPasses: Int = 6,
+          only: Option[Set[String]] = None): Report = {
     val macros = CorpusSweep.loadMacros(macrosDir)
     val synth = new Synth(spark)
     val wh = new Warehouse(spark, TempDirs.create("graft_corpus_exec"))
@@ -772,7 +814,20 @@ object CorpusExecute {
         Node(m.name, "snapshot", text, m.deps, () => m)
       }
     }
-    val nodes0 = modelNodes ++ snapNodes
+    val allNodes = modelNodes ++ snapNodes
+    // `only`: restrict to the transitive dependency closure of the given
+    // names (a fast debugging subtree; dep edges still resolve)
+    val nodes0 = only match {
+      case Some(keep) =>
+        val byN = allNodes.map(n => n.name -> n).toMap
+        val need = mutable.Set.empty[String]
+        def add(n: String): Unit = if (!need.contains(n)) {
+          need += n; byN.get(n).foreach(_.deps.foreach(add))
+        }
+        keep.foreach(add)
+        allNodes.filter(n => need.contains(n.name))
+      case None => allNodes
+    }
     val names0 = nodes0.map(_.name).toSet
     // models also read other nodes by raw `schema.node_name` (no ref()):
     // make those real dependency edges so producers materialize first and
@@ -917,6 +972,11 @@ object CorpusExecute {
         return Item(node.name, node.kind, "executed", incRun, it)
       } catch {
         case e: AnalysisException =>
+          if (debug) {
+            val ps = Option(e.getMessageParameters).map(_.asScala.toMap).getOrElse(Map.empty)
+            println(s"[corpus-debug] ${node.name} it=$it cond=${condOf(e)} " +
+              ps.map { case (k, v) => s"$k=${String.valueOf(v).take(160)}" }.mkString(" | "))
+          }
           // a throw inside the patcher must classify, not kill the phase
           val changed = try patch(e, pc) catch {
             case scala.util.control.NonFatal(pe) =>
