@@ -675,7 +675,7 @@ object CorpusExecute {
       case "INVALID_EXTRACT_BASE_FIELD_TYPE" =>
         p.get("base").map(stripDq) match {
           case Some(name) if name.matches("[A-Za-z_][\\w.]*") =>
-            promoteExtractBase(name.split("\\.").toSeq) ||
+            promoteExtractBase(name.split("\\.").toSeq, p.get("other")) ||
               // base is a nested struct field (`product` inside an exploded
               // element): promote every string-typed field with that name
               (modelSources ++ closureSources).flatMap(k =>
