@@ -97,6 +97,11 @@ object CorpusExecute {
     val pinned = mutable.Map.empty[((String, String), String), String]
     /** raw-catalog tables that mirror a warehouse node: tbl -> db */
     val mirrorTargets = mutable.Map.empty[String, String]
+    /** per-node raw `db.tbl` keys its text references (computed in
+      * executeNode) — the fixpoint staleness check must include these, or a
+      * node reading ONLY raw catalog tables is skipped as 'unchanged' after
+      * those tables' schemas grew */
+    val nodeRawKeys = mutable.Map.empty[String, Seq[(String, String)]]
     private val dbLocations = mutable.Map.empty[String, String]
 
     /** Create db with a run-scoped temp LOCATION: managed tables land in a
@@ -872,7 +877,8 @@ object CorpusExecute {
       val results = mutable.Map.empty[String, Item]
       for (name <- order) {
         val node = byName(name)
-        val closureKeys = node.ownSources ++ closures.getOrElse(name, Nil)
+        val closureKeys = node.ownSources ++ closures.getOrElse(name, Nil) ++
+          synth.nodeRawKeys.getOrElse(name, Nil)
         val unchanged = passResults.get(name).exists(_.status == "executed") &&
           closureKeys.forall(k =>
             synth.keyVersions.getOrElse(k, 0L) <= lastRunVersion.getOrElse(name, -1L))
@@ -933,6 +939,7 @@ object CorpusExecute {
     // node's text references one, alias + pre-seed + attribute through it
     val rawHere = synth.rawCatalogKeys.toSeq.filter { case (db, tbl) =>
       renderedSql.toLowerCase.contains(s"$db.$tbl".toLowerCase) }
+    synth.nodeRawKeys(node.name) = rawHere
     for (key @ (db, tbl) <- rawHere;
          e <- aliasEntries(renderedSql, s"$db.$tbl", key))
       aliases.getOrElseUpdate(e._1, e._2)

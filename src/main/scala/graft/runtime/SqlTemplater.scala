@@ -143,18 +143,25 @@ object SqlTemplater {
     def thisView(modelName: String): String = viewName(s"__this_$modelName")
   }
 
-  /** [start, end) spans of single-quoted SQL string literals ('' escapes). */
+  /** [start, end) spans of SQL string literals — single-quoted ('' escapes)
+    * AND double-quoted ("" / \" escapes): the corpus dialect is non-ANSI
+    * Spark where "…" is a string literal too (reference:
+    * b2b_mart/key/interactions_funnel.sql:339 `||"_"||`), so a
+    * schema.table pattern inside either literal style must not be
+    * rewritten. */
   private def quotedSpans(text: String): Seq[(Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
     while (i < text.length) {
-      if (text(i) == '\'') {
+      val c = text(i)
+      if (c == '\'' || c == '"') {
         val start = i
         i += 1
         var open = true
         while (i < text.length && open) {
-          if (text(i) == '\'') {
-            if (i + 1 < text.length && text(i + 1) == '\'') i += 2 // escaped ''
+          if (text(i) == '\\' && i + 1 < text.length) i += 2 // backslash escape
+          else if (text(i) == c) {
+            if (i + 1 < text.length && text(i + 1) == c) i += 2 // doubled escape
             else { open = false; i += 1 }
           } else i += 1
         }
@@ -164,6 +171,18 @@ object SqlTemplater {
     out.toSeq
   }
 
+  /** Trailing SQL keywords that can follow `FROM t` without being an alias
+    * (`FROM t LIMIT 5` must not register `limit` as a defined alias, or a
+    * ref qualified by a schema named `limit` would skip its rewrite). */
+  private val aliasStopWords: Set[String] = Set(
+    "on", "where", "join", "left", "right", "inner", "full", "cross", "group",
+    "order", "having", "union", "select", "lateral", "window", "limit",
+    "qualify", "as", "set", "intersect", "except", "distribute", "cluster",
+    "sort", "using", "pivot", "unpivot", "tablesample", "anti", "semi",
+    "natural", "when", "then", "else", "end", "and", "or", "not", "is",
+    "null", "true", "false", "from", "with", "values", "distinct", "interval",
+    "case", "between", "like", "rlike", "in", "exists", "all", "any", "by")
+
   /** Relation aliases and CTE names defined in `text` — identifiers that a
     * `qualifier.name.column` reference could legitimately resolve through
     * WITHOUT being a rendered `schema.model` reference. */
@@ -172,8 +191,7 @@ object SqlTemplater {
       .findAllMatchIn(text).map(_.group(1).toLowerCase)
     val alias = """(?i)\b(?:FROM|JOIN)\s+[`"\w.]+\s+(?:AS\s+)?([A-Za-z_]\w*)""".r
       .findAllMatchIn(text).map(_.group(1).toLowerCase)
-      .filterNot(Set("on", "where", "group", "order", "left", "right", "inner",
-        "full", "cross", "join", "lateral", "union", "select", "as", "using"))
+      .filterNot(aliasStopWords)
     (cte ++ alias).toSet
   }
 
