@@ -12,21 +12,26 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Schema of the raw events parquet (ts stored as TIMESTAMP(NANOS), read
-    * as nanos BIGINT under spark.sql.legacy.parquet.nanosAsLong). */
-  val rawEventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Schema of the raw events parquet with the `ts` physical type the file
+    * actually carries (TIMESTAMP(NANOS) reads as nanos BIGINT under
+    * spark.sql.legacy.parquet.nanosAsLong; TIMESTAMP(MICROS) reads natively)
+    * — the streaming file source needs an explicit schema, so probe the
+    * footer once with a batch read. */
+  def rawEventsSchema(spark: SparkSession, dir: String): StructType = {
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
 
   /** The events table as an unbounded stream (file source), normalized to
     * the same (ts: timestamp, ts_ns: long) convention as graft.Tables. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a directory
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(rawEventsSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet") // file source needs a directory
+        .parquet(dir))
 
   /** Gap-based sessionization via native session_window — the streaming twin
     * of [[graft.ops.Sessionize]] (reference batch shape:
