@@ -394,7 +394,15 @@ object CorpusExecute {
                             aliases: mutable.Map[String, (String, String)],
                             renderedSql: String,
                             synth: Synth,
-                            warehouse: Option[Warehouse] = None)
+                            warehouse: Option[Warehouse] = None,
+                            depsSql: String = "") {
+    /** Text searched for `<path> AS name` alias definitions: this model's
+      * rendered SQL plus its direct deps' raw SQL — a column this model
+      * reads from a ref() is often a SELECT alias defined UPSTREAM
+      * (`isTop AS is_top` in the dep), and the patch must retype the
+      * upstream's source column. */
+    def aliasSearchSql: String = renderedSql + "\n" + depsSql
+  }
 
   /** One patch step from a typed analyzer condition; true = schema changed,
     * retry the build. */
@@ -427,7 +435,26 @@ object CorpusExecute {
         candidates.iterator.map { cp =>
           val local = modelSources.map(k => synth.addPath(k, cp)).exists(identity)
           local || closureSources.map(k => synth.addPath(k, cp)).exists(identity)
-        }.find(identity).getOrElse(false)
+        }.find(identity).getOrElse {
+          // every plain offer was a no-op. Two remaining explanations:
+          // (a) an earlier ambiguity retraction tombstoned the column on
+          //     every candidate — a later LEGITIMATE use must win: force it
+          //     back onto the first tombstoned source (force clears the
+          //     tombstone and pins against re-retraction);
+          // (b) the column is already present top-level everywhere but the
+          //     model reads it through an upstream ref's STRUCT star-expand
+          //     (`SELECT payload.* …`) — inject it into every struct node so
+          //     the upstream's star surfaces it (0-row tables: executability
+          //     is the claim, placement is unobservable).
+          val cp = candidates.headOption.getOrElse(path)
+          val tombstoned = (modelSources ++ closureSources)
+            .find(k => synth.tombstones.contains((k, cp.head)))
+          tombstoned.exists(k => synth.addPath(k, cp, force = true, by = pc.nodeName)) || {
+            val leaf = path.last
+            val local = modelSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
+            local || closureSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
+          }
+        }
     }
 
     /** Retype the table-qualified or best-effort-attributed `path` to `dt`.
@@ -465,22 +492,31 @@ object CorpusExecute {
       }
     }
 
-    /** Retype every STRING-typed identifier path of `sqlExpr` to `dt` —
+    /** Retype every default-guessed identifier path of `sqlExpr` to `dt` —
       * the broad-brush rule for coercion mismatches where the analyzer
-      * names only the failing expression. */
+      * names only the failing expression. Default guesses are STRING (the
+      * negotiation's starting type) and ARRAY<STRING> (an over-eager
+      * explode/index promotion) — never an already-negotiated type. */
     def retypeIdentsIn(sqlExpr: String, dt: DataType): Boolean =
       identPaths(sqlExpr).map { path =>
-        val isString = {
-          val resolved = path match {
-            case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-              synth.typeAt(aliases(head.toLowerCase), rest)
-            case _ =>
-              (modelSources ++ closureSources).iterator
-                .flatMap(k => synth.typeAt(k, path)).nextOption()
-          }
-          resolved.contains(StringType)
+        val resolved = path match {
+          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+            synth.typeAt(aliases(head.toLowerCase), rest)
+          case _ =>
+            (modelSources ++ closureSources).iterator
+              .flatMap(k => synth.typeAt(k, path)).nextOption()
         }
-        isString && retypeByPath(path, dt)
+        val isDefaultGuess =
+          resolved.contains(StringType) ||
+            (resolved.contains(ArrayType(StringType)) && !dt.isInstanceOf[ArrayType])
+        if (isDefaultGuess) retypeByPath(path, dt)
+        else
+          // unresolvable here: the ident may be a SELECT alias defined in an
+          // upstream dep (`isTop AS is_top`) — trace the alias definition
+          // only (never the broad fallbacks: the ident could equally be an
+          // unquoted literal the analyzer printed bare)
+          resolved.isEmpty && path.size == 1 &&
+            aliasDefPaths(path.head).map(retypeByPath(_, dt)).exists(identity)
       }.exists(identity)
 
     /** `SELECT key/value FROM (SELECT EXPLODE(x) …)` where x was guessed as
@@ -499,6 +535,27 @@ object CorpusExecute {
           synth.typeAt(k, pp) match {
             case Some(ArrayType(StringType, _)) =>
               synth.retypePath(k, pp, MapType(StringType, StringType))
+            case _ => false
+          }
+        }.exists(identity)
+      }.exists(identity)
+    }
+
+    /** The reverse: an exploded target guessed as a MAP is really an ARRAY
+      * (a single explode alias was supplied for a two-column map explode). */
+    def explodedMapToArray(): Boolean = {
+      val targets = "(?i)explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+        .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+      targets.map { t =>
+        val path = t.split("\\.").toSeq
+        val resolved: Seq[((String, String), Seq[String])] = path match {
+          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+            Seq(aliases(head.toLowerCase) -> rest)
+          case _ => (modelSources ++ closureSources).map(_ -> path)
+        }
+        resolved.map { case (k, pp) =>
+          synth.typeAt(k, pp) match {
+            case Some(MapType(_, v, _)) => synth.retypePath(k, pp, ArrayType(v))
             case _ => false
           }
         }.exists(identity)
@@ -534,6 +591,38 @@ object CorpusExecute {
       targets.map(t => promoteArrayElems(t.split("\\.").toSeq)).exists(identity)
     }
 
+    /** First-argument paths of every higher-order function call in the
+      * rendered SQL — the arrays a lambda iterates. */
+    def lambdaTargets(): Seq[Seq[String]] =
+      ("(?i)\\b(?:transform|filter|exists|forall|aggregate|reduce|zip_with|" +
+        "array_sort|sort_array)\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*[,)]").r
+        .findAllMatchIn(pc.renderedSql).map(_.group(1).split("\\.").toSeq).toSeq.distinct
+
+    /** Retype the value (or key) side of every exploded MAP target whose
+      * current side type is string to a struct — field extraction through
+      * the map-explode `key`/`value` aliases. */
+    def promoteMapSide(valueSide: Boolean): Boolean = {
+      val targets = "(?i)explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+        .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+      targets.map { t =>
+        val path = t.split("\\.").toSeq
+        val resolved: Seq[((String, String), Seq[String])] = path match {
+          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+            Seq(aliases(head.toLowerCase) -> rest)
+          case _ => (modelSources ++ closureSources).map(_ -> path)
+        }
+        resolved.map { case (k, pp) =>
+          synth.typeAt(k, pp) match {
+            case Some(MapType(kt, StringType, _)) if valueSide =>
+              synth.retypePath(k, pp, MapType(kt, emptyStruct))
+            case Some(MapType(StringType, vt, _)) if !valueSide =>
+              synth.retypePath(k, pp, MapType(emptyStruct, vt))
+            case _ => false
+          }
+        }.exists(identity)
+      }.exists(identity)
+    }
+
     /** Definitions of a derived alias in the rendered text: `<path> AS name`
       * yields the underlying identifier path(s) — the negotiation's answer
       * to errors that name a SELECT-list alias rather than a source column
@@ -542,7 +631,7 @@ object CorpusExecute {
       if (depth <= 0) return Nil
       val re = ("(?i)(?<![\\w.'\"`])([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s+AS\\s+" +
         java.util.regex.Pattern.quote(name) + "(?![\\w])").r
-      re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+      re.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq.distinct
         .map(_.split("\\s*\\.\\s*").toSeq)
         .filter(p => p != Seq(name)) // `x AS x` loops
         .flatMap { p =>
@@ -627,9 +716,25 @@ object CorpusExecute {
           val unpinned = holders.filterNot(k => synth.pinned.contains((k, col)))
           val toRetract =
             if (own.nonEmpty) foreignPinned ++ unpinned          // keep own claims
-            else if (unpinned.size < holders.size) unpinned      // keep pinned ones
-            else unpinned.drop(1)                                // keep the first
+            else if (unpinned.nonEmpty && unpinned.size < holders.size)
+              unpinned                                           // keep pinned ones
+            else if (unpinned.nonEmpty) unpinned.drop(1)         // keep the first
+            else holders.drop(1) // all foreign-pinned: still must break the tie
           toRetract.map(synth.retract(_, col)).exists(identity)
+        }
+        /** The name shadows a RELATION (a source table or a ref'd node): a
+          * column with that name is an artifact of an earlier unqualified
+          * offer — the relation interpretation always wins, drop the column
+          * from every holder. */
+        def retractRelationImpostor(name: String): Boolean = {
+          val isRelation = (modelSources ++ closureSources)
+            .exists(_._2.equalsIgnoreCase(name)) ||
+            ("(?i)(?:from|join)\\s+[`\"]?" + java.util.regex.Pattern.quote(name)).r
+              .findFirstIn(pc.renderedSql).isDefined
+          isRelation && {
+            val holders = (modelSources ++ closureSources).filter(k => synth.has(k, name))
+            holders.map(synth.retract(_, name)).exists(identity)
+          }
         }
         p.get("name").map(parts) match {
           case Some(path) if path.size > 1 && aliases.contains(path.head.toLowerCase) =>
@@ -637,17 +742,47 @@ object CorpusExecute {
             // elsewhere: the alias interpretation is the intended one —
             // retract the struct-column impostors (named like the alias)
             retractCol(path.head) || retractCol(path.last)
+          case Some(path) if path.size > 1 =>
+            // qualifier is no single-target alias: it may be a table name
+            // shared by several sources (schema1.t / schema2.t) or a
+            // multi-scope alias — the qualifier-named COLUMN impostors
+            // (struct columns created from `t.col` paths) are what make the
+            // reference ambiguous
+            retractRelationImpostor(path.head) || retractCol(path.head) ||
+              retractCol(path.last)
           case Some(path) => retractCol(path.last)
           case None => false
         }
       case c if c.startsWith("DATATYPE_MISMATCH.BINARY_OP") =>
-        // "(a AND b)" / "(ts + INTERVAL ...)": retype the string-typed
-        // identifier operands to the type the operator needs
+        // "(a AND b)" / "(ts + INTERVAL ...)": retype the default-guessed
+        // identifier operands to the type the operator needs. The strongest
+        // signal is the (left, right) operand-type pair the analyzer
+        // reports: when exactly one side is a default guess (STRING /
+        // ARRAY<STRING>), the OTHER side's type is what the guess should be.
+        def isGuess(t: String) = { val u = t.toUpperCase; u == "\"STRING\"" ||
+          u == "STRING" || u.replaceAll("\"", "") == "ARRAY<STRING>" }
+        val fromSides = (p.get("left"), p.get("right")) match {
+          case (Some(l), Some(r)) if isGuess(l) && !isGuess(r) => typeFor(r)
+          case (Some(l), Some(r)) if isGuess(r) && !isGuess(l) => typeFor(l)
+          case _ => None
+        }
         val want: Option[DataType] =
-          p.get("requiredType").flatMap(typeFor)
+          fromSides
+            .orElse(p.get("requiredType").flatMap(typeFor))
             .orElse(p.get("inputType").flatMap(typeFor))
             .orElse(p.get("sqlExpr").flatMap(typeFromExprShape))
-        want.exists(dt => p.get("sqlExpr").exists(expr => retypeIdentsIn(expr, dt)))
+        want.exists { dt =>
+          p.get("sqlExpr").exists { expr =>
+            if (dt == BooleanType) {
+              // only BARE operands of AND/OR/NOT are boolean-valued — a
+              // whole-expr retype would corrupt string columns that appear
+              // inside already-consistent comparisons (`type = 'preview'`)
+              val bare = "(?i)(?<=\\(|\\bAND |\\bOR |\\bNOT |^)\\s*([A-Za-z_][\\w.]*)\\s*(?=\\)|\\bAND\\b|\\bOR\\b|$)".r
+                .findAllMatchIn(stripDq(expr)).map(_.group(1)).toSeq.distinct
+              bare.map(b => retypeIdentsIn(b, dt)).exists(identity)
+            } else retypeIdentsIn(expr, dt)
+          }
+        }
       case "DATATYPE_MISMATCH.SEQUENCE_WRONG_INPUT_TYPES" =>
         // sequence(start, stop[, step]) over string endpoints: dates
         p.get("sqlExpr").exists(expr => retypeIdentsIn(expr, DateType))
@@ -655,8 +790,147 @@ object CorpusExecute {
          | "INCOMPATIBLE_COLUMN_TYPE" =>
         // least/coalesce/union branches disagree: infer the intended type
         // from the expression's literals and retype its string identifiers
-        p.get("sqlExpr").orElse(p.get("expr")).exists(expr =>
-          typeFromExprShape(expr).exists(dt => retypeIdentsIn(expr, dt)))
+        p.get("sqlExpr").orElse(p.get("expr")).exists { expr =>
+          typeFromExprShape(expr).exists(dt => retypeIdentsIn(expr, dt)) || {
+            // `x IN (A, B, …)` where the list items are unquoted string
+            // literals (the analyzer prints them bare) and x was mis-typed
+            // by an earlier broad-brush retype: revert x to STRING
+            val inList = "(?i)^\\(?\\s*([A-Za-z_][\\w.]*)\\s+IN\\s*\\(".r
+              .findFirstMatchIn(stripDq(expr).trim).map(_.group(1))
+            inList.exists { ident =>
+              val path = ident.split("\\.").toSeq
+              val cur = path match {
+                case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+                  synth.typeAt(aliases(head.toLowerCase), rest)
+                case _ => (modelSources ++ closureSources).iterator
+                  .flatMap(k => synth.typeAt(k, path)).nextOption()
+              }
+              cur.exists(_ != StringType) && retypeByPath(path, StringType)
+            }
+          }
+        }
+      case "DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION" | "DATATYPE_MISMATCH.CAST_WITH_SUGGESTION" =>
+        // CAST(x AS T) where x carries a default guess (STRING / ARRAY<STRING>
+        // from an over-eager promotion): x's real type is castable to T —
+        // set it to T directly (0-row plans only need analyzability)
+        (p.get("sqlExpr").map(stripDq), p.get("srcType"), p.get("targetType")) match {
+          case (Some(expr), Some(src), Some(tgt))
+            if src.toUpperCase.replaceAll("\"", "").matches("STRING|ARRAY<STRING>") =>
+            typeFor(tgt).exists(dt => identPaths(expr).map(retypeByPath(_, dt)).exists(identity))
+          case _ => false
+        }
+      case "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE" =>
+        // a higher-order/collection function got a scalar where it needs a
+        // collection (or vice versa) — three shapes observed in the corpus:
+        val sqlExpr = p.get("sqlExpr").map(stripDq).getOrElse("")
+        val inputSql = p.get("inputSql").map(stripDq).getOrElse("")
+        val required = p.get("requiredType").map(_.toUpperCase.replaceAll("\"", "")).getOrElse("")
+        // (1) `transform(namedlambdavariable().mps, …)` — a field of a lambda
+        //     element must itself be an array: promote every string-typed
+        //     nested field with that leaf name to array<struct>
+        val nlvField = "namedlambdavariable\\(\\)\\.([A-Za-z_]\\w*)".r
+          .findFirstMatchIn(inputSql).orElse(
+            "namedlambdavariable\\(\\)\\.([A-Za-z_]\\w*)".r.findFirstMatchIn(sqlExpr))
+          .map(_.group(1))
+        // (2) `array_max(teamHistory[ctms])` — a map's VALUE side must be an
+        //     array: retype map<k, string> to map<k, array<string>>
+        val mapIndexBase = "^([A-Za-z_][\\w.]*)\\[".r.findFirstMatchIn(inputSql).map(_.group(1))
+        // (3) `map_from_entries(utmLabels)` — needs array of key/value structs
+        val wantsEntries = sqlExpr.toLowerCase.startsWith("map_from_entries")
+        // (4) `payload[userId]` with payload guessed ARRAY: GetArrayItem
+        //     wants an INTEGRAL ordinal, but userId is a string — the base
+        //     is really a MAP (keyword-proof: parse sqlExpr directly)
+        val ordinalMapBase =
+          if (required.contains("INTEGRAL") && stripDq(inputSql).matches("[A-Za-z_][\\w.]*"))
+            "^([A-Za-z_][\\w.]*)\\[".r.findFirstMatchIn(stripDq(sqlExpr)).map(_.group(1))
+          else None
+        if (ordinalMapBase.isDefined) {
+          retypeByPath(ordinalMapBase.get.split("\\.").toSeq, MapType(StringType, StringType))
+        } else if (required.contains("ARRAY") && nlvField.isDefined) {
+          val leaf = nlvField.get
+          (modelSources ++ closureSources).flatMap(k =>
+            synth.stringFieldPaths(k, leaf).map(k -> _))
+            .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(emptyStruct)) }
+            .exists(identity)
+        } else if (required.contains("ARRAY") && wantsEntries) {
+          val entries = ArrayType(StructType(Seq(
+            StructField("key", StringType), StructField("value", StringType))))
+          identPaths(inputSql).map(retypeByPath(_, entries)).exists(identity) ||
+            identPaths(sqlExpr).map(retypeByPath(_, entries)).exists(identity)
+        } else if (required.contains("ARRAY") && mapIndexBase.isDefined) {
+          val path = mapIndexBase.get.split("\\.").toSeq
+          val resolved: Seq[((String, String), Seq[String])] = path match {
+            case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+              Seq(aliases(head.toLowerCase) -> rest)
+            case _ => (modelSources ++ closureSources).map(_ -> path)
+          }
+          resolved.map { case (k, pp) =>
+            synth.typeAt(k, pp) match {
+              case Some(MapType(kt, StringType, _)) =>
+                synth.retypePath(k, pp, MapType(kt, ArrayType(StringType)))
+              case Some(StringType) =>
+                synth.retypePath(k, pp, MapType(StringType, ArrayType(StringType)))
+              case _ => false
+            }
+          }.exists(identity)
+        } else if (required.contains("ARRAY")) {
+          // plain ident that must be an array — parse the path directly so
+          // keyword-named columns (`values`) survive the ident filter
+          val direct = stripDq(inputSql).trim
+          val paths =
+            if (direct.matches("[A-Za-z_][\\w.]*")) Seq(direct.split("\\.").toSeq)
+            else identPaths(inputSql)
+          paths.map { path =>
+            val cur = path match {
+              case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+                synth.typeAt(aliases(head.toLowerCase), rest)
+              case _ => (modelSources ++ closureSources).iterator
+                .flatMap(k => synth.typeAt(k, path)).nextOption()
+            }
+            cur.contains(StringType) && retypeByPath(path, ArrayType(StringType))
+          }.exists(identity)
+        } else {
+          typeFor(required).exists(dt => retypeIdentsIn(inputSql, dt) ||
+            retypeIdentsIn(sqlExpr, dt))
+        }
+      case "INVALID_EXTRACT_FIELD_TYPE" =>
+        // "Field name should be a non-null string literal, but it's 0":
+        // `base[0]` ordinal extraction over something promoted to STRUCT —
+        // the base is really an ARRAY of that struct (and a map guess's
+        // ordinal access means an array of its value type)
+        val bases = "([A-Za-z_][\\w.]*)\\s*\\[\\s*\\d+\\s*\\]".r
+          .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+        bases.map { b =>
+          val path = b.split("\\.").toSeq
+          val resolved: Seq[((String, String), Seq[String])] = path match {
+            case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+              Seq(aliases(head.toLowerCase) -> rest)
+            case _ => (modelSources ++ closureSources).map(_ -> path)
+          }
+          resolved.map { case (k, pp) =>
+            synth.typeAt(k, pp) match {
+              case Some(s: StructType) => synth.retypePath(k, pp, ArrayType(s))
+              case Some(MapType(_, v, _)) => synth.retypePath(k, pp, ArrayType(v))
+              case _ => false
+            }
+          }.exists(identity) ||
+            // the base may be a nested field of an array element
+            (modelSources ++ closureSources).flatMap(k =>
+              synth.stringFieldPaths(k, path.last).map(k -> _))
+              .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(emptyStruct)) }
+              .exists(identity)
+        }.exists(identity)
+      case "_LEGACY_ERROR_TEMP_1050" =>
+        // "Can only star expand struct data types. Attribute: `List(payload,
+        // currencies)`" — `payload.currencies.*` needs a struct at that path
+        "List\\(([^)]*)\\)".r.findFirstMatchIn(String.valueOf(e.getMessage)).exists { m =>
+          val path = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          path.nonEmpty && (retypeByPath(path, emptyStruct) ||
+            (modelSources ++ closureSources).flatMap(k =>
+              synth.stringFieldPaths(k, path.last).map(k -> _))
+              .map { case (k, fp) => synth.retypePath(k, fp, emptyStruct) }
+              .exists(identity))
+        }
       case c if c.startsWith("DATATYPE_MISMATCH") =>
         // `payload[userId]` where userId is a STRING column: the ordinal-
         // access guess (array) was wrong — the base is really a map
@@ -681,6 +955,10 @@ object CorpusExecute {
         p.get("base").map(stripDq) match {
           case Some(name) if name.matches("[A-Za-z_][\\w.]*") =>
             promoteExtractBase(name.split("\\.").toSeq, p.get("other")) ||
+              // `value`/`key` = the aliases of an exploded MAP: the map's
+              // value (or key) side must be a struct for field extraction
+              ((name.equalsIgnoreCase("value") || name.equalsIgnoreCase("key")) &&
+                promoteMapSide(valueSide = name.equalsIgnoreCase("value"))) ||
               // base is a nested struct field (`product` inside an exploded
               // element): promote every string-typed field with that name
               (modelSources ++ closureSources).flatMap(k =>
@@ -696,13 +974,27 @@ object CorpusExecute {
             promoteArrayElems(path)
           case Some("namedlambdavariable()") =>
             // a lambda over array elements extracts fields: if exactly one
-            // array<string> column is in scope, its elements are structs
+            // array<string> column is in scope, its elements are structs;
+            // otherwise promote every higher-order-function target whose
+            // current guess is array<string> (or a plain string), then fall
+            // back to explode targets
             val arrCols = (modelSources ++ closureSources).flatMap(k =>
               synth.schemas.getOrElse(k, StructType(Nil)).fields.collect {
                 case f if f.dataType == ArrayType(StringType) => k -> Seq(f.name)
               })
-            if (arrCols.size == 1) promoteArrayElems(arrCols.head._2, Some(arrCols.head._1))
-            else promoteExplodedElements()
+            val one =
+              if (arrCols.size == 1) promoteArrayElems(arrCols.head._2, Some(arrCols.head._1))
+              else false
+            one || lambdaTargets().map(promoteArrayElems(_)).exists(identity) ||
+              promoteExplodedElements() ||
+              // the lambda may run over a nested array field (`x.variants`):
+              // promote string-typed NESTED fields named like any lambda
+              // target's leaf
+              lambdaTargets().flatMap(t =>
+                (modelSources ++ closureSources).flatMap(k =>
+                  synth.stringFieldPaths(k, t.last).map(k -> _)))
+                .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(emptyStruct)) }
+                .exists(identity)
           case _ => false
         }
       case "FIELD_NOT_FOUND" =>
@@ -716,8 +1008,21 @@ object CorpusExecute {
           case None => false
         }
       case "UDTF_ALIAS_NUMBER_MISMATCH" =>
-        // `LATERAL VIEW EXPLODE(x) t AS k, v` over an array guess: map
-        explodedArrayToMap()
+        // `LATERAL VIEW EXPLODE(x) t AS …` with an alias count that doesn't
+        // match the UDTF's output arity. "Expected N aliases, but got a,b":
+        // N = the columns the CURRENT guess produces, the name list = the
+        // aliases the model wrote. 1-vs-2 ⇒ the array guess is really a map;
+        // 2-vs-1 ⇒ the map guess is really an array.
+        val msg = String.valueOf(e.getMessage)
+        val expected = "Expected (\\d+) aliases".r.findFirstMatchIn(msg)
+          .map(_.group(1).toInt)
+        val got = "but got ([\\w,\\s]+)".r.findFirstMatchIn(msg)
+          .map(_.group(1).split(",").count(_.trim.nonEmpty))
+        (expected, got) match {
+          case (Some(n), Some(g)) if n < g => explodedArrayToMap()
+          case (Some(n), Some(g)) if n > g => explodedMapToArray()
+          case _ => explodedArrayToMap() || explodedMapToArray()
+        }
       case "TABLE_OR_VIEW_NOT_FOUND" =>
         // a raw `db.table` read with no source() call: if the table names a
         // node this run has already materialized, mirror the REAL output
@@ -868,6 +1173,49 @@ object CorpusExecute {
     // source schema — keep re-running until the executed set stops growing
     var passResults = Map.empty[String, Item]
     val lastRunVersion = mutable.Map.empty[String, Long] // at successful materialize
+    def closureKeysOf(name: String): Seq[(String, String)] = {
+      val node = byName(name)
+      node.ownSources ++ closures.getOrElse(name, Nil) ++
+        synth.nodeRawKeys.getOrElse(name, Nil)
+    }
+    def refreshMirror(name: String): Unit = for (db <- synth.mirrorTargets.get(name)) {
+      // a later node reads this one by raw `db.name`: keep the catalog
+      // mirror current with the freshly materialized output
+      try {
+        synth.ensureDb(db)
+        ctx.warehouse.read(name).write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    /** Intra-pass upstream propagation: while negotiating `name`, a schema
+      * patch often lands on a source table feeding an already-materialized
+      * UPSTREAM node, whose warehouse output is then stale — without this,
+      * every such discovery costs a whole extra fixpoint pass (and deep
+      * ref() chains exhaust maxPasses). Re-materialize, in topo order, every
+      * transitive dep whose source closure changed since its last run;
+      * returns true if anything was refreshed. */
+    def refreshUpstreams(name: String): Boolean = {
+      val need = mutable.LinkedHashSet.empty[String]
+      val seen = mutable.Set.empty[String]
+      def visit(n: String): Unit = if (seen.add(n)) byName.get(n).foreach { nd =>
+        nd.deps.filter(known.contains).foreach(visit)
+        val stale = lastRunVersion.get(n).exists(v =>
+          closureKeysOf(n).exists(k => synth.keyVersions.getOrElse(k, 0L) > v))
+        if (stale) need += n
+      }
+      byName.get(name).foreach(_.deps.filter(known.contains).foreach(visit))
+      var any = false
+      for (d <- need) {
+        try {
+          val m = byName(d).model()
+          ctx.warehouse.drop(d) // schema growth must not merge into narrower files
+          new DagRunner(Seq(m)).materialize(ctx, m)
+          lastRunVersion(d) = synth.version
+          refreshMirror(d)
+          any = true
+        } catch { case scala.util.control.NonFatal(_) => () } // next pass retries
+      }
+      any
+    }
     var passes = 0
     var grew = true
     while (grew && passes < maxPasses) {
@@ -877,10 +1225,8 @@ object CorpusExecute {
       val results = mutable.Map.empty[String, Item]
       for (name <- order) {
         val node = byName(name)
-        val closureKeys = node.ownSources ++ closures.getOrElse(name, Nil) ++
-          synth.nodeRawKeys.getOrElse(name, Nil)
         val unchanged = passResults.get(name).exists(_.status == "executed") &&
-          closureKeys.forall(k =>
+          closureKeysOf(name).forall(k =>
             synth.keyVersions.getOrElse(k, 0L) <= lastRunVersion.getOrElse(name, -1L))
         if (unchanged) {
           // already executed and no source in its closure changed since —
@@ -892,17 +1238,10 @@ object CorpusExecute {
             node.deps.filter(d => failed.contains(d) || skipNames.contains(d)).mkString(","))
         } else {
           val item = executeNode(ctx, node, macros, vars, synth, maxIter,
-            closures.getOrElse(name, Nil))
+            closures.getOrElse(name, Nil), refreshUpstreams,
+            depsSql = node.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"))
           if (item.status != "executed") failed += name
-          else lastRunVersion(name) = synth.version
-          if (item.status == "executed") for (db <- synth.mirrorTargets.get(name)) {
-            // a later node reads this one by raw `db.name`: keep the catalog
-            // mirror current with the freshly materialized output
-            try {
-              synth.ensureDb(db)
-              ctx.warehouse.read(name).write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
-            } catch { case scala.util.control.NonFatal(_) => () }
-          }
+          else { lastRunVersion(name) = synth.version; refreshMirror(name) }
           results(name) = item
         }
       }
@@ -922,7 +1261,9 @@ object CorpusExecute {
   private def executeNode(ctx: Ctx, node: Node,
                           macros: Map[String, SqlTemplater.MacroDef],
                           vars: Map[String, String], synth: Synth,
-                          maxIter: Int, closure: Seq[(String, String)]): Item = {
+                          maxIter: Int, closure: Seq[(String, String)],
+                          refreshUpstreams: String => Boolean = _ => false,
+                          depsSql: String = ""): Item = {
     // body for rendering introspection: snapshots negotiate over their block
     val body = if (node.kind == "snapshot")
       "(?s)\\{%-?\\s*snapshot\\s+\\w+\\s*-?%\\}(.*?)\\{%-?\\s*endsnapshot\\s*-?%\\}".r
@@ -944,8 +1285,15 @@ object CorpusExecute {
          e <- aliasEntries(renderedSql, s"$db.$tbl", key))
       aliases.getOrElseUpdate(e._1, e._2)
     rendered.foreach(r => preSeed(r.text, aliases.toMap, synth))
+    // un-renderable Jinja left in the body (e.g. the reference's committed
+    // unclosed-paren source() call) can never parse as SQL for any engine —
+    // classify as a corpus defect rather than burning negotiation iterations
+    if (renderedSql.contains("{{") || renderedSql.contains("{%"))
+      return Item(node.name, node.kind, "corpus-defect:jinja",
+        renderedSql.linesIterator.find(l => l.contains("{{") || l.contains("{%"))
+          .getOrElse("").trim.take(200))
     val pc = PatchCtx(node.name, srcs ++ rawHere, closure.filterNot(srcs.contains),
-      aliases, renderedSql, synth, Some(ctx.warehouse))
+      aliases, renderedSql, synth, Some(ctx.warehouse), depsSql = depsSql)
 
     // fixpoint passes rebuild from scratch: schema growth must never merge
     // into (or SCD2-advance against) last pass's narrower files
@@ -991,21 +1339,27 @@ object CorpusExecute {
                 String.valueOf(pe.getMessage).take(200), it)
           }
           if (!changed) {
-            return Item(node.name, node.kind, s"gap:${condOf(e)}",
+            // no patch applies, but the error may come from a STALE upstream
+            // output (the schema knowledge already exists; the upstream just
+            // hasn't re-materialized with it) — refresh and retry once
+            if (refreshUpstreams(node.name)) { lastMsg = ""; stall = 0 }
+            else return Item(node.name, node.kind, s"gap:${condOf(e)}",
               String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220), it)
+          } else {
+            synth.flushCatalog() // raw catalog tables must reflect new columns
+            // an identical error despite schema changes means the patch landed
+            // outside this model's own scope (a closure source feeding an
+            // upstream ref) — re-materialize the stale upstreams inline and
+            // keep negotiating; only defer to the next fixpoint pass if even
+            // that leaves the error byte-identical
+            val msg = String.valueOf(e.getMessage).take(300)
+            if (msg == lastMsg) stall += 1 else stall = 0
+            if (stall >= 1 && refreshUpstreams(node.name)) { lastMsg = ""; stall = 0 }
+            else if (stall >= 2)
+              return Item(node.name, node.kind, s"gap:deferred:${condOf(e)}",
+                msg.linesIterator.take(2).mkString(" | ").take(220), it)
+            else { lastMsg = msg; lastCond = condOf(e) }
           }
-          synth.flushCatalog() // raw catalog tables must reflect new columns
-          // an identical error despite schema changes means the patch landed
-          // outside this model's own scope (a closure source feeding an
-          // upstream ref) — stop here; the next fixpoint pass re-runs the
-          // upstream with the grown schema and then this model
-          val msg = String.valueOf(e.getMessage).take(300)
-          if (msg == lastMsg) stall += 1 else stall = 0
-          if (stall >= 2)
-            return Item(node.name, node.kind, s"gap:deferred:${condOf(e)}",
-              msg.linesIterator.take(2).mkString(" | ").take(220), it)
-          lastMsg = msg
-          lastCond = condOf(e)
         case scala.util.control.NonFatal(e) =>
           return Item(node.name, node.kind, s"gap:runtime:${e.getClass.getSimpleName}",
             String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220), it)
