@@ -144,13 +144,17 @@ object CorpusExecute {
           else (StructType(withKids.fields :+ StructField(field, StringType)), true)
         case ArrayType(inner, n) =>
           val (ndt, ch) = grow(inner); (ArrayType(ndt, n), ch)
+        case MapType(mk, mv, n) => // struct-valued maps grow too
+          val (nk, chk) = grow(mk); val (nv, chv) = grow(mv)
+          (MapType(nk, nv, n), chk || chv)
         case other => (other, false)
       }
       schemas.get(key) match {
         case Some(st) =>
           val (grown, changed) = st.fields.foldLeft((Vector.empty[StructField], false)) {
             case ((acc, ch), f) =>
-              if (f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType]) {
+              if (f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType]
+                || f.dataType.isInstanceOf[MapType]) {
                 val (ndt, c) = grow(f.dataType)
                 (acc :+ f.copy(dataType = ndt), ch || c)
               } else (acc :+ f, ch)
@@ -181,6 +185,12 @@ object CorpusExecute {
               if (merged == inner) st
               else StructType(st.fields.updated(i,
                 st.fields(i).copy(dataType = ArrayType(merged, n))))
+            case MapType(mk, inner: StructType, n) =>
+              // fields reached through an exploded map's value
+              val merged = mergePath(inner, rest)
+              if (merged == inner) st
+              else StructType(st.fields.updated(i,
+                st.fields(i).copy(dataType = MapType(mk, merged, n))))
             case _ => // promote scalar to struct carrying the needed field
               val dt = rest.foldRight(StringType: DataType)((f, acc) =>
                 StructType(Seq(StructField(f, acc))))
@@ -216,6 +226,11 @@ object CorpusExecute {
               if (merged == inner) st
               else StructType(st.fields.updated(i,
                 st.fields(i).copy(dataType = ArrayType(merged, n))))
+            case MapType(mk, inner: StructType, n) => // path through a map value
+              val merged = retypeIn(inner, path.tail, dt)
+              if (merged == inner) st
+              else StructType(st.fields.updated(i,
+                st.fields(i).copy(dataType = MapType(mk, merged, n))))
             case _ => st
           }
       }
@@ -228,28 +243,36 @@ object CorpusExecute {
           s.fields.find(_.name.equalsIgnoreCase(h)).flatMap(f => walk(f.dataType, rest))
         case (ArrayType(s: StructType, _), h +: rest) =>
           s.fields.find(_.name.equalsIgnoreCase(h)).flatMap(f => walk(f.dataType, rest))
+        case (MapType(_, s: StructType, _), h +: rest) => // map-value fields
+          s.fields.find(_.name.equalsIgnoreCase(h)).flatMap(f => walk(f.dataType, rest))
         case _ => None
       }
       schemas.get(key).flatMap(walk(_, path))
     }
 
     /** Paths (top-level or nested) under `key` whose LAST element equals
-      * `leaf` and whose type is string — promotion targets for field
-      * extraction over a nested scalar. */
-    def stringFieldPaths(key: (String, String), leaf: String): Seq[Seq[String]] = {
-      val out = mutable.ArrayBuffer.empty[Seq[String]]
+      * `leaf`, with their current types — promotion/revert targets when the
+      * analyzer names only a field, not its container. */
+    def fieldPathsByLeaf(key: (String, String), leaf: String): Seq[(Seq[String], DataType)] = {
+      val out = mutable.ArrayBuffer.empty[(Seq[String], DataType)]
       def walk(dt: DataType, prefix: Seq[String]): Unit = dt match {
         case s: StructType => s.fields.foreach { f =>
           val p = prefix :+ f.name
-          if (f.name.equalsIgnoreCase(leaf) && f.dataType == StringType) out += p
+          if (f.name.equalsIgnoreCase(leaf)) out += ((p, f.dataType))
           walk(f.dataType, p)
         }
         case ArrayType(inner, _) => walk(inner, prefix)
+        case MapType(k, v, _) => walk(k, prefix); walk(v, prefix)
         case _ =>
       }
       schemas.get(key).foreach(walk(_, Nil))
       out.toSeq
     }
+
+    /** [[fieldPathsByLeaf]] restricted to string-typed fields — promotion
+      * targets for field extraction over a nested scalar. */
+    def stringFieldPaths(key: (String, String), leaf: String): Seq[Seq[String]] =
+      fieldPathsByLeaf(key, leaf).collect { case (p, StringType) => p }
 
     /** Drop `col` from `key` and tombstone it; true if it was present. */
     def retract(key: (String, String), col: String): Boolean = {
@@ -358,6 +381,7 @@ object CorpusExecute {
       Some(LongType)
     else if (r.contains("NUMERIC") || r.contains("DOUBLE") || r.contains("FLOAT")
       || r.contains("DECIMAL")) Some(DoubleType)
+    else if (r.contains("STRING")) Some(StringType) // last: every guess-revert
     else None
   }
 
@@ -395,7 +419,8 @@ object CorpusExecute {
                             renderedSql: String,
                             synth: Synth,
                             warehouse: Option[Warehouse] = None,
-                            depsSql: String = "") {
+                            depsSql: String = "",
+                            nodeSchemas: Map[String, String] = Map.empty) {
     /** Text searched for `<path> AS name` alias definitions: this model's
       * rendered SQL plus its direct deps' raw SQL — a column this model
       * reads from a ref() is often a SELECT alias defined UPSTREAM
@@ -425,10 +450,17 @@ object CorpusExecute {
         // struct (the mongo payload shape). If no local source takes it,
         // offer it to the ref-subtree closure — the column must flow in
         // through an upstream star-select.
+        lazy val cteNames: Set[String] =
+          ("(?i)(?<![\\w.])([A-Za-z_]\\w*)\\s+AS\\s*\\(").r
+            .findAllMatchIn(pc.renderedSql).map(_.group(1).toLowerCase).toSet
         val candidates: Seq[Seq[String]] = path match {
           case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) => Seq(rest)
           case head +: rest if rest.nonEmpty =>
             if (modelSources.exists(k => synth.has(k, head))) Seq(path)
+            // a CTE or subquery alias can never be a struct column — only
+            // offer the tail (creating a `head` struct column would plant an
+            // impostor that later makes the real relation ambiguous)
+            else if (cteNames.contains(head.toLowerCase)) Seq(rest)
             else Seq(rest, path)
           case _ => Seq(path)
         }
@@ -449,7 +481,46 @@ object CorpusExecute {
           val cp = candidates.headOption.getOrElse(path)
           val tombstoned = (modelSources ++ closureSources)
             .find(k => synth.tombstones.contains((k, cp.head)))
-          tombstoned.exists(k => synth.addPath(k, cp, force = true, by = pc.nodeName)) || {
+          tombstoned.exists(k => synth.addPath(k, cp, force = true, by = pc.nodeName)) ||
+            // `EXPLODE(gradeInfoHistory) AS grade_info … grade_info.utms`:
+            // the exploded array's ELEMENTS must be structs carrying the tail
+            (path.size > 1 && {
+              val re = ("(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s+(?:AS\\s+)?" +
+                java.util.regex.Pattern.quote(path.head) + "(?![\\w])").r
+              val structT = path.tail.foldRight(StringType: DataType)((f, acc) =>
+                StructType(Seq(StructField(f, acc))))
+              re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
+                val tp = t.split("\\.").toSeq
+                val resolved: Seq[((String, String), Seq[String])] = tp match {
+                  case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
+                    Seq(aliases(h.toLowerCase) -> r)
+                  case _ => (modelSources ++ closureSources).map(_ -> tp)
+                }
+                resolved.map { case (k, pp) =>
+                  synth.typeAt(k, pp) match {
+                    case Some(ArrayType(StringType, _)) | Some(StringType) =>
+                      synth.retypePath(k, pp, ArrayType(structT))
+                    case _ => false
+                  }
+                }.exists(identity) ||
+                  retypeLeafFields(tp,
+                    tt => tt == ArrayType(StringType) || tt == StringType,
+                    ArrayType(structT))
+              }.exists(identity)
+            }) ||
+            // `grade_info.utms` where grade_info is a SELECT alias over a
+            // NESTED scalar (`col.gradeInfo AS grade_info`): the underlying
+            // field must become a struct carrying the requested tail
+            (path.size > 1 && aliasDefPaths(path.head).map { ap =>
+              val structFor = path.tail.foldRight(StringType: DataType)((f, acc) =>
+                StructType(Seq(StructField(f, acc))))
+              (modelSources ++ closureSources).flatMap(k =>
+                synth.fieldPathsByLeaf(k, ap.last).collect {
+                  case (fp, StringType) => k -> fp
+                })
+                .map { case (k, fp) => synth.retypePath(k, fp, structFor) }
+                .exists(identity)
+            }.exists(identity)) || {
             val leaf = path.last
             val local = modelSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
             local || closureSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
@@ -499,30 +570,39 @@ object CorpusExecute {
       * explode/index promotion) — never an already-negotiated type. */
     def retypeIdentsIn(sqlExpr: String, dt: DataType): Boolean =
       identPaths(sqlExpr).map { path =>
-        val resolved = path match {
+        def guess(t: Option[DataType]): Boolean =
+          t.contains(StringType) ||
+            (t.contains(ArrayType(StringType)) && !dt.isInstanceOf[ArrayType])
+        path match {
           case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-            synth.typeAt(aliases(head.toLowerCase), rest)
+            guess(synth.typeAt(aliases(head.toLowerCase), rest)) &&
+              synth.retypePath(aliases(head.toLowerCase), rest, dt)
           case _ =>
-            (modelSources ++ closureSources).iterator
-              .flatMap(k => synth.typeAt(k, path)).nextOption()
+            // retype on EVERY owner where the path still carries a default
+            // guess — `(categoryId = category_id)` joins a string-guessed
+            // column on one table against an already-typed twin on another,
+            // and the retype must land on the guessed one specifically
+            val owners = (modelSources ++ closureSources)
+              .filter(k => guess(synth.typeAt(k, path)))
+            if (owners.nonEmpty)
+              owners.map(k => synth.retypePath(k, path, dt)).exists(identity)
+            else {
+              val resolvedAny = (modelSources ++ closureSources)
+                .exists(k => synth.typeAt(k, path).isDefined)
+              // unresolvable here: the ident may be a SELECT alias defined
+              // in an upstream dep (`isTop AS is_top`) — trace the alias
+              // definition only (never the broad fallbacks: the ident could
+              // equally be an unquoted literal the analyzer printed bare)
+              !resolvedAny && path.size == 1 &&
+                aliasDefPaths(path.head).map(retypeByPath(_, dt)).exists(identity)
+            }
         }
-        val isDefaultGuess =
-          resolved.contains(StringType) ||
-            (resolved.contains(ArrayType(StringType)) && !dt.isInstanceOf[ArrayType])
-        if (isDefaultGuess) retypeByPath(path, dt)
-        else
-          // unresolvable here: the ident may be a SELECT alias defined in an
-          // upstream dep (`isTop AS is_top`) — trace the alias definition
-          // only (never the broad fallbacks: the ident could equally be an
-          // unquoted literal the analyzer printed bare)
-          resolved.isEmpty && path.size == 1 &&
-            aliasDefPaths(path.head).map(retypeByPath(_, dt)).exists(identity)
       }.exists(identity)
 
     /** `SELECT key/value FROM (SELECT EXPLODE(x) …)` where x was guessed as
       * an array: the two-column output means x is really a MAP. */
     def explodedArrayToMap(): Boolean = {
-      val targets = "(?i)explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+      val targets = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
         .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
       targets.map { t =>
         val path = t.split("\\.").toSeq
@@ -533,8 +613,8 @@ object CorpusExecute {
         }
         resolved.map { case (k, pp) =>
           synth.typeAt(k, pp) match {
-            case Some(ArrayType(StringType, _)) =>
-              synth.retypePath(k, pp, MapType(StringType, StringType))
+            case Some(ArrayType(elem, _)) =>
+              synth.retypePath(k, pp, MapType(StringType, elem))
             case _ => false
           }
         }.exists(identity)
@@ -544,7 +624,7 @@ object CorpusExecute {
     /** The reverse: an exploded target guessed as a MAP is really an ARRAY
       * (a single explode alias was supplied for a two-column map explode). */
     def explodedMapToArray(): Boolean = {
-      val targets = "(?i)explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+      val targets = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
         .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
       targets.map { t =>
         val path = t.split("\\.").toSeq
@@ -561,6 +641,19 @@ object CorpusExecute {
         }.exists(identity)
       }.exists(identity)
     }
+
+    /** Retype every nested field whose leaf name matches the LAST part of
+      * `path`, when its current type satisfies `from` — the fallback when a
+      * path's head is an explode alias or lambda variable this scope can't
+      * resolve. */
+    def retypeLeafFields(path: Seq[String], from: DataType => Boolean,
+                         to: DataType): Boolean =
+      (modelSources ++ closureSources).flatMap(k =>
+        synth.fieldPathsByLeaf(k, path.last).collect {
+          case (fp, t) if from(t) => k -> fp
+        })
+        .map { case (k, fp) => synth.retypePath(k, fp, to) }
+        .exists(identity)
 
     /** array<string> at `path` → array<struct> (field access through an
       * index / lambda / explode element). */
@@ -580,13 +673,17 @@ object CorpusExecute {
           case Some(StringType) => synth.retypePath(k, path, ArrayType(emptyStruct))
           case _ => false
         }
-      }.exists(identity)
+      }.exists(identity) ||
+        // `posexplode(col.stagedPrices)` — the base is a field of an outer
+        // explode's element, reachable only by leaf name
+        retypeLeafFields(rawPath,
+          t => t == ArrayType(StringType) || t == StringType, ArrayType(emptyStruct))
     }
 
     /** Promote the elements of every EXPLODE target that is currently an
       * array<string> — covers extraction from the default `col` alias. */
     def promoteExplodedElements(): Boolean = {
-      val targets = "(?i)explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+      val targets = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
         .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
       targets.map(t => promoteArrayElems(t.split("\\.").toSeq)).exists(identity)
     }
@@ -602,7 +699,7 @@ object CorpusExecute {
       * current side type is string to a struct — field extraction through
       * the map-explode `key`/`value` aliases. */
     def promoteMapSide(valueSide: Boolean): Boolean = {
-      val targets = "(?i)explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+      val targets = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
         .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
       targets.map { t =>
         val path = t.split("\\.").toSeq
@@ -688,7 +785,82 @@ object CorpusExecute {
       case c if c.startsWith("UNRESOLVED_COLUMN") =>
         p.get("objectName").exists { n =>
           val path = parts(n)
-          attribute(path) ||
+          // `value.id` — a field of an exploded MAP's value: the map's value
+          // side must be a struct carrying it (handle BEFORE attribute, which
+          // would plant a top-level `value` impostor)
+          val mapValueField = path.size > 1 &&
+            Set("key", "value").contains(path.head.toLowerCase) && {
+              val side = path.head.equalsIgnoreCase("value")
+              promoteMapSide(valueSide = side) |
+                (modelSources ++ closureSources)
+                  .map(synth.addFieldToAllStructs(_, path.last)).exists(identity)
+            }
+          // a model can hold BOTH an array explode (default alias `col`) and
+          // a map explode (defaults `key`/`value`): flips must be selective
+          // or they ping-pong — bind each default-alias reference to the
+          // NEAREST PRECEDING explode call in the text (its lexical scope)
+          def nearestExplodeTargetsBefore(refRegex: String): Seq[Seq[String]] = {
+            val ex = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+              .findAllMatchIn(pc.renderedSql).map(m => m.start -> m.group(1)).toSeq
+            refRegex.r.findAllMatchIn(pc.renderedSql).map(_.start).toSeq.flatMap { pos =>
+              ex.filter(_._1 < pos).sortBy(-_._1).headOption
+                .map(_._2.split("\\.").toSeq)
+            }.distinct
+          }
+          def retypeTarget(tp: Seq[String], f: DataType => Option[DataType]): Boolean = {
+            val resolved: Seq[((String, String), Seq[String])] = tp match {
+              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
+                Seq(aliases(h.toLowerCase) -> r)
+              case _ => (modelSources ++ closureSources).map(_ -> tp)
+            }
+            resolved.map { case (k, pp) =>
+              synth.typeAt(k, pp).flatMap(f).exists(synth.retypePath(k, pp, _))
+            }.exists(identity)
+          }
+          def withField(dt: DataType, field: String): StructType = dt match {
+            case s: StructType if s.fieldNames.exists(_.equalsIgnoreCase(field)) => s
+            case s: StructType => StructType(s.fields :+ StructField(field, StringType))
+            case _ => StructType(Seq(StructField("_graft_stub", StringType),
+              StructField(field, StringType)))
+          }
+          val colField = path.size > 1 && path.head.equalsIgnoreCase("col") && {
+            // `col.type`: an explode target must be an ARRAY of a struct
+            // carrying `type` — a map guess there was wrong. Try the
+            // lexically nearest preceding explode first; with nested
+            // subqueries the producer can sit BELOW the reference, so fall
+            // back to every explode target in the model.
+            val fix: DataType => Option[DataType] = {
+              case MapType(_, v, _) => Some(ArrayType(withField(v, path.last)))
+              case ArrayType(StringType, _) | StringType =>
+                Some(ArrayType(withField(emptyStruct, path.last)))
+              case ArrayType(s: StructType, _)
+                if !s.fieldNames.exists(_.equalsIgnoreCase(path.last)) =>
+                Some(ArrayType(withField(s, path.last)))
+              case _ => None
+            }
+            val near = nearestExplodeTargetsBefore("(?i)(?<![\\w.`])col\\s*\\.")
+              .map(retypeTarget(_, fix)).exists(identity)
+            near || {
+              val all = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+                .findAllMatchIn(pc.renderedSql).map(_.group(1).split("\\.").toSeq)
+                .toSeq.distinct
+              all.map(retypeTarget(_, fix)).exists(identity)
+            }
+          }
+          val keyValueFlip =
+            Set("key", "value").contains(path.last.toLowerCase) && path.size == 1 && {
+              // bare `key`/`value`: the nearest preceding explode must be a MAP
+              nearestExplodeTargetsBefore("(?i)(?<![\\w.`])" + path.last.toLowerCase + "(?![\\w])")
+                .map { tp =>
+                  retypeTarget(tp, {
+                    case ArrayType(elem, _) => Some(MapType(StringType, elem))
+                    case StringType => Some(MapType(StringType, StringType))
+                    case _ => None
+                  })
+                }.exists(identity)
+            }
+          mapValueField || colField || keyValueFlip ||
+            attribute(path) ||
             // `key`/`value` over an exploded column we guessed as array —
             // the real type is a map
             (Set("key", "value").contains(path.last.toLowerCase) && explodedArrayToMap())
@@ -716,6 +888,10 @@ object CorpusExecute {
           val unpinned = holders.filterNot(k => synth.pinned.contains((k, col)))
           val toRetract =
             if (own.nonEmpty) foreignPinned ++ unpinned          // keep own claims
+            // a SINGLE synth holder ambiguous against a non-synth relation
+            // (a CTE of literals, a subquery alias): the synth plant is the
+            // impostor — the reference resolves to the CTE column
+            else if (holders.size == 1) holders
             else if (unpinned.nonEmpty && unpinned.size < holders.size)
               unpinned                                           // keep pinned ones
             else if (unpinned.nonEmpty) unpinned.drop(1)         // keep the first
@@ -740,8 +916,10 @@ object CorpusExecute {
           case Some(path) if path.size > 1 && aliases.contains(path.head.toLowerCase) =>
             // `alias.x` ambiguous because x ALSO exists as a struct column
             // elsewhere: the alias interpretation is the intended one —
-            // retract the struct-column impostors (named like the alias)
-            retractCol(path.head) || retractCol(path.last)
+            // retract the struct-column impostors (named like the alias).
+            // For `i.history.status` the DUPLICATED name is the middle
+            // component — try every component after the alias head too.
+            retractCol(path.head) || path.tail.map(retractCol).exists(identity)
           case Some(path) if path.size > 1 =>
             // qualifier is no single-target alias: it may be a table name
             // shared by several sources (schema1.t / schema2.t) or a
@@ -761,11 +939,57 @@ object CorpusExecute {
         // ARRAY<STRING>), the OTHER side's type is what the guess should be.
         def isGuess(t: String) = { val u = t.toUpperCase; u == "\"STRING\"" ||
           u == "STRING" || u.replaceAll("\"", "") == "ARRAY<STRING>" }
+        // over-promotion revert: `(payload.signInType = phone)` comparing a
+        // STRUCT against a string means an earlier broad-brush promotion
+        // turned a real string column into our stub struct — only OUR
+        // artifacts are stub-only structs, so reverting them is always safe
+        def stubRevert(): Boolean = {
+          val sides = Seq(p.get("left"), p.get("right")).flatten.map(_.toUpperCase)
+          sides.exists(_.contains("STRUCT")) && sides.exists(_.contains("STRING")) &&
+            p.get("sqlExpr").exists { expr =>
+              identPaths(expr).map { path =>
+                val owners = (modelSources ++ closureSources)
+                  .filter(k => synth.typeAt(k, path).contains(emptyStruct))
+                owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
+              }.exists(identity)
+            }
+        }
+        /** `(payload.signInType = phone)` with ARRAY<STRING> vs STRING: an
+          * earlier broad array promotion hit a real string column — the
+          * array-guess side reverts to plain STRING. */
+        def arrayGuessRevert(): Boolean = {
+          val sides = Seq(p.get("left"), p.get("right")).flatten
+            .map(_.toUpperCase.replaceAll("\"", ""))
+          sides.contains("ARRAY<STRING>") && sides.exists(s => s == "STRING") &&
+            p.get("sqlExpr").exists { expr =>
+              identPaths(expr).map { path =>
+                val owners = (modelSources ++ closureSources)
+                  .filter(k => synth.typeAt(k, path).contains(ArrayType(StringType)))
+                owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
+              }.exists(identity)
+            }
+        }
+        /** `(namedlambdavariable() = 1)`: the lambda's element type is wrong
+          * — retype every higher-order target's array<string> elements to
+          * the other operand's type. */
+        def lambdaElemRetype(): Boolean =
+          p.get("sqlExpr").exists(_.contains("namedlambdavariable()")) && {
+            val other = Seq(p.get("left"), p.get("right")).flatten
+              .map(_.toUpperCase.replaceAll("\"", "")).filterNot(_ == "STRING")
+            other.headOption.flatMap(typeFor).exists { dt =>
+              lambdaTargets().map { t =>
+                val owners = (modelSources ++ closureSources)
+                  .filter(k => synth.typeAt(k, t).contains(ArrayType(StringType)))
+                owners.map(k => synth.retypePath(k, t, ArrayType(dt))).exists(identity)
+              }.exists(identity)
+            }
+          }
         val fromSides = (p.get("left"), p.get("right")) match {
           case (Some(l), Some(r)) if isGuess(l) && !isGuess(r) => typeFor(r)
           case (Some(l), Some(r)) if isGuess(r) && !isGuess(l) => typeFor(l)
           case _ => None
         }
+        if (stubRevert() || arrayGuessRevert() || lambdaElemRetype()) return true
         val want: Option[DataType] =
           fromSides
             .orElse(p.get("requiredType").flatMap(typeFor))
@@ -773,7 +997,18 @@ object CorpusExecute {
             .orElse(p.get("sqlExpr").flatMap(typeFromExprShape))
         want.exists { dt =>
           p.get("sqlExpr").exists { expr =>
-            if (dt == BooleanType) {
+            // `categories[0] = category_id`: the INDEXED ident's ELEMENT type
+            // is what must change, not the array itself
+            val indexed = "([A-Za-z_][\\w.]*)\\s*\\[\\s*\\d+\\s*\\]".r
+              .findAllMatchIn(stripDq(expr)).map(_.group(1)).toSeq.distinct
+            val indexedFixed = indexed.map { b =>
+              val path = b.split("\\.").toSeq
+              val owners = (modelSources ++ closureSources)
+                .filter(k => synth.typeAt(k, path).contains(ArrayType(StringType)))
+              owners.map(k => synth.retypePath(k, path, ArrayType(dt))).exists(identity)
+            }.exists(identity)
+            if (indexedFixed) true
+            else if (dt == BooleanType) {
               // only BARE operands of AND/OR/NOT are boolean-valued — a
               // whole-expr retype would corrupt string columns that appear
               // inside already-consistent comparisons (`type = 'preview'`)
@@ -845,7 +1080,30 @@ object CorpusExecute {
             "^([A-Za-z_][\\w.]*)\\[".r.findFirstMatchIn(stripDq(sqlExpr)).map(_.group(1))
           else None
         if (ordinalMapBase.isDefined) {
-          retypeByPath(ordinalMapBase.get.split("\\.").toSeq, MapType(StringType, StringType))
+          val path = ordinalMapBase.get.split("\\.").toSeq
+          retypeByPath(path, MapType(StringType, StringType)) ||
+            // the base may be a nested array-guessed field (`payload.parsedUtm`)
+            retypeLeafFields(path, t => t.isInstanceOf[ArrayType] || t == StringType,
+              MapType(StringType, StringType))
+        } else if (required.contains("STRING") && !required.contains("ARRAY")
+          && !required.contains("MAP") && !required.contains("STRUCT")) {
+          // over-promotion revert: `instr(payload.pageUrl, …)` needs STRING
+          // but an earlier broad rule turned the column into ARRAY<STRING>
+          // (or a stub struct) — set the default-guess artifacts back
+          val direct = stripDq(inputSql).trim
+          val paths =
+            if (direct.matches("[A-Za-z_][\\w.]*")) Seq(direct.split("\\.").toSeq)
+            else identPaths(inputSql)
+          paths.map { path =>
+            val owners = (modelSources ++ closureSources).filter { k =>
+              val t = synth.typeAt(k, path)
+              t.contains(ArrayType(StringType)) || t.contains(emptyStruct)
+            }
+            if (owners.nonEmpty)
+              owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
+            else retypeLeafFields(path,
+              t => t == ArrayType(StringType) || t == emptyStruct, StringType)
+          }.exists(identity)
         } else if (required.contains("ARRAY") && nlvField.isDefined) {
           val leaf = nlvField.get
           (modelSources ++ closureSources).flatMap(k =>
@@ -887,17 +1145,65 @@ object CorpusExecute {
               case _ => (modelSources ++ closureSources).iterator
                 .flatMap(k => synth.typeAt(k, path)).nextOption()
             }
-            cur.contains(StringType) && retypeByPath(path, ArrayType(StringType))
+            (cur.contains(StringType) && retypeByPath(path, ArrayType(StringType))) ||
+              // `element_at(teamHistory, <int>)` over a map or stub-struct
+              // guess: really an array (of the value/struct type)
+              cur.collect {
+                case MapType(_, v, _) =>
+                  val elem = if (v == StringType) emptyStruct else v
+                  retypeByPath(path, ArrayType(elem))
+                case s: StructType => retypeByPath(path, ArrayType(s))
+              }.getOrElse(false) ||
+              // `explode(order_ids)` where order_ids is a SELECT alias
+              // (`x.orderIds AS order_ids`) or a field of an exploded
+              // element (`explode(col.phones)`): retypeByPath's alias-def
+              // and leaf rungs reach the underlying column; then the plain
+              // leaf fallback
+              (cur.isEmpty && (retypeByPath(path, ArrayType(StringType)) ||
+                retypeLeafFields(path, _ == StringType, ArrayType(StringType))))
           }.exists(identity)
         } else {
-          typeFor(required).exists(dt => retypeIdentsIn(inputSql, dt) ||
-            retypeIdentsIn(sqlExpr, dt))
+          typeFor(required).exists { dt =>
+            retypeIdentsIn(inputSql, dt) || retypeIdentsIn(sqlExpr, dt) || {
+              // `IF(col.isPrime, …)` — the ident is a field of an exploded
+              // element reachable only by leaf name
+              val direct = stripDq(inputSql).trim
+              direct.matches("[A-Za-z_][\\w.]*") &&
+                retypeLeafFields(direct.split("\\.").toSeq, _ == StringType, dt)
+            }
+          }
         }
       case "INVALID_EXTRACT_FIELD_TYPE" =>
         // "Field name should be a non-null string literal, but it's 0":
         // `base[0]` ordinal extraction over something promoted to STRUCT —
         // the base is really an ARRAY of that struct (and a map guess's
-        // ordinal access means an array of its value type)
+        // ordinal access means an array of its value type). When the
+        // non-literal is an IDENT ("…but it's \"currency\""), the access is
+        // dynamic-key: the struct guess is really a MAP.
+        val dynKey = "but it's \"?([A-Za-z_]\\w*)\"?".r
+          .findFirstMatchIn(String.valueOf(e.getMessage)).map(_.group(1))
+          .filter(_.matches("[A-Za-z_]\\w*"))
+        val dynFixed = dynKey.exists { keyName =>
+          val dynBases = ("([A-Za-z_][\\w.]*)\\s*\\[\\s*`?" +
+            java.util.regex.Pattern.quote(keyName) + "\\b").r
+            .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+          dynBases.map { b =>
+            val path = b.split("\\.").toSeq
+            val resolved: Seq[((String, String), Seq[String])] = path match {
+              case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+                Seq(aliases(head.toLowerCase) -> rest)
+              case _ => (modelSources ++ closureSources).map(_ -> path)
+            }
+            resolved.map { case (k, pp) =>
+              synth.typeAt(k, pp) match {
+                case Some(_: StructType) | Some(StringType) =>
+                  synth.retypePath(k, pp, MapType(StringType, StringType))
+                case _ => false
+              }
+            }.exists(identity)
+          }.exists(identity)
+        }
+        if (dynFixed) return true
         val bases = "([A-Za-z_][\\w.]*)\\s*\\[\\s*\\d+\\s*\\]".r
           .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
         bases.map { b =>
@@ -1016,12 +1322,54 @@ object CorpusExecute {
         val msg = String.valueOf(e.getMessage)
         val expected = "Expected (\\d+) aliases".r.findFirstMatchIn(msg)
           .map(_.group(1).toInt)
-        val got = "but got ([\\w,\\s]+)".r.findFirstMatchIn(msg)
-          .map(_.group(1).split(",").count(_.trim.nonEmpty))
-        (expected, got) match {
-          case (Some(n), Some(g)) if n < g => explodedArrayToMap()
-          case (Some(n), Some(g)) if n > g => explodedMapToArray()
+        val gotNames = "but got ([\\w,\\s]+)".r.findFirstMatchIn(msg)
+          .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        // SELECTIVE flip: the alias list in the message identifies WHICH
+        // explode call is wrong — a model holding both an array explode and
+        // a map explode would ping-pong under a global flip
+        def flipNamed(toMap: Boolean): Boolean = gotNames.nonEmpty && {
+          val tgtRe = ("(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s*" +
+            "(?:[A-Za-z_]\\w*\\s+)?AS\\s+" +
+            gotNames.map(java.util.regex.Pattern.quote).mkString("\\s*,\\s*")).r
+          tgtRe.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
+            val tp = t.split("\\.").toSeq
+            val resolved: Seq[((String, String), Seq[String])] = tp match {
+              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
+                Seq(aliases(h.toLowerCase) -> r)
+              case _ => (modelSources ++ closureSources).map(_ -> tp)
+            }
+            resolved.map { case (k, pp) =>
+              (synth.typeAt(k, pp), toMap) match {
+                case (Some(ArrayType(elem, _)), true) =>
+                  synth.retypePath(k, pp, MapType(StringType, elem))
+                case (Some(StringType), true) =>
+                  synth.retypePath(k, pp, MapType(StringType, StringType))
+                case (Some(MapType(_, v, _)), false) =>
+                  synth.retypePath(k, pp, ArrayType(v))
+                case (Some(StringType), false) =>
+                  synth.retypePath(k, pp, ArrayType(StringType))
+                case _ => false
+              }
+            }.exists(identity)
+          }.exists(identity)
+        }
+        (expected, gotNames.size) match {
+          case (Some(n), g) if g > 0 && n < g => flipNamed(toMap = true) || explodedArrayToMap()
+          case (Some(n), g) if g > 0 && n > g => flipNamed(toMap = false) || explodedMapToArray()
           case _ => explodedArrayToMap() || explodedMapToArray()
+        }
+      case "MISSING_AGGREGATION" =>
+        // "the non-aggregating expression X is based on columns not in the
+        // GROUP BY": in the reference X resolves to a grouped alias/column;
+        // here an over-eager unqualified offer planted X on a relation where
+        // it shadows that alias — retract the unpinned plants
+        p.get("expression").orElse(p.get("sqlExpr")).map(stripDq) match {
+          case Some(name) if name.matches("[A-Za-z_]\\w*") =>
+            val holders = (modelSources ++ closureSources).filter(k => synth.has(k, name))
+            val unpinned = holders.filterNot(k => synth.pinned.contains((k, name)))
+            unpinned.map(synth.retract(_, name)).exists(identity)
+          case _ => false
         }
       case "TABLE_OR_VIEW_NOT_FOUND" =>
         // a raw `db.table` read with no source() call: if the table names a
@@ -1035,7 +1383,11 @@ object CorpusExecute {
           case Some(Seq(db, tbl)) =>
             val key = (db, tbl)
             val wh = pc.warehouse
-            if (wh.exists(_.tableExists(tbl))) {
+            // mirror ONLY when the db matches the node's configured schema:
+            // `platform.fact_table_update` (an ops log) must not be shadowed
+            // by the UNRELATED model fact_table_update (schema 'mart')
+            val schemaMatches = pc.nodeSchemas.get(tbl).forall(_.equalsIgnoreCase(db))
+            if (schemaMatches && wh.exists(_.tableExists(tbl))) {
               synth.ensureDb(db)
               wh.get.read(tbl).write.mode("overwrite").saveAsTable(s"`$db`.`$tbl`")
               val fresh = !synth.mirrorTargets.contains(tbl)
@@ -1087,7 +1439,7 @@ object CorpusExecute {
           snapshotsDir: Path, seedsDir: Path,
           vars: Map[String, String] = CorpusSweep.defaultVars ++ Map(
             "run_ts" -> "2024-01-31 00:00:00", "run_dow" -> "1"),
-          maxIter: Int = 200, maxPasses: Int = 6,
+          maxIter: Int = 200, maxPasses: Int = 8,
           only: Option[Set[String]] = None): Report = {
     val macros = CorpusSweep.loadMacros(macrosDir)
     val synth = new Synth(spark)
@@ -1139,14 +1491,26 @@ object CorpusExecute {
       case None => allNodes
     }
     val names0 = nodes0.map(_.name).toSet
+    // each node's configured schema (the `schema=`/`target_schema=` of its
+    // config block) — raw `db.tbl` reads only bind to a node when the db
+    // matches, otherwise `platform.fact_table_update` (an ops log) would
+    // alias the unrelated model fact_table_update (schema 'mart')
+    val nodeSchemas: Map[String, String] = nodes0.flatMap { n =>
+      "(?i)schema\\s*=\\s*['\"](\\w+)['\"]".r.findFirstMatchIn(n.rawSql)
+        .map(m => n.name -> m.group(1))
+    }.toMap
     // models also read other nodes by raw `schema.node_name` (no ref()):
     // make those real dependency edges so producers materialize first and
     // the TABLE_OR_VIEW patch can mirror their REAL output into the catalog
-    val rawRefRe = "(?<![\\w.`'\"])[A-Za-z_]\\w*\\.([A-Za-z_]\\w*)".r
+    val rawRefRe = "(?<![\\w.`'\"])([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)".r
     val nodes = nodes0.map { n =>
-      val rawDeps = rawRefRe.findAllMatchIn(n.rawSql).map(_.group(1))
-        .filter(t => names0.contains(t) && t != n.name).toSeq.distinct
-        .filterNot(n.deps.contains)
+      val rawDeps = rawRefRe.findAllMatchIn(n.rawSql)
+        .flatMap { m =>
+          val (db, t) = (m.group(1), m.group(2))
+          if (names0.contains(t) && t != n.name &&
+            nodeSchemas.get(t).forall(_.equalsIgnoreCase(db))) Some(t) else None
+        }
+        .toSeq.distinct.filterNot(n.deps.contains)
       if (rawDeps.isEmpty) n else n.copy(deps = n.deps ++ rawDeps)
     }
     val byName = nodes.map(n => n.name -> n).toMap
@@ -1239,7 +1603,8 @@ object CorpusExecute {
         } else {
           val item = executeNode(ctx, node, macros, vars, synth, maxIter,
             closures.getOrElse(name, Nil), refreshUpstreams,
-            depsSql = node.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"))
+            depsSql = node.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"),
+            nodeSchemas = nodeSchemas)
           if (item.status != "executed") failed += name
           else { lastRunVersion(name) = synth.version; refreshMirror(name) }
           results(name) = item
@@ -1263,7 +1628,8 @@ object CorpusExecute {
                           vars: Map[String, String], synth: Synth,
                           maxIter: Int, closure: Seq[(String, String)],
                           refreshUpstreams: String => Boolean = _ => false,
-                          depsSql: String = ""): Item = {
+                          depsSql: String = "",
+                          nodeSchemas: Map[String, String] = Map.empty): Item = {
     // body for rendering introspection: snapshots negotiate over their block
     val body = if (node.kind == "snapshot")
       "(?s)\\{%-?\\s*snapshot\\s+\\w+\\s*-?%\\}(.*?)\\{%-?\\s*endsnapshot\\s*-?%\\}".r
@@ -1293,7 +1659,8 @@ object CorpusExecute {
         renderedSql.linesIterator.find(l => l.contains("{{") || l.contains("{%"))
           .getOrElse("").trim.take(200))
     val pc = PatchCtx(node.name, srcs ++ rawHere, closure.filterNot(srcs.contains),
-      aliases, renderedSql, synth, Some(ctx.warehouse), depsSql = depsSql)
+      aliases, renderedSql, synth, Some(ctx.warehouse), depsSql = depsSql,
+      nodeSchemas = nodeSchemas)
 
     // fixpoint passes rebuild from scratch: schema growth must never merge
     // into (or SCD2-advance against) last pass's narrower files

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Paths
+
+import graft.runtime.CorpusExecute
+
+/** Spec gate for the corpus-wide EXECUTE phase (runtime/CorpusExecute):
+  * every reference model + snapshot is materialized against sources
+  * synthesized by error-driven schema negotiation. The full 477-node sweep
+  * is the CorpusExec report main (too slow for the suite); this gate runs a
+  * REPRESENTATIVE dependency subtree end-to-end — the corpus's most-blocked
+  * chain (scd2_mongo_order → fact_order, 27 transitive dependents in the
+  * full graph) plus dim_store's cross-model alias-retype shape
+  * (`isTop AS is_top` defined in the upstream `store` model, consumed as a
+  * boolean downstream) — and pins the negotiation behaviors that made them
+  * executable, so a patcher regression fails the suite rather than silently
+  * shrinking the full report's executed count.
+  *
+  * Reference files exercised (read at test runtime, never vendored):
+  *   - models/spark/mart/dim_store.sql (CASE WHEN is_top…: boolean retype
+  *     through an upstream SELECT alias)
+  *   - models/spark/b2b_mart/scd2/scd2_mongo_order.sql + its snapshot
+  *     (FIELD_NOT_FOUND growth + intra-pass upstream refresh)
+  *   - models/spark/b2b_mart/fact/fact_order.sql (the most-referenced model)
+  *   - key_order_status/key_order_substatus (`explode(values)` — a
+  *     keyword-named column must survive ident filtering)
+  */
+class CorpusExecuteSpec extends SparkSpec {
+
+  test("EXECUTE phase: the fact_order chain + dim_store subtree fully executes") {
+    val report = CorpusExecute.run(spark,
+      Paths.get("/root/reference/models"), Paths.get("/root/reference/macros"),
+      Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds"),
+      only = Some(Set("dim_store", "scd2_mongo_order", "fact_order")))
+
+    val byStatus = report.items.groupBy(_.status.split(":", 2).head)
+    val gaps = report.items.filter(_.status.startsWith("gap"))
+    assert(gaps.isEmpty, s"negotiation gaps: ${gaps.map(i => s"${i.name}=${i.status}").mkString(", ")}")
+
+    // the known corpus defect (committed merge-conflict marker) is the ONLY
+    // non-executed node in this subtree
+    val nonExec = report.items.filterNot(_.status == "executed").map(_.name)
+    assert(nonExec == Seq("sherlock_kaspi_products"),
+      s"unexpected non-executed nodes: $nonExec")
+    assert(byStatus("executed").size >= 8, s"expected >=8 executed, got $byStatus")
+
+    // the incremental second run (insert_overwrite / SCD2-advance over
+    // {{ this }}) must execute too, not just the first materialization
+    assert(report.incrementalExecuted.nonEmpty,
+      "no incremental second-run executed in the subtree")
+
+    // negotiation must converge INSIDE the pass budget, not exhaust it
+    assert(report.passes < 6, s"fixpoint needed ${report.passes} passes — intra-pass refresh regressed")
+  }
+}
