@@ -205,7 +205,11 @@ object CorpusExecute {
         case Some(st) =>
           val updated = retypeIn(st, path, dt)
           if (updated == st) false
-          else { schemas(key) = updated; version += 1; keyVersions(key) = version; markDirty(key); true }
+          else {
+            if (CorpusExecute.debug)
+              println(s"[synth] retype ${key._1}.${key._2} ${path.mkString(".")} -> ${dt.simpleString.take(60)}")
+            schemas(key) = updated; version += 1; keyVersions(key) = version; markDirty(key); true
+          }
         case None => false
       }
 
@@ -940,31 +944,32 @@ object CorpusExecute {
         def isGuess(t: String) = { val u = t.toUpperCase; u == "\"STRING\"" ||
           u == "STRING" || u.replaceAll("\"", "") == "ARRAY<STRING>" }
         // over-promotion revert: `(payload.signInType = phone)` comparing a
-        // STRUCT against a string means an earlier broad-brush promotion
-        // turned a real string column into our stub struct — only OUR
-        // artifacts are stub-only structs, so reverting them is always safe
+        // STRUCT against a string can only mean an earlier broad-brush
+        // promotion hit a real string column — a struct=string comparison
+        // could never analyze in the reference's own SQL either, so ANY
+        // struct operand here is our artifact and reverting it is safe
         def stubRevert(): Boolean = {
           val sides = Seq(p.get("left"), p.get("right")).flatten.map(_.toUpperCase)
           sides.exists(_.contains("STRUCT")) && sides.exists(_.contains("STRING")) &&
             p.get("sqlExpr").exists { expr =>
               identPaths(expr).map { path =>
                 val owners = (modelSources ++ closureSources)
-                  .filter(k => synth.typeAt(k, path).contains(emptyStruct))
+                  .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[StructType]))
                 owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
               }.exists(identity)
             }
         }
-        /** `(payload.signInType = phone)` with ARRAY<STRING> vs STRING: an
-          * earlier broad array promotion hit a real string column — the
-          * array-guess side reverts to plain STRING. */
+        /** `(payload.signInType = phone)` with ARRAY<…> vs STRING: same
+          * argument — an array=string comparison proves the array guess
+          * wrong; revert the array operand to plain STRING. */
         def arrayGuessRevert(): Boolean = {
           val sides = Seq(p.get("left"), p.get("right")).flatten
             .map(_.toUpperCase.replaceAll("\"", ""))
-          sides.contains("ARRAY<STRING>") && sides.exists(s => s == "STRING") &&
+          sides.exists(_.startsWith("ARRAY")) && sides.exists(s => s == "STRING") &&
             p.get("sqlExpr").exists { expr =>
               identPaths(expr).map { path =>
                 val owners = (modelSources ++ closureSources)
-                  .filter(k => synth.typeAt(k, path).contains(ArrayType(StringType)))
+                  .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[ArrayType]))
                 owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
               }.exists(identity)
             }
