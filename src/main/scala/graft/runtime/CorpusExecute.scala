@@ -646,6 +646,25 @@ object CorpusExecute {
       }.exists(identity)
     }
 
+    /** A container wrongly promoted to array<struct> makes EVERY field under
+      * it read as array<…> (`payload.signInType` → ARRAY<STRING>): when the
+      * analyzer proves a FIELD should be scalar, de-arrayify the PARENT. */
+    def deArrayifyParent(path: Seq[String]): Boolean =
+      path.size > 1 && {
+        val parent = path.init
+        val resolved: Seq[((String, String), Seq[String])] = parent match {
+          case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
+            Seq(aliases(h.toLowerCase) -> r)
+          case _ => (modelSources ++ closureSources).map(_ -> parent)
+        }
+        resolved.map { case (k, pp) =>
+          synth.typeAt(k, pp) match {
+            case Some(ArrayType(s: StructType, _)) => synth.retypePath(k, pp, s)
+            case _ => false
+          }
+        }.exists(identity)
+      }
+
     /** Retype every nested field whose leaf name matches the LAST part of
       * `path`, when its current type satisfies `from` — the fallback when a
       * path's head is an explode alias or lambda variable this scope can't
@@ -853,15 +872,23 @@ object CorpusExecute {
           }
           val keyValueFlip =
             Set("key", "value").contains(path.last.toLowerCase) && path.size == 1 && {
-              // bare `key`/`value`: the nearest preceding explode must be a MAP
-              nearestExplodeTargetsBefore("(?i)(?<![\\w.`])" + path.last.toLowerCase + "(?![\\w])")
-                .map { tp =>
-                  retypeTarget(tp, {
-                    case ArrayType(elem, _) => Some(MapType(StringType, elem))
-                    case StringType => Some(MapType(StringType, StringType))
-                    case _ => None
-                  })
-                }.exists(identity)
+              // bare `key`/`value`: an explode target must be a MAP — try
+              // the lexically nearest first, then every target (nested
+              // subqueries put the producer BELOW the reference)
+              val fix: DataType => Option[DataType] = {
+                case ArrayType(elem, _) => Some(MapType(StringType, elem))
+                case StringType => Some(MapType(StringType, StringType))
+                case _ => None
+              }
+              val near = nearestExplodeTargetsBefore(
+                "(?i)(?<![\\w.`])" + path.last.toLowerCase + "(?![\\w])")
+                .map(retypeTarget(_, fix)).exists(identity)
+              near || {
+                val all = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+                  .findAllMatchIn(pc.renderedSql).map(_.group(1).split("\\.").toSeq)
+                  .toSeq.distinct
+                all.map(retypeTarget(_, fix)).exists(identity)
+              }
             }
           mapValueField || colField || keyValueFlip ||
             attribute(path) ||
@@ -970,7 +997,10 @@ object CorpusExecute {
               identPaths(expr).map { path =>
                 val owners = (modelSources ++ closureSources)
                   .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[ArrayType]))
-                owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
+                owners.map(k => synth.retypePath(k, path, StringType)).exists(identity) ||
+                  // the array-ness may come from a wrongly-promoted PARENT
+                  // container (payload: array<struct> → every field vectorizes)
+                  deArrayifyParent(path)
               }.exists(identity)
             }
         }
@@ -1052,11 +1082,19 @@ object CorpusExecute {
       case "DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION" | "DATATYPE_MISMATCH.CAST_WITH_SUGGESTION" =>
         // CAST(x AS T) where x carries a default guess (STRING / ARRAY<STRING>
         // from an over-eager promotion): x's real type is castable to T —
-        // set it to T directly (0-row plans only need analyzability)
+        // set it to T directly (0-row plans only need analyzability). An
+        // ARRAY<x>→scalar cast (`CAST(payload.isSearchByImage AS BOOLEAN)`
+        // reading ARRAY<BOOLEAN>) means the field's PARENT container was
+        // wrongly array-promoted.
         (p.get("sqlExpr").map(stripDq), p.get("srcType"), p.get("targetType")) match {
           case (Some(expr), Some(src), Some(tgt))
             if src.toUpperCase.replaceAll("\"", "").matches("STRING|ARRAY<STRING>") =>
-            typeFor(tgt).exists(dt => identPaths(expr).map(retypeByPath(_, dt)).exists(identity))
+            typeFor(tgt).exists(dt => identPaths(expr).map(retypeByPath(_, dt)).exists(identity)) ||
+              identPaths(expr).map(deArrayifyParent).exists(identity)
+          case (Some(expr), Some(src), Some(tgt))
+            if src.toUpperCase.startsWith("\"ARRAY") || src.toUpperCase.startsWith("ARRAY") =>
+            typeFor(tgt).exists(dt => !dt.isInstanceOf[ArrayType]) &&
+              identPaths(expr).map(deArrayifyParent).exists(identity)
           case _ => false
         }
       case "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE" =>
@@ -1106,7 +1144,7 @@ object CorpusExecute {
             }
             if (owners.nonEmpty)
               owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
-            else retypeLeafFields(path,
+            else deArrayifyParent(path) || retypeLeafFields(path,
               t => t == ArrayType(StringType) || t == emptyStruct, StringType)
           }.exists(identity)
         } else if (required.contains("ARRAY") && nlvField.isDefined) {
@@ -1116,10 +1154,19 @@ object CorpusExecute {
             .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(emptyStruct)) }
             .exists(identity)
         } else if (required.contains("ARRAY") && wantsEntries) {
+          // retype ONE table at a time: `map_from_entries(payload)` must not
+          // blanket-retype the `payload` column of every co-sourced table —
+          // if the first pick is wrong the error repeats and the next holder
+          // is tried, while consumer-side reverts repair the mistaken one
           val entries = ArrayType(StructType(Seq(
             StructField("key", StringType), StructField("value", StringType))))
-          identPaths(inputSql).map(retypeByPath(_, entries)).exists(identity) ||
-            identPaths(sqlExpr).map(retypeByPath(_, entries)).exists(identity)
+          val paths = (identPaths(inputSql) ++ identPaths(sqlExpr)).distinct
+          paths.iterator.flatMap { path =>
+            (modelSources ++ closureSources).iterator
+              .filter(k => synth.typeAt(k, path)
+                .exists(t => t == StringType || t == ArrayType(StringType)))
+              .map(k => synth.retypePath(k, path, entries))
+          }.find(identity).getOrElse(false)
         } else if (required.contains("ARRAY") && mapIndexBase.isDefined) {
           val path = mapIndexBase.get.split("\\.").toSeq
           val resolved: Seq[((String, String), Seq[String])] = path match {
