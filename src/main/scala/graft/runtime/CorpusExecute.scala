@@ -398,6 +398,11 @@ object CorpusExecute {
     else if (e.contains("CURRENT_TIMESTAMP") || e.contains("INTERVAL")) Some(TimestampType)
     else if (e.contains("ARRAY(")) Some(ArrayType(StringType))
     else if (e.matches("(?s).*\\b(TRUE|FALSE|AND|OR|NOT)\\b.*")) Some(BooleanType)
+    // a bare numeric literal argument (`coalesce(grade, 0)`,
+    // `greatest(weight, 0.01)`) marks numeric intent — last priority so the
+    // boolean/temporal shapes above win when both appear
+    else if (e.matches("(?s).*[ (,]\\d+\\.\\d+\\s*[,)].*")) Some(DoubleType)
+    else if (e.matches("(?s).*[ (,]\\d+\\s*[,)].*")) Some(LongType)
     else None
   }
 
