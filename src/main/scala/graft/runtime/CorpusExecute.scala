@@ -1100,6 +1100,18 @@ object CorpusExecute {
             if src.toUpperCase.startsWith("\"ARRAY") || src.toUpperCase.startsWith("ARRAY") =>
             typeFor(tgt).exists(dt => !dt.isInstanceOf[ArrayType]) &&
               identPaths(expr).map(deArrayifyParent).exists(identity)
+          case (Some(expr), Some(src), Some(tgt))
+            if src.toUpperCase.contains("STRUCT") =>
+            // CAST(struct AS scalar) can't analyze in the reference either:
+            // the struct is our over-promotion — revert to the target type
+            typeFor(tgt).exists { dt =>
+              !dt.isInstanceOf[ArrayType] &&
+                identPaths(expr).map { path =>
+                  val owners = (modelSources ++ closureSources)
+                    .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[StructType]))
+                  owners.map(k => synth.retypePath(k, path, dt)).exists(identity)
+                }.exists(identity)
+            }
           case _ => false
         }
       case "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE" =>
