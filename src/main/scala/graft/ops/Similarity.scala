@@ -86,18 +86,16 @@ object Similarity {
               k: Int, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     registered(corpus)
-    val cents = broadcast(centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-      .withColumn("cent_n", norm(col("cent_v"))))
+    // centroids are by definition broadcast-small; holding them as driver
+    // metadata (k·d doubles) turns cell assignment into an inline codegen'd
+    // expression — a narrow map op, zero shuffle — instead of a
+    // crossJoin + per-row window
+    val cents = centsOf(centroids, idCol, vecCol)
 
-    def assign(df: DataFrame, id: String, v: String, n: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cent_cos").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .select(col(id), col(v), col(n),
-          cosinePre(col(v), col("cent_v"), col(n), col("cent_n")).as("cent_cos"), col("cent_id"))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= keep)
-        .drop("cent_cos", "cr")
-    }
+    def assign(df: DataFrame, id: String, v: String, n: String, keep: Int): DataFrame =
+      df.select(col(id), col(v), col(n),
+        explode(nearestCents(col(v), col(n), cents, keep)).as("nc"))
+        .select(col(id), col(v), col(n), col("nc").getField("cent_id").as("cent_id"))
 
     val corpusCells = assign(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -118,37 +116,71 @@ object Similarity {
         round(col("cos"), 6).as("cosine_sim"))
   }
 
-  /** Deterministic Lloyd (k-means) refinement of IVF centroids — pure
-    * DataFrame ops, no driver-side math: assign to nearest centroid, then
-    * element-wise mean per cell via posexplode + groupBy(cell, dim). Empty
+  /** A centroid held on the driver between Lloyd rounds: id, coordinates
+    * (double), and the precomputed norm. k·d doubles of METADATA — the same
+    * thing MLlib's KMeans collects each iteration; row data never leaves the
+    * executors. */
+  private final case class Cent(id: Long, v: Seq[Double], n: Double)
+
+  private def centsOf(df: DataFrame, idCol: String, vecCol: String): Seq[Cent] =
+    df.select(col(idCol).cast("long"), col(vecCol)).collect().toSeq.map { r =>
+      // float arrays (parquet embeddings) widen exactly; double arrays pass through
+      val v = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }
+      // same left-to-right fold as norm(dot(v,v)) on the executor side
+      Cent(r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }.sortBy(_.id)
+
+  /** The `keep` nearest centroids for a vector column, best first, ties by
+    * ascending centroid id — as ONE inline expression (array_sort of
+    * (−cos, id) structs + slice), replacing a crossJoin + window shuffle:
+    * assignment becomes a map-side narrow op, which is what lets Lloyd run
+    * one shuffle per round and IVF assignment run zero. The centroid matrix
+    * enters the plan as a SINGLE typedLit of (id, coords, norm) structs and
+    * the per-centroid cosine is a lambda over it — the generated code is
+    * identical across Lloyd rounds (only the literal's reference changes),
+    * so janino compiles the assignment exactly once per session. */
+  private def nearestCents(v: Column, n: Column, cents: Seq[Cent], keep: Int): Column = {
+    val centArr = typedLit(cents.map(c => (c.id, c.v, c.n)))
+    slice(array_sort(transform(centArr, c =>
+      struct((-cosinePre(v, c.getField("_2"), n, c.getField("_3"))).as("negc"),
+        c.getField("_1").as("cent_id")))), 1, keep)
+  }
+
+  /** Deterministic Lloyd (k-means) refinement of IVF centroids. Assignment
+    * to the nearest centroid is an inline codegen'd expression over the
+    * driver-held centroid metadata (see [[Cent]] — k·d doubles, the part
+    * MLlib also keeps on the driver); the element-wise mean per cell is
+    * posexplode + groupBy(cell, dim), the round's single shuffle. Empty
     * cells drop out (k shrinks). Plugs straight into [[ivfTopK]].
     *
     * Runs TO CONVERGENCE: stops as soon as no centroid coordinate moved by
     * more than `tol` between rounds (`iters` is the safety cap, like
-    * Dedup.dupGroups' maxIter). The per-round movement check is one
-    * broadcast-join + max aggregate — a single driver scalar of control
-    * flow, no data collected. `localCheckpoint` truncates the growing
-    * iterative lineage (the same trap dupGroups guards against); the points
-    * relation is cached once since every round rescans it. */
+    * Dedup.dupGroups' maxIter). Movement is driver arithmetic over the
+    * collected k·d means — no extra job. Centroid literals re-enter each
+    * round's plan fresh, so there is no growing iterative lineage to
+    * checkpoint; the points relation is cached once since every round
+    * rescans it. */
   def kmeansCentroids(vecs: DataFrame, init: DataFrame, iters: Int = 10,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       tol: Double = 1e-4): DataFrame = {
     registered(vecs)
+    val spark = vecs.sparkSession
     val points = vecs.select(col(idCol).as("pid"), col(vecCol).as("pv"))
       .withColumn("pn", norm(col("pv"))).cache()
-    var cents = init.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-      .localCheckpoint()
+    var cents = centsOf(init, idCol, vecCol)
     var round = 0
     var moved = Double.MaxValue
     while (round < iters && moved > tol) {
       round += 1
-      val c = broadcast(cents.withColumn("cent_n", norm(col("cent_v"))))
-      val w = Window.partitionBy(col("pid")).orderBy(col("cc").desc, col("cent_id"))
-      val assigned = points.crossJoin(c)
-        .select(col("pid"), col("pv"),
-          cosinePre(col("pv"), col("cent_v"), col("pn"), col("cent_n")).as("cc"),
-          col("cent_id"))
-        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      val assigned = points.select(
+        nearestCents(col("pv"), col("pn"), cents, 1)(0).getField("cent_id").as("cent_id"),
+        col("pv"))
+      // element-wise mean per cell — identical numeric path to a DataFrame
+      // avg regardless of how assignment was computed
       val next = assigned
         .select(col("cent_id"), posexplode(col("pv")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
@@ -156,19 +188,21 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cent_id"),
           transform(col("dm"), s => s.getField("m")).as("cent_v"))
-        .localCheckpoint()
+      val prev = cents.map(c => c.id -> c.v).toMap
+      cents = centsOf(next, "cent_id", "cent_v")
       // max coordinate movement this round (vanished cells count as converged
       // for the cells that remain — k may shrink, which is Lloyd's behavior)
-      val mv = next.join(cents.select(col("cent_id"), col("cent_v").as("prev_v")), Seq("cent_id"))
-        .select(aggregate(
-          zip_with(col("cent_v"), col("prev_v"), (a, b) => abs(a - b.cast("double"))),
-          lit(0.0), (acc, x) => greatest(acc, x)).as("mv"))
-        .agg(max(col("mv"))).head()
-      moved = if (mv.isNullAt(0)) 0.0 else mv.getDouble(0)
-      cents = next
+      moved = cents.iterator.flatMap(c => prev.get(c.id).map(p =>
+        c.v.zip(p).map { case (a, b) => math.abs(a - b) }.max)).maxOption.getOrElse(0.0)
     }
     points.unpersist()
-    cents.withColumnRenamed("cent_id", idCol).withColumnRenamed("cent_v", vecCol)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.map(c => org.apache.spark.sql.Row(c.id, c.v)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
   }
 
   /** Exact embedding near-duplicate pairs above a cosine threshold, as a
@@ -230,28 +264,51 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         tables: Int = 1): DataFrame = {
     registered(vecs)
-    // deterministic "random" plane component: hash(bit, dim) mapped to [-1, 1)
-    def planeComponent(bit: Int, dim: Column): Column =
-      (pmod(xxhash64(lit(bit), dim), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+    // deterministic "random" plane component: hash(bit, dim) mapped to
+    // [-1, 1) — evaluated ONCE on the driver through the very same xxhash64
+    // expression the per-row formulation used, so the plane matrix (and
+    // therefore every bucket) is bit-identical to hashing inline. Projecting
+    // with [[dot]] against the literal plane replaces ~nBits·tables·d hash
+    // evaluations and two intermediate arrays PER ROW with plain
+    // multiply-adds — the difference between an expression-tree signature
+    // and a matrix product.
+    val dims = vecs.limit(1)
+      .select(size(col(vecCol))).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    def planeComponentValue(bit: Int, dim: Int): Double = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      // new XxHash64(children) pins the same default seed (42) the
+      // `xxhash64` SQL function uses
+      val h = new XxHash64(Seq(Literal(bit), Literal(dim))).eval().asInstanceOf[Long]
+      (((h % 2000000L) + 2000000L) % 2000000L).toDouble / 1000000.0 - 1.0
+    }
     // table t uses planes t*nBits .. t*nBits+nBits-1, so t=0 with tables=1
     // reproduces the single-table signature exactly
     val tableBuckets = (0 until tables).map { t =>
       val sigBits = (0 until nBits).map { j =>
-        val proj = aggregate(
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-            (x, i) => x.cast("double") * planeComponent(t * nBits + j, i)),
-          lit(0.0), (acc, v) => acc + v)
+        val plane = (0 until dims).map(d => planeComponentValue(t * nBits + j, d))
+        val proj = dot(col("v"), typedLit(plane))
         when(proj > 0, lit(1L << j)).otherwise(lit(0L))
       }
       struct(lit(t).as("t"), sigBits.reduce(_ bitwiseOR _).as("b"))
     }
-    val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-      .withColumn("bucket", explode(array(tableBuckets: _*)))
-    bucketed.toDF("id_a", "va", "na", "bucket")
-      .join(bucketed.toDF("id_b", "vb", "nb", "bucket"), Seq("bucket"))
+    // candidate generation and dedup run over (id, bucket) ONLY — the
+    // vectors re-attach after the pair-key dedup, so the bucket self-join and
+    // the dropDuplicates shuffle move 16-byte id pairs, not 2·d-element
+    // arrays per candidate. At 100 TB candidates ≫ corpus, so this is the
+    // difference between shuffling terabytes of vectors and gigabytes of ids;
+    // the two re-attach joins are plain equi-joins on id (broadcast when the
+    // corpus side is small).
+    val sigs = base.select(col("id"), explode(array(tableBuckets: _*)).as("bucket"))
+    val pairs = sigs.toDF("id_a", "bucket")
+      .join(sigs.toDF("id_b", "bucket"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
