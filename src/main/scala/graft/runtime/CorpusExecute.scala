@@ -77,8 +77,47 @@ object CorpusExecute {
     val dirtyCatalog = mutable.Set.empty[(String, String)]
     val rawCatalogKeys = mutable.Set.empty[(String, String)]
 
+    /** Node-scoped schema patches. Two models can need the SAME source
+      * column at INCOMPATIBLE types — a real corpus condition:
+      * `gold_orders.sql` reads `refund.merchant_reason` (struct) while
+      * `base/orders.sql` reads `ROUND(refund, 3)` (numeric), and unqualified
+      * column offers cross-pollinate the sources the two models share. No
+      * single global schema satisfies both readers, so the later,
+      * conflicting retype lands here — visible only to the node that
+      * negotiated it (the registry serves that node a patched VIEW of the
+      * table) — and the globally established type stays put. This is what
+      * makes the fixpoint order-INsensitive: global knowledge only ever
+      * grows, never ping-pongs. */
+    val overlays = mutable.Map
+      .empty[(String, (String, String)), mutable.LinkedHashMap[Seq[String], DataType]]
+    /** The node whose materialization is currently resolving sources —
+      * selects which overlay set the registry applies. */
+    var currentNode: String = ""
+
+    /** Record `path -> dt` in the current node's overlay for `key`; true if
+      * the overlay changed (the caller's signal to re-analyze). */
+    def overlayPatch(key: (String, String), path: Seq[String], dt: DataType): Boolean = {
+      if (currentNode.isEmpty || path.isEmpty) return false
+      val m = overlays.getOrElseUpdate((currentNode, key), mutable.LinkedHashMap.empty)
+      if (m.get(path).contains(dt)) false
+      else {
+        if (CorpusExecute.debug)
+          println(s"[synth] overlay($currentNode) ${key._1}.${key._2} " +
+            s"${path.mkString(".")} -> ${dt.simpleString.take(60)}")
+        m(path) = dt; true
+      }
+    }
+
+    /** The view of `key` served to [[currentNode]]: the global schema with
+      * that node's overlay paths ensured and retyped. */
+    private def applyOverlays(key: (String, String), st: StructType): StructType =
+      overlays.get((currentNode, key)) match {
+        case Some(m) => m.foldLeft(st) { case (s, (p, dt)) => retypeIn(mergePath(s, p), p, dt) }
+        case None => st
+      }
+
     val registry: SourceRegistry = new SourceRegistry(Some((sch, tbl) => {
-      val st = schemas.getOrElseUpdate((sch, tbl), StructType(Nil))
+      val st = applyOverlays((sch, tbl), schemas.getOrElseUpdate((sch, tbl), StructType(Nil)))
       // parquet cannot write an empty group: zero-column sources (and empty
       // struct promotions, see `emptyStruct`) carry a stub field instead
       val writable = if (st.isEmpty) StructType(Seq(StructField("_graft_stub", StringType))) else st
@@ -125,10 +164,30 @@ object CorpusExecute {
       }
       if (force) pinned.getOrElseUpdate((key, path.head), by)
       val st = schemas.getOrElseUpdate(key, StructType(Nil))
+      // deepening through an ESTABLISHED non-string scalar (another node's
+      // negotiated numeric/timestamp/…) is the shared-source conflict case:
+      // it must not clobber the global type — divert to a node overlay
+      if (conflictsEstablished(st, path))
+        return overlayPatch(key, path, StringType)
       val updated = mergePath(st, path)
       if (updated == st) false
       else { schemas(key) = updated; version += 1; keyVersions(key) = version; markDirty(key); true }
     }
+
+    /** Would merging `path` deepen through a field whose type was already
+      * NEGOTIATED to a non-string scalar? StringType is the default guess
+      * (promotion fair game); double/long/timestamp/boolean only ever exist
+      * because some node's analysis required them. */
+    private def conflictsEstablished(st: StructType, path: Seq[String]): Boolean =
+      path.size >= 2 && st.fields.find(_.name.equalsIgnoreCase(path.head)).exists { f =>
+        f.dataType match {
+          case inner: StructType => conflictsEstablished(inner, path.tail)
+          case ArrayType(inner: StructType, _) => conflictsEstablished(inner, path.tail)
+          case MapType(_, inner: StructType, _) => conflictsEstablished(inner, path.tail)
+          case StringType | _: ArrayType | _: MapType => false
+          case _ => true
+        }
+      }
 
     /** Recursively add `field` (string) to every struct node under `key`
       * that lacks it — the FIELD_NOT_FOUND fallback when the analyzer names
@@ -436,6 +495,12 @@ object CorpusExecute {
       * (`isTop AS is_top` in the dep), and the patch must retype the
       * upstream's source column. */
     def aliasSearchSql: String = renderedSql + "\n" + depsSql
+
+    /** The UNRESOLVED logical plan of the rendered SQL — the lexical-scope
+      * oracle for [[CorpusExecute.patch]]'s scoped attribution. Parsed once
+      * per node negotiation. */
+    lazy val parsedPlan: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+      scala.util.Try(synth.spark.sessionState.sqlParser.parsePlan(renderedSql)).toOption
   }
 
   /** One patch step from a typed analyzer condition; true = schema changed,
@@ -445,6 +510,42 @@ object CorpusExecute {
     val p = Option(e.getMessageParameters).map(_.asScala.toMap).getOrElse(Map.empty)
     import pc.{aliases, modelSources, closureSources, synth}
     val spark = synth.spark
+
+    /** The source tables in the failing column's LEXICAL SCOPE, from Spark's
+      * own parsed (unresolved) plan: the plan nodes whose expressions
+      * reference the path, their UnresolvedRelations (CTE names expanded two
+      * levels into their bodies), mapped through the alias map. Offering an
+      * unqualified column only to its scope's relations — instead of every
+      * source of the model — is what stops `refund.merchant_reason` (read
+      * FROM dim_order) from planting a struct on star_order_2020 that the
+      * same model reads numerically in another CTE. Empty when the scope
+      * can't be determined (parse failure, ref-only scope) — caller falls
+      * back to the offer-everywhere rule. */
+    def scopedSources(path: Seq[String]): Seq[(String, String)] =
+      scala.util.Try {
+        import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+        import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+        val plan = pc.parsedPlan.getOrElse(return Nil)
+        val target = path.map(_.toLowerCase)
+        val ctes: Map[String, LogicalPlan] = plan.collect {
+          case w: UnresolvedWith =>
+            w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
+        }.flatten.toMap
+        def refsTarget(p: LogicalPlan): Boolean =
+          p.expressions.exists(_.collectFirst {
+            case a: UnresolvedAttribute
+              if { val np = a.nameParts.map(_.toLowerCase)
+                   np == target || np.endsWith(target) } => a
+          }.isDefined)
+        def rels(p: LogicalPlan, depth: Int): Seq[String] =
+          p.collect { case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
+            .flatMap(n => if (depth > 0 && ctes.contains(n)) n +: rels(ctes(n), depth - 1)
+                          else Seq(n))
+        plan.collect { case p if refsTarget(p) => p }
+          .flatMap(h => rels(h, 2)).distinct
+          .flatMap(n => aliases.get(n)).distinct
+          .filter(modelSources.contains)
+      }.getOrElse(Nil)
 
     def attribute(path: Seq[String]): Boolean = path match {
       case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
@@ -473,8 +574,12 @@ object CorpusExecute {
             else Seq(rest, path)
           case _ => Seq(path)
         }
+        lazy val scoped = scopedSources(path)
         candidates.iterator.map { cp =>
-          val local = modelSources.map(k => synth.addPath(k, cp)).exists(identity)
+          // scope-restricted first: only the sources of the enclosing
+          // SELECT block get the column; offer-everywhere is the fallback
+          val local = scoped.map(k => synth.addPath(k, cp)).exists(identity) ||
+            (scoped.isEmpty && modelSources.map(k => synth.addPath(k, cp)).exists(identity))
           local || closureSources.map(k => synth.addPath(k, cp)).exists(identity)
         }.find(identity).getOrElse {
           // every plain offer was a no-op. Two remaining explanations:
@@ -570,6 +675,29 @@ object CorpusExecute {
                 .exists(identity)
         }
       }
+    }
+
+    /** Scalar-vs-complex conflict resolver: this node's analysis proved
+      * `path` must be the scalar `dt`, but an owner carries a COMPLEX type
+      * (struct/array/map) another node negotiated for its own reading of the
+      * shared source. Reverting globally would just ping-pong the type
+      * between the two readers across fixpoint passes — record a node
+      * overlay instead, so THIS node sees the scalar and the established
+      * global stands. Only this model's own sources qualify (an overlay on
+      * a closure source would never be seen: upstreams re-materialize under
+      * their own node view). */
+    def overlayScalarConflict(path: Seq[String], dt: DataType): Boolean = {
+      val resolved: Seq[((String, String), Seq[String])] = path match {
+        case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
+          Seq(aliases(head.toLowerCase) -> rest)
+        case _ => modelSources.map(_ -> path)
+      }
+      resolved.map { case (k, pp) =>
+        synth.typeAt(k, pp).exists {
+          case _: StructType | _: ArrayType | _: MapType => synth.overlayPatch(k, pp, dt)
+          case cur => cur != dt && cur != StringType && synth.overlayPatch(k, pp, dt)
+        }
+      }.exists(identity)
     }
 
     /** Retype every default-guessed identifier path of `sqlExpr` to `dt` —
@@ -987,7 +1115,17 @@ object CorpusExecute {
               identPaths(expr).map { path =>
                 val owners = (modelSources ++ closureSources)
                   .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[StructType]))
-                owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
+                owners.map { k =>
+                  synth.typeAt(k, path) match {
+                    // fieldless stub = our own artifact, revert globally;
+                    // a struct with fields is another node's established
+                    // reading — node overlay (own sources only)
+                    case Some(s: StructType) if s.isEmpty =>
+                      synth.retypePath(k, path, StringType)
+                    case _ =>
+                      modelSources.contains(k) && synth.overlayPatch(k, path, StringType)
+                  }
+                }.exists(identity)
               }.exists(identity)
             }
         }
@@ -1102,14 +1240,24 @@ object CorpusExecute {
               identPaths(expr).map(deArrayifyParent).exists(identity)
           case (Some(expr), Some(src), Some(tgt))
             if src.toUpperCase.contains("STRUCT") =>
-            // CAST(struct AS scalar) can't analyze in the reference either:
-            // the struct is our over-promotion — revert to the target type
+            // CAST(struct AS scalar) can't analyze in the reference either.
+            // A FIELDLESS stub struct is this negotiation's own artifact —
+            // revert it globally; a struct with real fields is another
+            // node's established reading of the shared source — divert to a
+            // node overlay so the two readers stop ping-ponging the type.
             typeFor(tgt).exists { dt =>
               !dt.isInstanceOf[ArrayType] &&
                 identPaths(expr).map { path =>
                   val owners = (modelSources ++ closureSources)
                     .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[StructType]))
-                  owners.map(k => synth.retypePath(k, path, dt)).exists(identity)
+                  owners.map { k =>
+                    synth.typeAt(k, path) match {
+                      case Some(s: StructType) if s.isEmpty => synth.retypePath(k, path, dt)
+                      // overlays only matter on the node's OWN sources — an
+                      // upstream re-materializes under its own node view
+                      case _ => modelSources.contains(k) && synth.overlayPatch(k, path, dt)
+                    }
+                  }.exists(identity)
                 }.exists(identity)
             }
           case _ => false
@@ -1162,7 +1310,10 @@ object CorpusExecute {
             if (owners.nonEmpty)
               owners.map(k => synth.retypePath(k, path, StringType)).exists(identity)
             else deArrayifyParent(path) || retypeLeafFields(path,
-              t => t == ArrayType(StringType) || t == emptyStruct, StringType)
+              t => t == ArrayType(StringType) || t == emptyStruct, StringType) ||
+              // another node's ESTABLISHED complex type on the shared
+              // source: this node sees the scalar via its overlay
+              overlayScalarConflict(path, StringType)
           }.exists(identity)
         } else if (required.contains("ARRAY") && nlvField.isDefined) {
           val leaf = nlvField.get
@@ -1239,6 +1390,14 @@ object CorpusExecute {
               val direct = stripDq(inputSql).trim
               direct.matches("[A-Za-z_][\\w.]*") &&
                 retypeLeafFields(direct.split("\\.").toSeq, _ == StringType, dt)
+            } || {
+              // `ROUND(refund, 3)` needs NUMERIC but `refund` is the STRUCT
+              // another model negotiated on the shared source — node overlay
+              val direct = stripDq(inputSql).trim
+              val paths =
+                if (direct.matches("[A-Za-z_][\\w.]*")) Seq(direct.split("\\.").toSeq)
+                else identPaths(inputSql)
+              paths.map(overlayScalarConflict(_, dt)).exists(identity)
             }
           }
         }
@@ -1637,8 +1796,12 @@ object CorpusExecute {
       }
       byName.get(name).foreach(_.deps.filter(known.contains).foreach(visit))
       var any = false
+      val savedNode = synth.currentNode
       for (d <- need) {
         try {
+          // the dep re-materializes under ITS OWN overlay view — the same
+          // one it originally executed with
+          synth.currentNode = d
           val m = byName(d).model()
           ctx.warehouse.drop(d) // schema growth must not merge into narrower files
           new DagRunner(Seq(m)).materialize(ctx, m)
@@ -1646,6 +1809,7 @@ object CorpusExecute {
           refreshMirror(d)
           any = true
         } catch { case scala.util.control.NonFatal(_) => () } // next pass retries
+        finally synth.currentNode = savedNode
       }
       any
     }
@@ -1670,10 +1834,16 @@ object CorpusExecute {
           results(name) = Item(name, node.kind, "skipped-upstream",
             node.deps.filter(d => failed.contains(d) || skipNames.contains(d)).mkString(","))
         } else {
+          // progress line per attempted node: an OOM/hang mid-phase is
+          // otherwise unattributable across 477 nodes × passes
+          val t0 = System.nanoTime()
+          System.err.println(s"[corpus] pass=$passes node=$name")
           val item = executeNode(ctx, node, macros, vars, synth, maxIter,
             closures.getOrElse(name, Nil), refreshUpstreams,
             depsSql = node.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"),
             nodeSchemas = nodeSchemas)
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (secs > 10) System.err.println(f"[corpus]   $name: ${item.status} in $secs%.1f s")
           if (item.status != "executed") failed += name
           else { lastRunVersion(name) = synth.version; refreshMirror(name) }
           results(name) = item
@@ -1699,6 +1869,7 @@ object CorpusExecute {
                           refreshUpstreams: String => Boolean = _ => false,
                           depsSql: String = "",
                           nodeSchemas: Map[String, String] = Map.empty): Item = {
+    synth.currentNode = node.name // selects the overlay view the registry serves
     // body for rendering introspection: snapshots negotiate over their block
     val body = if (node.kind == "snapshot")
       "(?s)\\{%-?\\s*snapshot\\s+\\w+\\s*-?%\\}(.*?)\\{%-?\\s*endsnapshot\\s*-?%\\}".r
