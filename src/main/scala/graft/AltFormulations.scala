@@ -37,8 +37,8 @@ object AltFormulations {
     }),
     "q39_ann_ivf" -> ((s, dir) => Similarity.withComposableDot {
       val e = Tables(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(e,
-        e.filter(col("vec_id") % 31 === 0).limit(16), iters = 8, tol = 1e-3)
+      val cents = Similarity.kmeansOnSample(e,
+        e.filter(col("vec_id") % 31 === 0).limit(16), sampleSize = 1024, iters = 25)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents, k = 5, nProbe = 2)
     }),
     "q56_ann_lsh_neardup" -> ((s, dir) => Similarity.withComposableDot {

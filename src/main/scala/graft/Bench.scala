@@ -32,7 +32,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter (also accepts main args) for
+    // profiling individual queries without a full 79-query sweep
+    val only: Set[String] =
+      (args.toSeq ++ sys.env.get("SPARK_GRAFT_BENCH_ONLY").toSeq.flatMap(_.split(',')))
+        .map(_.trim).filter(_.nonEmpty).toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))
@@ -61,6 +68,7 @@ object Bench {
     // round's BENCH artifact — persist the full JSON where it can be read
     // (path overridable; defaults to the working directory, not a hardcoded
     // absolute repo path)
+    if (only.nonEmpty) { spark.stop(); return } // partial run: don't clobber BENCH_LAST
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
         .toAbsolutePath, json + "\n")

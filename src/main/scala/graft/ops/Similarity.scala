@@ -153,9 +153,10 @@ object Similarity {
   /** Deterministic Lloyd (k-means) refinement of IVF centroids. Assignment
     * to the nearest centroid is an inline codegen'd expression over the
     * driver-held centroid metadata (see [[Cent]] — k·d doubles, the part
-    * MLlib also keeps on the driver); the element-wise mean per cell is
-    * posexplode + groupBy(cell, dim), the round's single shuffle. Empty
-    * cells drop out (k shrinks). Plugs straight into [[ivfTopK]].
+    * MLlib also keeps on the driver); the element-wise mean per cell is a
+    * single groupBy(cell) with d parallel sums — one map-side-combined
+    * shuffle of k·d doubles per round. Empty cells drop out (k shrinks).
+    * Plugs straight into [[ivfTopK]].
     *
     * Runs TO CONVERGENCE: stops as soon as no centroid coordinate moved by
     * more than `tol` between rounds (`iters` is the safety cap, like
@@ -172,6 +173,7 @@ object Similarity {
     val points = vecs.select(col(idCol).as("pid"), col(vecCol).as("pv"))
       .withColumn("pn", norm(col("pv"))).cache()
     var cents = centsOf(init, idCol, vecCol)
+    val dims = cents.headOption.map(_.v.size).getOrElse(0)
     var round = 0
     var moved = Double.MaxValue
     while (round < iters && moved > tol) {
@@ -179,17 +181,21 @@ object Similarity {
       val assigned = points.select(
         nearestCents(col("pv"), col("pn"), cents, 1)(0).getField("cent_id").as("cent_id"),
         col("pv"))
-      // element-wise mean per cell — identical numeric path to a DataFrame
-      // avg regardless of how assignment was computed
-      val next = assigned
-        .select(col("cent_id"), posexplode(col("pv")).as(Seq("dim", "x")))
-        .groupBy(col("cent_id"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cent_id"),
-          transform(col("dm"), s => s.getField("m")).as("cent_v"))
+      // element-wise mean per cell as d parallel SUM aggregates + a count —
+      // ONE hash aggregate with map-side combine (shuffle: k rows × d cols)
+      // and ONE job per Lloyd round, vs the posexplode formulation's n·d
+      // exploded rows through two shuffles. sum/count is the same arithmetic
+      // Spark's Average performs.
+      val sums = (0 until dims).map(d => sum(col("pv")(d).cast("double")).as(s"s$d"))
+      val rows = assigned.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
       val prev = cents.map(c => c.id -> c.v).toMap
-      cents = centsOf(next, "cent_id", "cent_v")
+      cents = rows.toSeq.map { r =>
+        val cnt = r.getLong(1).toDouble
+        val v = (0 until dims).map(d => r.getDouble(2 + d) / cnt)
+        Cent(r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }.sortBy(_.id)
       // max coordinate movement this round (vanished cells count as converged
       // for the cells that remain — k may shrink, which is Lloyd's behavior)
       moved = cents.iterator.flatMap(c => prev.get(c.id).map(p =>
@@ -203,6 +209,71 @@ object Similarity {
         org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(vecCol,
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** IVF centroid training over a BOUNDED uniform sample: collect at most
+    * `sampleSize` vectors (deterministic xxhash64 order, ties by id) and run
+    * Lloyd to convergence on the driver. This is the FAISS/PQ index-build
+    * convention — coarse quantizers are trained on a fixed-size sample, not
+    * the corpus — and it is the 100TB shape: the training set is CONSTANT in
+    * corpus size (sampleSize·d doubles, same order as the k·d centroid
+    * metadata [[centsOf]] already collects), one TakeOrdered job total, and
+    * the full corpus is only ever touched by [[ivfTopK]]'s single
+    * assignment pass. [[kmeansCentroids]] remains the fully-distributed
+    * Lloyd for when the training set must exceed driver memory; identical
+    * update arithmetic (mean per cell, same tol/iters contract).
+    * Determinism: sample membership, init order, and every Lloyd update are
+    * pure functions of (ids, vectors). */
+  def kmeansOnSample(vecs: DataFrame, init: DataFrame, sampleSize: Int = 4096,
+                     iters: Int = 25, idCol: String = "vec_id",
+                     vecCol: String = "embedding", tol: Double = 1e-4): DataFrame = {
+    registered(vecs)
+    val spark = vecs.sparkSession
+    val sample = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .collect().map(r => r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    var cents = centsOf(init, idCol, vecCol)
+    var round = 0
+    var moved = Double.MaxValue
+    while (round < iters && moved > tol && cents.nonEmpty) {
+      round += 1
+      // assign each sample point to the nearest centroid by cosine (ties to
+      // the lowest centroid id — the same order nearestCents sorts by)
+      val sums = scala.collection.mutable.Map.empty[Long, (Array[Double], Long)]
+      sample.foreach { p =>
+        val pn = math.sqrt(p.foldLeft(0.0)((a, x) => a + x * x))
+        val best = cents.minBy(c => (-dotD(p, c.v) / (pn * c.n), c.id))
+        val (acc, cnt) = sums.getOrElseUpdate(best.id, (new Array[Double](p.length), 0L))
+        var i = 0; while (i < p.length) { acc(i) += p(i); i += 1 }
+        sums(best.id) = (acc, cnt + 1)
+      }
+      val prev = cents.map(c => c.id -> c.v).toMap
+      cents = sums.toSeq.map { case (id, (acc, cnt)) =>
+        val v = acc.toSeq.map(_ / cnt)
+        Cent(id, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      }.sortBy(_.id)
+      moved = cents.iterator.flatMap(c => prev.get(c.id).map(p =>
+        c.v.zip(p).map { case (a, b) => math.abs(a - b) }.max)).maxOption.getOrElse(0.0)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.map(c => org.apache.spark.sql.Row(c.id, c.v)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  private def dotD(a: Array[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** Exact embedding near-duplicate pairs above a cosine threshold, as a

@@ -189,13 +189,14 @@ object NorthStarQueries {
       |WHERE q.vec_id < 10
       |QUALIFY rank <= 5""".stripMargin
 
-  /** IVF ANN: 16 coarse cells refined by Lloyd-to-convergence k-means from a
-    * deterministic seed, 2 probes (no oracle: approximate; recall vs brute
-    * force asserted in NorthStarSpec). */
+  /** IVF ANN: 16 coarse cells refined by Lloyd-to-convergence k-means over a
+    * bounded uniform sample (the FAISS index-build convention — constant-size
+    * training work at any corpus scale), 2 probes (no oracle: approximate;
+    * recall vs brute force asserted in NorthStarSpec). */
   def q39AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val cents = Similarity.kmeansCentroids(e,
-      e.filter(col("vec_id") % 31 === 0).limit(16), iters = 8, tol = 1e-3)
+    val cents = Similarity.kmeansOnSample(e,
+      e.filter(col("vec_id") % 31 === 0).limit(16), sampleSize = 1024, iters = 25)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents, k = 5, nProbe = 2)
   }
 

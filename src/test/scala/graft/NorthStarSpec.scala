@@ -158,6 +158,18 @@ class NorthStarSpec extends SparkSpec {
     val refinedRecall = (brute intersect refinedPartial).size.toDouble / brute.size
     info(s"IVF recall@5 4/16 probes: raw=$recall refined=$refinedRecall")
     assert(refinedRecall >= 0.3)
+
+    // sample-trained Lloyd (the q39 / FAISS index-build path) preserves the
+    // same invariants: all-probe exactness and usable partial-probe recall
+    val sampled = Similarity.kmeansOnSample(embeddings, centroids, sampleSize = 1024)
+    val sampledFull = Similarity.ivfTopK(embeddings, queries, sampled, k = 5, nProbe = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sampledFull == brute, "sample-trained IVF with all cells probed must equal brute force")
+    val sampledPartial = Similarity.ivfTopK(embeddings, queries, sampled, k = 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sampledRecall = (brute intersect sampledPartial).size.toDouble / brute.size
+    info(s"IVF recall@5 4/16 probes: sample-trained=$sampledRecall")
+    assert(sampledRecall >= 0.3)
   }
 
   test("sign-bucket LSH near-dup pairs are a subset of exact pairs at the same threshold") {
