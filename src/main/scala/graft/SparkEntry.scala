@@ -109,7 +109,9 @@ object SparkEntry {
     "q77_train_split" -> (NorthStarQueries.q77TrainSplit _),
     "q78_event_matrix" -> (TemplaterQueries.q78EventMatrix _),
     "q79_setops" -> (JoinQueries.q79SetOps _),
-    "q80_snapshot_file" -> (Scd2Queries.q80SnapshotFile _)
+    "q80_snapshot_file" -> (Scd2Queries.q80SnapshotFile _),
+    // round 10: transaction-log table format (Delta-log stand-in)
+    "q81_txlog_pipeline" -> (TxLogQueries.q81TxLogPipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -189,6 +191,7 @@ object SparkEntry {
     "q78_event_matrix" -> TemplaterQueries.q78Oracle,
     "q79_setops" -> JoinQueries.q79Oracle,
     // same closed form as q53: the file layer must reproduce it bit-for-bit
-    "q80_snapshot_file" -> Scd2Queries.q53Oracle
+    "q80_snapshot_file" -> Scd2Queries.q53Oracle,
+    "q81_txlog_pipeline" -> TxLogQueries.q81Oracle
   )
 }
