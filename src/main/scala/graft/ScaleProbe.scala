@@ -156,6 +156,30 @@ object ScaleProbe {
     ccProbe(100 * factor, 100, s"depth-x$factor")
     ccProbe(100, 100 * factor, s"width-x$factor")
 
+    // txlog probe: snapshot resolution must stay flat in table AGE — the
+    // checkpoint bounds replay to (latest checkpoint + ≤interval commits)
+    // regardless of how many commits the table has accumulated. Grows only
+    // with LIVE file count (manifest size), never commit count.
+    locally {
+      import java.nio.file.Paths
+      import graft.plans.TxLog
+      def txProbe(commits: Int): Unit = {
+        val t = Paths.get(graft.runtime.TempDirs.create("graft_txprobe")).resolve("t")
+        val seed = spark.range(1000).selectExpr("id", "id * 2 AS v")
+        TxLog.overwrite(t, seed, Nil)
+        for (i <- 1 to commits)
+          TxLog.append(t, spark.range(i * 1000L, i * 1000L + 10).selectExpr("id", "id * 2 AS v"))
+        timed(s"txlog_snapshot after $commits commits") {
+          TxLog.snapshot(t).files.size.toLong
+        }
+        timed(s"txlog_read after $commits commits") {
+          TxLog.read(spark, t).count()
+        }
+      }
+      txProbe(20)
+      txProbe(200)
+    }
+
     spark.stop()
   }
 }

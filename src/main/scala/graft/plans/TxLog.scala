@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, input_file_name, lit}
 
 /** A minimal but real table-format transaction log — the self-contained
@@ -312,24 +312,44 @@ object TxLog {
     val live = snap.files.filter(f => partitionFilter(f.partitionValues))
     if (live.isEmpty)
       throw new IllegalStateException(s"txlog snapshot v${snap.version} has no files after pruning")
-    val base = spark.read.parquet(live.map(f => table.resolve(f.path).toString): _*)
-    if (snap.partitionCols.isEmpty) base
-    else {
-      // map each file back to its partition values via its (staging-unique)
-      // FILE NAME — input_file_name()'s scheme/prefix varies by filesystem,
-      // the terminal name segment does not
-      val fileName = org.apache.spark.sql.functions
-        .regexp_extract(input_file_name(), "[^/]+$", 0)
-      snap.partitionCols.foldLeft(base) { (df, c) =>
-        val mapping = live.map { f =>
-          (f.path.split('/').last, f.partitionValues.getOrElse(c, "__NULL__"))
-        }
-        val m = org.apache.spark.sql.functions.map(
-          mapping.flatMap { case (p, v) => Seq(lit(p), lit(v)) }: _*)
-        df.withColumn(c,
-          org.apache.spark.sql.functions.nullif(m(fileName), lit("__NULL__")))
+    readSubset(spark, table, live, snap.partitionCols)
+  }
+
+  /** The staging-unique terminal name segment of the file being scanned —
+    * input_file_name()'s scheme/prefix varies by filesystem, the name does
+    * not. Joins a scanned row back to its manifest entry. */
+  def scannedFileName: Column = org.apache.spark.sql.functions
+    .regexp_extract(input_file_name(), "[^/]+$", 0)
+
+  /** Read an explicit subset of manifest files, re-attaching partition
+    * columns (as strings) from their manifest partition values. */
+  def readSubset(spark: SparkSession, table: Path, files: Seq[AddFile],
+                 partitionCols: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*)
+    if (partitionCols.isEmpty) base
+    else partitionCols.foldLeft(base) { (df, c) =>
+      val mapping = files.map { f =>
+        (f.path.split('/').last, f.partitionValues.getOrElse(c, "__NULL__"))
       }
+      val m = org.apache.spark.sql.functions.map(
+        mapping.flatMap { case (p, v) => Seq(lit(p), lit(v)) }: _*)
+      df.withColumn(c,
+        org.apache.spark.sql.functions.nullif(m(scannedFileName), lit("__NULL__")))
     }
+  }
+
+  /** File-level replace — the commit shape of a Delta MERGE: tombstone
+    * exactly `removePaths` (manifest-relative) and add `df`'s freshly staged
+    * files, in one atomic commit that must land at `readVersion`+1. Throws
+    * [[TxConflict]] if a concurrent writer got there first; the caller
+    * re-probes against the new snapshot and retries (its staged files are
+    * left as unreferenced orphans for vacuum). */
+  def replaceFiles(table: Path, readVersion: Long, removePaths: Seq[String],
+                   df: DataFrame, partitionBy: Seq[String]): Long = {
+    val now = System.currentTimeMillis()
+    val adds = stage(table, df, partitionBy)
+    commit(table, readVersion,
+      metaJson(partitionBy) +: (removePaths.map(removeJson(_, now)) ++ adds.map(addJson)))
   }
 
   /** Physically delete tombstoned files older than `retentionMs`, and prune

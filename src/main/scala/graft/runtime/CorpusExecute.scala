@@ -127,8 +127,40 @@ object CorpusExecute {
     def has(key: (String, String), col: String): Boolean =
       schemas.get(key).exists(_.fieldNames.exists(_.equalsIgnoreCase(col)))
 
-    private def markDirty(key: (String, String)): Unit =
+    private def markDirty(key: (String, String)): Unit = {
       if (rawCatalogKeys.contains(key)) dirtyCatalog += key
+      warnHuge(key)
+    }
+
+    /** Leaf-field count of a schema, capped — runaway nested growth (a patch
+      * loop re-adding ever-deeper struct paths) shows up here long before it
+      * OOMs the shared local-mode heap; the guard makes the failure mode a
+      * visible log line + classification instead of a dead JVM. */
+    private def leafCount(dt: DataType, cap: Int = 200000): Int = {
+      var n = 0
+      def walk(d: DataType): Unit = if (n < cap) d match {
+        case s: StructType => s.fields.foreach(f => walk(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => walk(a.elementType)
+        case m: org.apache.spark.sql.types.MapType => walk(m.keyType); walk(m.valueType)
+        case _ => n += 1
+      }
+      walk(dt); n
+    }
+
+    private val hugeWarned = mutable.Set.empty[(String, String)]
+    private def warnHuge(key: (String, String)): Unit =
+      schemas.get(key).foreach { st =>
+        val n = leafCount(st)
+        if (n > 20000 && hugeWarned.add(key))
+          System.err.println(s"[corpus-huge] ${key._1}.${key._2} leaves=$n " +
+            s"(runaway schema growth — check the patch loop feeding it)")
+      }
+
+    /** True when `key`'s schema is past the workable bound — callers treat
+      * the node as a negotiation gap instead of materializing a plan whose
+      * serialized schema would exhaust the shared heap. */
+    def schemaOverBudget(key: (String, String)): Boolean =
+      schemas.get(key).exists(st => leafCount(st) >= 200000)
 
     /** columns added by explicit table qualification, with the node that
       * claimed them — ambiguity retraction prefers dropping columns pinned
@@ -1911,12 +1943,24 @@ object CorpusExecute {
         return Item(node.name, node.kind, "gap:model-build", String.valueOf(e.getMessage).take(200))
     }
 
+    // refuse to materialize against a runaway-negotiated schema: the
+    // serialized plan/schema would exhaust the shared local-mode heap and
+    // kill the whole phase — classify instead (see Synth.schemaOverBudget)
+    def budgetGap(): Option[Item] = {
+      val over = (srcs ++ rawHere ++ closure).distinct.filter(synth.schemaOverBudget)
+      if (over.isEmpty) None
+      else Some(Item(node.name, node.kind, "gap:schema-budget",
+        over.map { case (d, t) => s"$d.$t" }.mkString(",").take(200)))
+    }
+    budgetGap().foreach(return _)
+
     var it = 0
     var lastCond = ""
     var lastMsg = ""
     var stall = 0
     while (it < maxIter) {
       it += 1
+      budgetGap().foreach(return _)
       try {
         new DagRunner(Seq(model)).materialize(ctx, model)
         // incremental/snapshot second run: the table now exists, so the

@@ -118,33 +118,53 @@ final class DagRunner(models: Seq[Model]) {
       .getOrElse(throw new IllegalArgumentException(
         "snapshot models need var 'run_ts' or 'start_date_ymd' for deterministic SCD2 effective timestamps"))
 
-  def materialize(ctx: Ctx, m: Model, fullRefresh: Boolean = false): Unit =
+  def materialize(ctx: Ctx, m: Model, fullRefresh: Boolean = false): Unit = {
+    // file_format='delta' routes through the transaction-log table format
+    // when the warehouse opts in (snapshots keep the parquet path — their
+    // full-table rewrite already commits atomically via replaceTable)
+    val asLog = ctx.warehouse.logFormatEnabled && m.fileFormat == "delta"
     m.materialization match {
     case Materialization.Table(partitionBy, orderBy) =>
-      ctx.warehouse.createTable(m.name, m.build(ctx), partitionBy, None, orderBy)
+      if (asLog) ctx.warehouse.createTableLog(m.name, m.build(ctx), partitionBy, None, orderBy)
+      else ctx.warehouse.createTable(m.name, m.build(ctx), partitionBy, None, orderBy)
     case Materialization.View =>
       ctx.warehouse.registerView(m.name, m.build(ctx))
     case Materialization.IncrementalInsertOverwrite(partitionBy, onSchemaChange, spread) =>
-      if (fullRefresh || !ctx.warehouse.tableExists(m.name))
-        ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)),
+      if (fullRefresh || !ctx.warehouse.tableExists(m.name)) {
+        if (asLog) ctx.warehouse.createTableLog(m.name,
+          m.build(ctx.copy(isIncremental = false)), partitionBy, spread)
+        else ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)),
           partitionBy, spread)
+      } else if (asLog)
+        ctx.warehouse.insertOverwritePartitionsLog(m.name,
+          m.build(ctx.copy(isIncremental = true)), partitionBy, onSchemaChange, spread)
       else
         ctx.warehouse.insertOverwritePartitions(m.name,
           m.build(ctx.copy(isIncremental = true)), partitionBy, onSchemaChange, spread)
     case Materialization.IncrementalMerge(uniqueKey, partitionBy, onSchemaChange, incOnly) =>
-      if (fullRefresh || !ctx.warehouse.tableExists(m.name))
-        ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)
+      if (fullRefresh || !ctx.warehouse.tableExists(m.name)) {
+        if (asLog) ctx.warehouse.createTableLog(m.name,
+          m.build(ctx.copy(isIncremental = false)), partitionBy)
+        else ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)
+      } else if (asLog)
+        ctx.warehouse.mergeUpsertLog(m.name,
+          m.build(ctx.copy(isIncremental = true)), uniqueKey, partitionBy, onSchemaChange, incOnly)
       else
         ctx.warehouse.mergeUpsert(m.name,
           m.build(ctx.copy(isIncremental = true)), uniqueKey, partitionBy, onSchemaChange, incOnly)
     case Materialization.IncrementalAppend(partitionBy) =>
-      if (fullRefresh || !ctx.warehouse.tableExists(m.name))
-        ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)
+      if (fullRefresh || !ctx.warehouse.tableExists(m.name)) {
+        if (asLog) ctx.warehouse.createTableLog(m.name,
+          m.build(ctx.copy(isIncremental = false)), partitionBy)
+        else ctx.warehouse.createTable(m.name, m.build(ctx.copy(isIncremental = false)), partitionBy)
+      } else if (asLog)
+        ctx.warehouse.appendLog(m.name, m.build(ctx.copy(isIncremental = true)), partitionBy)
       else
         ctx.warehouse.append(m.name, m.build(ctx.copy(isIncremental = true)), partitionBy)
     case Materialization.Snapshot(uniqueKey, strategy, invalidateHardDeletes) =>
       Scd2.snapshot(ctx, m.name, m.build(ctx), uniqueKey, strategy,
         invalidateHardDeletes, runTs(ctx))
+    }
   }
 }
 

@@ -85,4 +85,8 @@ final case class Model(
     materialization: Materialization = Materialization.Table(),
     deps: Seq[String] = Nil,
     tags: Set[String] = Set.empty,
-    meta: Map[String, String] = Map.empty)
+    meta: Map[String, String] = Map.empty,
+    /** reference: `file_format` config — 'delta' (197 models) routes
+      * through the [[graft.plans.TxLog]] transaction log when the
+      * warehouse has `logFormatEnabled`; anything else is plain parquet. */
+    fileFormat: String = "parquet")

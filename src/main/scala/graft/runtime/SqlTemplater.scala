@@ -309,9 +309,10 @@ object SqlTemplater {
   def sqlModel(name: String, sql: String,
                materialization: Materialization = Materialization.Table(),
                tags: Set[String] = Set.empty,
-               meta: Map[String, String] = Map.empty): Model =
+               meta: Map[String, String] = Map.empty,
+               fileFormat: String = "parquet"): Model =
     Model(name, ctx => runSql(ctx, name, sql), materialization,
-      deps = extractRefs(sql), tags = tags, meta = meta)
+      deps = extractRefs(sql), tags = tags, meta = meta, fileFormat = fileFormat)
 
   private val ConfigArgsRe = """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
 
@@ -455,7 +456,8 @@ object SqlTemplater {
   def sqlModelAuto(name: String, sql: String, macros: Map[String, MacroDef],
                    vars: Map[String, String] = Map.empty): Model = {
     val cfg = effectiveConfig(sql, macros, vars)
-    sqlModel(name, sql, materializationFromConfig(cfg), tagsOf(cfg), metaOf(cfg))
+    sqlModel(name, sql, materializationFromConfig(cfg), tagsOf(cfg), metaOf(cfg),
+      fileFormat = cfg.get("file_format").map(_.render).getOrElse("parquet"))
   }
 
   private val SnapshotBlockRe =
