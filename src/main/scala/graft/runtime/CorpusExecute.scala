@@ -158,9 +158,11 @@ object CorpusExecute {
 
     /** True when `key`'s schema is past the workable bound — callers treat
       * the node as a negotiation gap instead of materializing a plan whose
-      * serialized schema would exhaust the shared heap. */
+      * writer/codegen allocations would exhaust the shared heap (the parquet
+      * writer alone allocates per-leaf-column buffers even for 0 rows; a
+      * ~20k-leaf negotiated mongo schema OOMed a 24g heap in round 10). */
     def schemaOverBudget(key: (String, String)): Boolean =
-      schemas.get(key).exists(st => leafCount(st) >= 200000)
+      schemas.get(key).exists(st => leafCount(st) >= 8000)
 
     /** columns added by explicit table qualification, with the node that
       * claimed them — ambiguity retraction prefers dropping columns pinned
@@ -223,15 +225,27 @@ object CorpusExecute {
 
     /** Recursively add `field` (string) to every struct node under `key`
       * that lacks it — the FIELD_NOT_FOUND fallback when the analyzer names
-      * only the field. */
-    def addFieldToAllStructs(key: (String, String), field: String): Boolean = {
+      * only the field. When `havingFields` is given, ONLY structs whose
+      * current (lowercased) field set equals it grow — the analyzer's
+      * FIELD_NOT_FOUND lists the struct's existing fields, which identifies
+      * the one struct it means. The untargeted spray was the round-10
+      * runaway-schema mechanism (every missing field × every struct of a
+      * shared mongo source → 20k-leaf schemas) and also planted impostor
+      * fields in unrelated structs (`funnel_state.st` gaining `utms`). */
+    def addFieldToAllStructs(key: (String, String), field: String,
+                             havingFields: Option[Set[String]] = None): Boolean = {
+      def matches(s: StructType): Boolean = havingFields match {
+        case None => true
+        case Some(have) => s.fieldNames.map(_.toLowerCase).toSet == have
+      }
       def grow(dt: DataType): (DataType, Boolean) = dt match {
         case s: StructType =>
           val kids = s.fields.map { f =>
             val (ndt, ch) = grow(f.dataType); (f.copy(dataType = ndt), ch) }
           val withKids = StructType(kids.map(_._1))
           val kidChanged = kids.exists(_._2)
-          if (withKids.fieldNames.exists(_.equalsIgnoreCase(field))) (withKids, kidChanged)
+          if (withKids.fieldNames.exists(_.equalsIgnoreCase(field)) || !matches(s))
+            (withKids, kidChanged)
           else (StructType(withKids.fields :+ StructField(field, StringType)), true)
         case ArrayType(inner, n) =>
           val (ndt, ch) = grow(inner); (ArrayType(ndt, n), ch)
@@ -386,8 +400,17 @@ object CorpusExecute {
         ensureDb(db)
         val st = schemas.getOrElse(key, StructType(Nil))
         val writable = if (st.isEmpty) StructType(Seq(StructField("_graft_stub", StringType))) else st
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), writable)
-          .write.mode("overwrite").saveAsTable(s"`$db`.`$tbl`")
+        // an over-budget schema is left at its previous on-disk width: the
+        // parquet writer's per-leaf-column buffers for a runaway schema are
+        // what OOM the shared heap (even at 0 rows), and the nodes that
+        // needed the new width classify as gap:schema-budget anyway
+        if (!schemaOverBudget(key))
+          try spark.createDataFrame(java.util.Collections.emptyList[Row](), writable)
+            .write.mode("overwrite").saveAsTable(s"`$db`.`$tbl`")
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[corpus] flushCatalog($db.$tbl) failed: " +
+              String.valueOf(e.getMessage).take(150))
+          }
       }
       dirtyCatalog.clear()
     }
@@ -1058,8 +1081,13 @@ object CorpusExecute {
           mapValueField || colField || keyValueFlip ||
             attribute(path) ||
             // `key`/`value` over an exploded column we guessed as array —
-            // the real type is a map
-            (Set("key", "value").contains(path.last.toLowerCase) && explodedArrayToMap())
+            // the real type is a map. Matches both a bare `value` (last) and
+            // a `value.field` extraction (head): scd2_mongo_merchant_order's
+            // `SELECT value.id FROM (SELECT explode(products) …)` reads the
+            // map-explode output through a field path.
+            ((Set("key", "value").contains(path.last.toLowerCase) ||
+              Set("key", "value").contains(path.head.toLowerCase)) &&
+              explodedArrayToMap())
         }
       case c if c.startsWith("UNRESOLVED_USING_COLUMN") =>
         // "USING column `x` cannot be resolved on the <side> side": one side
@@ -1279,12 +1307,27 @@ object CorpusExecute {
             // node overlay so the two readers stop ping-ponging the type.
             typeFor(tgt).exists { dt =>
               !dt.isInstanceOf[ArrayType] &&
-                identPaths(expr).map { path =>
+                identPaths(expr).flatMap { raw =>
+                  // the head may be an upstream SELECT alias
+                  // (`funnelState as funnel_state` in a dep): trace the
+                  // definition so the owner path is the source's own
+                  raw +: aliasDefPaths(raw.head).map(_ ++ raw.tail)
+                }.map { path =>
                   val owners = (modelSources ++ closureSources)
                     .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[StructType]))
                   owners.map { k =>
                     synth.typeAt(k, path) match {
-                      case Some(s: StructType) if s.isEmpty => synth.retypePath(k, path, dt)
+                      // a stub-bearing struct of flat strings is this
+                      // negotiation's own accretion (emptyStruct promotion +
+                      // field sprays — `funnel_state.st` gaining `utms`),
+                      // not any node's real reading: revert globally. (The
+                      // old `s.isEmpty` check was vacuous — emptyStruct
+                      // carries the `_graft_stub` field, so no struct here
+                      // is ever field-less.)
+                      case Some(s: StructType)
+                        if s.isEmpty || (s.fieldNames.contains("_graft_stub") &&
+                          s.fields.forall(_.dataType == StringType)) =>
+                        synth.retypePath(k, path, dt)
                       // overlays only matter on the node's OWN sources — an
                       // upstream re-materializes under its own node view
                       case _ => modelSources.contains(k) && synth.overlayPatch(k, path, dt)
@@ -1564,13 +1607,22 @@ object CorpusExecute {
           case _ => false
         }
       case "FIELD_NOT_FOUND" =>
-        // a struct exists but lacks the field; the condition names only the
-        // field — grow every struct node of this model's (then closure's)
-        // sources that lacks it
+        // a struct exists but lacks the field. The error's `fields` list is
+        // the struct's CURRENT field set — target exactly the structs that
+        // look like that (the untargeted spray grew shared mongo schemas
+        // without bound); fall back to the spray only if no struct matched.
         p.get("fieldName").map(f => parts(f).last) match {
           case Some(f) =>
-            val local = modelSources.map(synth.addFieldToAllStructs(_, f)).exists(identity)
-            local || closureSources.map(synth.addFieldToAllStructs(_, f)).exists(identity)
+            val having: Option[Set[String]] = p.get("fields").map { fs =>
+              "`((?:[^`]|``)*)`".r.findAllMatchIn(fs).map(_.group(1).toLowerCase).toSet
+            }.filter(_.nonEmpty)
+            val targeted = having.exists(_ =>
+              (modelSources ++ closureSources)
+                .map(synth.addFieldToAllStructs(_, f, having)).exists(identity))
+            targeted || {
+              val local = modelSources.map(synth.addFieldToAllStructs(_, f)).exists(identity)
+              local || closureSources.map(synth.addFieldToAllStructs(_, f)).exists(identity)
+            }
           case None => false
         }
       case "UDTF_ALIAS_NUMBER_MISMATCH" =>
@@ -1845,6 +1897,25 @@ object CorpusExecute {
       }
       any
     }
+
+    /** Force one named node to re-materialize NOW, regardless of version
+      * staleness — the PATH_NOT_FOUND recovery: a mid-pass upstream refresh
+      * that dropped a table and then failed to rebuild it leaves downstream
+      * readers staring at a missing directory; the schema knowledge has
+      * usually moved on since, so an immediate rebuild succeeds. */
+    def refreshNamed(dep: String): Boolean = byName.get(dep).exists { nd =>
+      val savedNode = synth.currentNode
+      try {
+        synth.currentNode = dep
+        val m = nd.model()
+        ctx.warehouse.drop(dep)
+        new DagRunner(Seq(m)).materialize(ctx, m)
+        lastRunVersion(dep) = synth.version
+        refreshMirror(dep)
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+      finally synth.currentNode = savedNode
+    }
     var passes = 0
     var grew = true
     while (grew && passes < maxPasses) {
@@ -1873,7 +1944,7 @@ object CorpusExecute {
           val item = executeNode(ctx, node, macros, vars, synth, maxIter,
             closures.getOrElse(name, Nil), refreshUpstreams,
             depsSql = node.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"),
-            nodeSchemas = nodeSchemas)
+            nodeSchemas = nodeSchemas, refreshNode = refreshNamed)
           val secs = (System.nanoTime() - t0) / 1e9
           if (secs > 10) System.err.println(f"[corpus]   $name: ${item.status} in $secs%.1f s")
           if (item.status != "executed") failed += name
@@ -1900,7 +1971,8 @@ object CorpusExecute {
                           maxIter: Int, closure: Seq[(String, String)],
                           refreshUpstreams: String => Boolean = _ => false,
                           depsSql: String = "",
-                          nodeSchemas: Map[String, String] = Map.empty): Item = {
+                          nodeSchemas: Map[String, String] = Map.empty,
+                          refreshNode: String => Boolean = _ => false): Item = {
     synth.currentNode = node.name // selects the overlay view the registry serves
     // body for rendering introspection: snapshots negotiate over their block
     val body = if (node.kind == "snapshot")
@@ -1990,10 +2062,18 @@ object CorpusExecute {
                 String.valueOf(pe.getMessage).take(200), it)
           }
           if (!changed) {
+            // PATH_NOT_FOUND on a known node's table: a failed mid-pass
+            // upstream refresh left the directory dropped — rebuild that
+            // node directly and retry (at most once per missing name)
+            val missingNode = if (condOf(e) == "PATH_NOT_FOUND")
+              Option(e.getMessageParameters).flatMap(m =>
+                Option(m.get("path"))).map(_.split('/').last).filter(_ != lastMsg)
+            else None
+            if (missingNode.exists(refreshNode)) { lastMsg = missingNode.get; stall = 0 }
             // no patch applies, but the error may come from a STALE upstream
             // output (the schema knowledge already exists; the upstream just
             // hasn't re-materialized with it) — refresh and retry once
-            if (refreshUpstreams(node.name)) { lastMsg = ""; stall = 0 }
+            else if (refreshUpstreams(node.name)) { lastMsg = ""; stall = 0 }
             else return Item(node.name, node.kind, s"gap:${condOf(e)}",
               String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220), it)
           } else {
