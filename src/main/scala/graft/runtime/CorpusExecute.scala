@@ -693,6 +693,16 @@ object CorpusExecute {
             val leaf = path.last
             val local = modelSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
             local || closureSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
+          } || {
+            if (CorpusExecute.debug)
+              println(s"[corpus-debug] attribute-MISS ${pc.nodeName} path=" +
+                path.mkString(".") + " state=" +
+                (modelSources ++ closureSources).map { k =>
+                  val has = synth.has(k, path.head)
+                  val tomb = synth.tombstones.contains((k, path.head))
+                  s"${k._1}.${k._2}:has=$has,tomb=$tomb"
+                }.mkString(" "))
+            false
           }
         }
     }
@@ -783,10 +793,17 @@ object CorpusExecute {
                 .exists(k => synth.typeAt(k, path).isDefined)
               // unresolvable here: the ident may be a SELECT alias defined
               // in an upstream dep (`isTop AS is_top`) — trace the alias
-              // definition only (never the broad fallbacks: the ident could
-              // equally be an unquoted literal the analyzer printed bare)
+              // definition; failing that, revert default-guessed NESTED
+              // fields with that leaf name (`coalesce(grade, 0)` where
+              // gradeInfo.grade was leaf-spray-arrayified to ARRAY<STRING>)
               !resolvedAny && path.size == 1 &&
-                aliasDefPaths(path.head).map(retypeByPath(_, dt)).exists(identity)
+                (aliasDefPaths(path.head).map(retypeByPath(_, dt)).exists(identity) ||
+                  (modelSources ++ closureSources).flatMap(k =>
+                    synth.fieldPathsByLeaf(k, path.head).collect {
+                      case (fp, t) if t == StringType || t == ArrayType(StringType) =>
+                        k -> fp
+                    }).map { case (k, fp) => synth.retypePath(k, fp, dt) }
+                    .exists(identity))
             }
         }
       }.exists(identity)
@@ -1172,15 +1189,22 @@ object CorpusExecute {
           val sides = Seq(p.get("left"), p.get("right")).flatten.map(_.toUpperCase)
           sides.exists(_.contains("STRUCT")) && sides.exists(_.contains("STRING")) &&
             p.get("sqlExpr").exists { expr =>
-              identPaths(expr).map { path =>
+              identPaths(expr).flatMap { raw =>
+                // the ident may be an upstream SELECT alias
+                // (`validationStatus as validation_status` in a dep)
+                raw +: aliasDefPaths(raw.head).map(_ ++ raw.tail)
+              }.map { path =>
                 val owners = (modelSources ++ closureSources)
                   .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[StructType]))
                 owners.map { k =>
                   synth.typeAt(k, path) match {
-                    // fieldless stub = our own artifact, revert globally;
-                    // a struct with fields is another node's established
-                    // reading — node overlay (own sources only)
-                    case Some(s: StructType) if s.isEmpty =>
+                    // stub-bearing all-string struct = this negotiation's
+                    // own accretion, revert globally; a struct with real
+                    // typed fields is another node's established reading —
+                    // node overlay (own sources only)
+                    case Some(s: StructType)
+                      if s.isEmpty || (s.fieldNames.contains("_graft_stub") &&
+                        s.fields.forall(_.dataType == StringType)) =>
                       synth.retypePath(k, path, StringType)
                     case _ =>
                       modelSources.contains(k) && synth.overlayPatch(k, path, StringType)
@@ -1906,14 +1930,29 @@ object CorpusExecute {
     def refreshNamed(dep: String): Boolean = byName.get(dep).exists { nd =>
       val savedNode = synth.currentNode
       try {
-        synth.currentNode = dep
-        val m = nd.model()
-        ctx.warehouse.drop(dep)
-        new DagRunner(Seq(m)).materialize(ctx, m)
-        lastRunVersion(dep) = synth.version
-        refreshMirror(dep)
-        true
-      } catch { case scala.util.control.NonFatal(_) => false }
+        // run the dep through full NEGOTIATION, not a bare materialize: a
+        // shared source another node just re-typed can make the dep's plan
+        // unanalyzable until its own node-scoped patches (overlays, reverts)
+        // land — exactly what executeNode provides. Bounded iterations and
+        // no nested refreshNode recursion.
+        val item = executeNode(ctx, nd, macros, vars, synth, maxIter = 25,
+          closures.getOrElse(dep, Nil),
+          depsSql = nd.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"),
+          nodeSchemas = nodeSchemas)
+        if (item.status == "executed") {
+          lastRunVersion(dep) = synth.version
+          refreshMirror(dep)
+          true
+        } else {
+          if (debug) System.err.println(s"[corpus-debug] refreshNamed($dep) " +
+            s"-> ${item.status}: ${item.detail.take(160)}")
+          false
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        if (debug) System.err.println(s"[corpus-debug] refreshNamed($dep) FAILED: " +
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(180))
+        false
+      }
       finally synth.currentNode = savedNode
     }
     var passes = 0
@@ -1927,7 +1966,12 @@ object CorpusExecute {
         val node = byName(name)
         val unchanged = passResults.get(name).exists(_.status == "executed") &&
           closureKeysOf(name).forall(k =>
-            synth.keyVersions.getOrElse(k, 0L) <= lastRunVersion.getOrElse(name, -1L))
+            synth.keyVersions.getOrElse(k, 0L) <= lastRunVersion.getOrElse(name, -1L)) &&
+          // a mid-pass refresh may have dropped this node's table and then
+          // failed to rebuild it — version bookkeeping alone would carry the
+          // stale 'executed' forward forever while every reader hits
+          // PATH_NOT_FOUND; verify the materialization is still on disk
+          ctx.warehouse.tableExists(name)
         if (unchanged) {
           // already executed and no source in its closure changed since —
           // its warehouse output is still current, skip the re-run
