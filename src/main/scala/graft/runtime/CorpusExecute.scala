@@ -789,14 +789,16 @@ object CorpusExecute {
             if (owners.nonEmpty)
               owners.map(k => synth.retypePath(k, path, dt)).exists(identity)
             else {
-              val resolvedAny = (modelSources ++ closureSources)
-                .exists(k => synth.typeAt(k, path).isDefined)
-              // unresolvable here: the ident may be a SELECT alias defined
-              // in an upstream dep (`isTop AS is_top`) — trace the alias
-              // definition; failing that, revert default-guessed NESTED
-              // fields with that leaf name (`coalesce(grade, 0)` where
-              // gradeInfo.grade was leaf-spray-arrayified to ARRAY<STRING>)
-              !resolvedAny && path.size == 1 &&
+              // the ident may be a SELECT alias defined in an upstream dep
+              // (`isTop AS is_top`) — trace the alias definition; failing
+              // that, revert default-guessed NESTED fields with that leaf
+              // name (`coalesce(grade, 0)` where gradeInfo.grade was
+              // leaf-spray-arrayified to ARRAY<STRING>). A same-named but
+              // differently-typed TOP-LEVEL column elsewhere must not block
+              // this: the
+              // analyzer's failing operand is provably a default guess, and
+              // only string/array<string> guesses are ever overwritten.
+              path.size == 1 &&
                 (aliasDefPaths(path.head).map(retypeByPath(_, dt)).exists(identity) ||
                   (modelSources ++ closureSources).flatMap(k =>
                     synth.fieldPathsByLeaf(k, path.head).collect {
@@ -1006,7 +1008,51 @@ object CorpusExecute {
       // the named base may itself be a SELECT alias over a source path
       step || aliasDefPaths(rawPath.mkString(".")).map { p =>
         promoteExtractBase(p, reported)
-      }.exists(identity)
+      }.exists(identity) ||
+        // or `LATERAL VIEW EXPLODE(MAP_VALUES(x)) v AS item … item.field`:
+        // x's map VALUE side must be a struct
+        (rawPath.size == 1 && wantString && {
+          val re = ("(?i)explode(?:_outer)?\\s*\\(\\s*map_values\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s*\\)" +
+            "\\s+\\w+\\s+AS\\s+" + java.util.regex.Pattern.quote(rawPath.head) + "(?![\\w])").r
+          re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
+            val tp = t.split("\\.").toSeq
+            val res: Seq[((String, String), Seq[String])] = tp match {
+              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
+                Seq(aliases(h.toLowerCase) -> r)
+              case _ => (modelSources ++ closureSources).map(_ -> tp)
+            }
+            res.map { case (k, pp) =>
+              synth.typeAt(k, pp) match {
+                case Some(MapType(mk, StringType, _)) =>
+                  synth.retypePath(k, pp, MapType(mk, emptyStruct))
+                case Some(StringType) =>
+                  synth.retypePath(k, pp, MapType(StringType, emptyStruct))
+                case _ => false
+              }
+            }.exists(identity)
+          }.exists(identity)
+        }) ||
+        // or an EXPLODE alias (`explode(items) AS item … item.price`): the
+        // exploded target's ELEMENTS must be structs
+        (rawPath.size == 1 && wantString && {
+          val re = ("(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s+(?:AS\\s+)?" +
+            java.util.regex.Pattern.quote(rawPath.head) + "(?![\\w])").r
+          re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
+            val tp = t.split("\\.").toSeq
+            val res: Seq[((String, String), Seq[String])] = tp match {
+              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
+                Seq(aliases(h.toLowerCase) -> r)
+              case _ => (modelSources ++ closureSources).map(_ -> tp)
+            }
+            res.map { case (k, pp) =>
+              synth.typeAt(k, pp) match {
+                case Some(ArrayType(StringType, _)) | Some(StringType) =>
+                  synth.retypePath(k, pp, ArrayType(emptyStruct))
+                case _ => false
+              }
+            }.exists(identity)
+          }.exists(identity)
+        })
     }
 
     cond match {
