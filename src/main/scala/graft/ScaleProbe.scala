@@ -175,6 +175,10 @@ object ScaleProbe {
         timed(s"txlog_read after $commits commits") {
           TxLog.read(spark, t).count()
         }
+        TxLog.compact(spark, t, targetFiles = 4)
+        timed(s"txlog_read after $commits commits + compact") {
+          TxLog.read(spark, t).count()
+        }
       }
       txProbe(20)
       txProbe(200)

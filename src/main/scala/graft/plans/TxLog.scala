@@ -382,6 +382,26 @@ object TxLog {
     deleted
   }
 
+  /** Compaction (Delta's OPTIMIZE): rewrite the live file set into
+    * `targetFiles` coalesced files per partition-value group and commit
+    * remove-all + add-few atomically. Append-heavy tables accumulate one
+    * small file per commit; at 200 commits the ScaleProbe measured snapshot
+    * RESOLUTION still flat (checkpointed) but the parquet READ dominated by
+    * per-file open cost — exactly the lifecycle gap OPTIMIZE exists for.
+    * Readers holding the pre-compaction snapshot keep working (the old
+    * files are tombstones until vacuum); the table's rows are unchanged. */
+  def compact(spark: SparkSession, table: Path, targetFiles: Int = 1): Long = {
+    val snap = snapshot(table)
+    val df = readSubset(spark, table, snap.files, snap.partitionCols)
+      .coalesce(math.max(1, targetFiles))
+    retryingCommit(table) { cur =>
+      val now = System.currentTimeMillis()
+      val adds = stage(table, df, cur.partitionCols)
+      metaJson(cur.partitionCols) +:
+        (cur.files.map(f => removeJson(f.path, now)) ++ adds.map(addJson))
+    }
+  }
+
   /** Commit history (version, action counts) — observability parity with
     * `DESCRIBE HISTORY`. */
   def history(table: Path): Seq[(Long, Int, Int)] = {

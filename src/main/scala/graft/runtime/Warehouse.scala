@@ -539,10 +539,16 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private def canonicalCast(name: String, df: DataFrame): DataFrame =
     canonicalSchema(name) match {
       case Some(s) =>
-        val present = df.columns.toSet
+        val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
         df.select(s.fields.toSeq.map { f =>
-          if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          actual.get(f.name) match {
+            // nullability-normalized identity: casting e.g. array<string>
+            // with containsNull=true to a canonical containsNull=false is
+            // both unnecessary and rejected by the analyzer
+            case Some(t) if t.catalogString == f.dataType.catalogString => col(f.name)
+            case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }: _*)
       case None => df
     }

@@ -12,10 +12,12 @@ import graft.runtime._
 class OnfySessionsRealSpec extends SparkSpec {
   import spark.implicits._
 
-  test("REAL onfy_sessions.sql sessionizes a planted device stream") {
+  /** Plant the device stream + transactions + sources, run the real file,
+    * return the materialized output. Shared by the parquet and the
+    * transaction-log (file_format='delta') runs. */
+  private def plantAndRun(ctx: Ctx): org.apache.spark.sql.DataFrame = {
     val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
       "/root/reference/models/spark/onfy/onfy_sessions.sql"))
-    val ctx = freshCtx()
     ctx.sources.register("onfy_mart", "device_events")(s => {
       import s.implicits._
       Seq(("z1", "2025-03-03 10:00:00", "homeOpen"),
@@ -54,8 +56,11 @@ class OnfySessionsRealSpec extends SparkSpec {
       for ((n, st) <- new DagRunner(Seq(model)).run(ctx, selectors = Seq("onfy_sessions")))
         assert(st.isInstanceOf[RunStatus.Success], s"$n: $st")
     } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    ctx.ref("onfy_sessions")
+  }
 
-    val out = ctx.ref("onfy_sessions")
+  test("REAL onfy_sessions.sql sessionizes a planted device stream") {
+    val out = plantAndRun(freshCtx())
     assert(out.count() == 2)
     val s1 = out.filter($"session_num" === 1).selectExpr(
       "source", "channel_type", "campaign", "medium",
@@ -77,5 +82,27 @@ class OnfySessionsRealSpec extends SparkSpec {
       .as[(String, Option[String], String, Long, Long, Option[String])].head()
     // gap-started session: no source row in it -> free channel, null sums
     assert(s2 == (("free", None, "catalogOpen", 1L, 0L, None)), s2.toString)
+  }
+
+  test("REAL onfy_sessions.sql materializes onto the transaction log " +
+    "(its own file_format='delta') with identical output") {
+    // the model's config declares file_format='delta'; with a log-enabled
+    // warehouse DagRunner routes the insert_overwrite through TxLog
+    val pq = plantAndRun(freshCtx())
+    val lgCtx = Ctx(spark,
+      new Warehouse(spark, TempDirs.create("graft_wh_onfy_lg"), logFormatEnabled = true),
+      SourceRegistry.overDir(spark, "/root/testdata/sf0.001"))
+    val lg = plantAndRun(lgCtx)
+    assert(lgCtx.warehouse.isLogBacked("onfy_sessions"),
+      "delta-declared model must land on the transaction log")
+    assert(!lgCtx.warehouse.isLogBacked("transactions"),
+      "plain createTable fixtures stay parquet")
+    val a = pq.collect().map(_.toString).sorted.toSeq
+    val b = lg.collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"txlog run diverged from parquet run:\n${a.take(2)}\n${b.take(2)}")
+    // commit history exists and is readable through the log
+    val hist = graft.plans.TxLog.history(
+      java.nio.file.Paths.get(lgCtx.warehouse.tablePath("onfy_sessions")))
+    assert(hist.nonEmpty && hist.head._2 > 0, s"expected add-actions in $hist")
   }
 }

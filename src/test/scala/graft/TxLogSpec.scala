@@ -99,6 +99,21 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(t).files.size == TxLog.snapshot(t, 12L).files.size)
   }
 
+  test("compaction coalesces the live set, preserves rows and old snapshots") {
+    val t = freshTable()
+    TxLog.overwrite(t, df((0, "a", 0.0)), Seq("part"))
+    for (i <- 1 to 8) TxLog.append(t, df((i, "a", i.toDouble)))
+    val before = TxLog.snapshot(t)
+    assert(before.files.size >= 9, s"appends should accumulate files: ${before.files.size}")
+    val v = TxLog.compact(spark, t, targetFiles = 1)
+    val after = TxLog.snapshot(t)
+    assert(after.files.size < before.files.size,
+      s"compaction must shrink the file count: ${before.files.size} -> ${after.files.size}")
+    assert(TxLog.read(spark, t).select($"id").as[Int].collect().toSet == (0 to 8).toSet)
+    // pre-compaction snapshot still readable (tombstones, not deletes)
+    assert(TxLog.read(spark, t, asOf = v - 1).count() == 9)
+  }
+
   test("manifest partition pruning reads only the requested partition's files") {
     val t = freshTable()
     TxLog.overwrite(t, df((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)), Seq("part"))
