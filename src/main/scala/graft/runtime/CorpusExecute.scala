@@ -632,9 +632,15 @@ object CorpusExecute {
         lazy val scoped = scopedSources(path)
         candidates.iterator.map { cp =>
           // scope-restricted first: only the sources of the enclosing
-          // SELECT block get the column; offer-everywhere is the fallback
-          val local = scoped.map(k => synth.addPath(k, cp)).exists(identity) ||
-            (scoped.isEmpty && modelSources.map(k => synth.addPath(k, cp)).exists(identity))
+          // SELECT block get the column; offer-everywhere is the fallback.
+          // If every scope-attributed source ALREADY carries the column, the
+          // attribution provably missed the failing block (the analyzer
+          // would have resolved it there) — a UNION of per-network insight
+          // tables where only some declare campaign_id hits exactly this.
+          val scopedHit = scoped.map(k => synth.addPath(k, cp)).exists(identity)
+          val local = scopedHit ||
+            ((scoped.isEmpty || scoped.forall(k => synth.has(k, cp.head))) &&
+              modelSources.map(k => synth.addPath(k, cp)).exists(identity))
           local || closureSources.map(k => synth.addPath(k, cp)).exists(identity)
         }.find(identity).getOrElse {
           // every plain offer was a no-op. Two remaining explanations:
