@@ -204,7 +204,12 @@ object CorpusExecute {
       if (conflictsEstablished(st, path))
         return overlayPatch(key, path, StringType)
       val updated = mergePath(st, path)
-      if (updated == st) false
+      if (updated == st) {
+        if (CorpusExecute.debug)
+          println(s"[synth] addPath no-op ${key._1}.${key._2} ${path.mkString(".")} " +
+            s"(schema=${st.simpleString.take(120)})")
+        false
+      }
       else { schemas(key) = updated; version += 1; keyVersions(key) = version; markDirty(key); true }
     }
 
@@ -757,10 +762,31 @@ object CorpusExecute {
       * global stands. Only this model's own sources qualify (an overlay on
       * a closure source would never be seen: upstreams re-materialize under
       * their own node view). */
-    def overlayScalarConflict(path: Seq[String], dt: DataType): Boolean = {
+    /** Sources whose ALIAS qualifies `ident` as an argument of the failing
+      * function in the rendered text: `round(refund, 3)` loses the `ord.`
+      * qualifier the SQL actually wrote (`ROUND(ord.refund, 3)`) — recover
+      * it so a scalar-conflict overlay lands only on the source the failing
+      * call reads, not on a co-sourced table whose SAME-NAMED column this
+      * very node legitimately reads as a struct (gold_orders: star_order's
+      * numeric `refund` vs merchant_order's `refund.merchant_reason`). */
+    def argQualifiedKeys(sqlExpr: String, ident: String): Seq[(String, String)] = {
+      val fn = "^([A-Za-z_]\\w*)\\s*\\(".r
+        .findFirstMatchIn(stripDq(sqlExpr).trim).map(_.group(1))
+      fn.toSeq.flatMap { f =>
+        ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(f) +
+          "\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\.\\s*" +
+          java.util.regex.Pattern.quote(ident) + "(?![\\w])").r
+          .findAllMatchIn(pc.renderedSql)
+          .flatMap(m => aliases.get(m.group(1).toLowerCase)).toSeq
+      }.distinct
+    }
+
+    def overlayScalarConflict(path: Seq[String], dt: DataType,
+                              restrictTo: Seq[(String, String)] = Nil): Boolean = {
       val resolved: Seq[((String, String), Seq[String])] = path match {
         case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
           Seq(aliases(head.toLowerCase) -> rest)
+        case _ if restrictTo.nonEmpty => restrictTo.map(_ -> path)
         case _ => modelSources.map(_ -> path)
       }
       resolved.map { case (k, pp) =>
@@ -1543,12 +1569,18 @@ object CorpusExecute {
                 retypeLeafFields(direct.split("\\.").toSeq, _ == StringType, dt)
             } || {
               // `ROUND(refund, 3)` needs NUMERIC but `refund` is the STRUCT
-              // another model negotiated on the shared source — node overlay
+              // another model negotiated on the shared source — node overlay,
+              // restricted to the alias-qualified source of the failing call
+              // when the rendered text identifies one
               val direct = stripDq(inputSql).trim
               val paths =
                 if (direct.matches("[A-Za-z_][\\w.]*")) Seq(direct.split("\\.").toSeq)
                 else identPaths(inputSql)
-              paths.map(overlayScalarConflict(_, dt)).exists(identity)
+              paths.map { path =>
+                val restrict =
+                  if (path.size == 1) argQualifiedKeys(sqlExpr, path.head) else Nil
+                overlayScalarConflict(path, dt, restrict)
+              }.exists(identity)
             }
           }
         }
@@ -2090,7 +2122,17 @@ object CorpusExecute {
     for (key @ (db, tbl) <- rawHere;
          e <- aliasEntries(renderedSql, s"$db.$tbl", key))
       aliases.getOrElseUpdate(e._1, e._2)
+    if (debug && rawHere.nonEmpty)
+      println(s"[corpus-debug] ${node.name} rawHere=" +
+        rawHere.map { case (d, t) => s"$d.$t" }.mkString(",") +
+        " aliasKeys=" + aliases.keys.mkString(","))
     rendered.foreach(r => preSeed(r.text, aliases.toMap, synth))
+    // preSeed can widen raw-catalog schemas (e.g. a raw `db.tbl AS alias`
+    // whose columns appear qualified in the text): the on-disk stub must
+    // reflect that BEFORE the first build, or the patcher sees an addPath
+    // no-op against an already-widened in-memory schema and classifies a
+    // gap the catalog table itself caused
+    synth.flushCatalog()
     // un-renderable Jinja left in the body (e.g. the reference's committed
     // unclosed-paren source() call) can never parse as SQL for any engine —
     // classify as a corpus defect rather than burning negotiation iterations
