@@ -548,7 +548,8 @@ object CorpusExecute {
                             synth: Synth,
                             warehouse: Option[Warehouse] = None,
                             depsSql: String = "",
-                            nodeSchemas: Map[String, String] = Map.empty) {
+                            nodeSchemas: Map[String, String] = Map.empty,
+                            aliasAlts: Map[String, Seq[(String, String)]] = Map.empty) {
     /** Text searched for `<path> AS name` alias definitions: this model's
       * rendered SQL plus its direct deps' raw SQL — a column this model
       * reads from a ref() is often a SELECT alias defined UPSTREAM
@@ -570,6 +571,14 @@ object CorpusExecute {
     val p = Option(e.getMessageParameters).map(_.asScala.toMap).getOrElse(Map.empty)
     import pc.{aliases, modelSources, closureSources, synth}
     val spark = synth.spark
+
+    /** EVERY relation a qualifier names: the unambiguous binding plus any
+      * multi-target alternates (an alias letter reused across relations —
+      * `AS t` for a source view in one block and a raw catalog table in
+      * another). Resolution sites must reach all of them. */
+    def aliasKeysOf(head: String): Seq[(String, String)] =
+      aliases.get(head.toLowerCase).toSeq ++
+        pc.aliasAlts.getOrElse(head.toLowerCase, Nil)
 
     /** The source tables in the failing column's LEXICAL SCOPE, from Spark's
       * own parsed (unresolved) plan: the plan nodes whose expressions
@@ -608,9 +617,14 @@ object CorpusExecute {
       }.getOrElse(Nil)
 
     def attribute(path: Seq[String]): Boolean = path match {
-      case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-        // table-qualified: force through tombstones and pin
-        synth.addPath(aliases(head.toLowerCase), rest, force = true, by = pc.nodeName)
+      case head +: rest if rest.nonEmpty && (aliases.contains(head.toLowerCase) ||
+          pc.aliasAlts.contains(head.toLowerCase)) =>
+        // table-qualified: force through tombstones and pin — on EVERY
+        // relation the alias names (multi-target aliases in aliasAlts)
+        (aliases.get(head.toLowerCase).toSeq ++
+          pc.aliasAlts.getOrElse(head.toLowerCase, Nil))
+          .map(k => synth.addPath(k, rest, force = true, by = pc.nodeName))
+          .exists(identity)
       case _ =>
         // unqualified (or qualifier is a CTE/lateral alias): offer the column
         // to every source of this model; ambiguity handling retracts extras.
@@ -672,8 +686,8 @@ object CorpusExecute {
               re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
                 val tp = t.split("\\.").toSeq
                 val resolved: Seq[((String, String), Seq[String])] = tp match {
-                  case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
-                    Seq(aliases(h.toLowerCase) -> r)
+                  case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                    aliasKeysOf(h).map(_ -> r)
                   case _ => (modelSources ++ closureSources).map(_ -> tp)
                 }
                 resolved.map { case (k, pp) =>
@@ -727,28 +741,33 @@ object CorpusExecute {
     def retypeByPath(rawPath: Seq[String], dt: DataType, depth: Int = 2): Boolean = {
       if (depth <= 0) return false
       val path = rawPath match {
-        case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-          return synth.retypePath(aliases(head.toLowerCase), rest, dt)
+        case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+          return aliasKeysOf(head).map(k => synth.retypePath(k, rest, dt))
+            .exists(identity)
         case _ => rawPath
       }
       val local = modelSources.map(k => synth.retypePath(k, path, dt)).exists(identity)
       lazy val inClosure = closureSources.map(k => synth.retypePath(k, path, dt)).exists(identity)
       if (local || inClosure) true
       else {
+        // the name may be a SELECT-list alias over a real source path; last
+        // resort, the path names a field of an exploded/lambda element
+        // (`col.phones`, `product.variants`) — retype every string-typed
+        // NESTED field with that leaf name. These rungs must ALSO run when
+        // a single-owner retype no-ops (the owner can be a planted top-level
+        // impostor whose retype already happened, while the failing read is
+        // of a CTE alias over a nested source field).
+        def aliasRungs: Boolean =
+          aliasDefPaths(path.mkString(".")).map(retypeByPath(_, dt, depth - 1))
+            .exists(identity) ||
+            (modelSources ++ closureSources).flatMap(k =>
+              synth.stringFieldPaths(k, path.last).map(k -> _))
+              .map { case (k, fp) => synth.retypePath(k, fp, dt) }
+              .exists(identity)
         val owners = synth.schemas.keys.filter(k => synth.typeAt(k, path).isDefined).toSeq
         owners match {
-          case Seq(only) => synth.retypePath(only, path, dt)
-          case _ =>
-            // the name may be a SELECT-list alias over a real source path
-            aliasDefPaths(path.mkString(".")).map(retypeByPath(_, dt, depth - 1))
-              .exists(identity) ||
-              // last resort: the path names a field of an exploded/lambda
-              // element (`col.phones`, `product.variants`) — retype every
-              // string-typed NESTED field with that leaf name
-              (modelSources ++ closureSources).flatMap(k =>
-                synth.stringFieldPaths(k, path.last).map(k -> _))
-                .map { case (k, fp) => synth.retypePath(k, fp, dt) }
-                .exists(identity)
+          case Seq(only) => synth.retypePath(only, path, dt) || aliasRungs
+          case _ => aliasRungs
         }
       }
     }
@@ -784,8 +803,8 @@ object CorpusExecute {
     def overlayScalarConflict(path: Seq[String], dt: DataType,
                               restrictTo: Seq[(String, String)] = Nil): Boolean = {
       val resolved: Seq[((String, String), Seq[String])] = path match {
-        case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-          Seq(aliases(head.toLowerCase) -> rest)
+        case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+          aliasKeysOf(head).map(_ -> rest)
         case _ if restrictTo.nonEmpty => restrictTo.map(_ -> path)
         case _ => modelSources.map(_ -> path)
       }
@@ -808,9 +827,10 @@ object CorpusExecute {
           t.contains(StringType) ||
             (t.contains(ArrayType(StringType)) && !dt.isInstanceOf[ArrayType])
         path match {
-          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-            guess(synth.typeAt(aliases(head.toLowerCase), rest)) &&
-              synth.retypePath(aliases(head.toLowerCase), rest, dt)
+          case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+            aliasKeysOf(head).map(k =>
+              guess(synth.typeAt(k, rest)) && synth.retypePath(k, rest, dt))
+              .exists(identity)
           case _ =>
             // retype on EVERY owner where the path still carries a default
             // guess — `(categoryId = category_id)` joins a string-guessed
@@ -850,8 +870,8 @@ object CorpusExecute {
       targets.map { t =>
         val path = t.split("\\.").toSeq
         val resolved: Seq[((String, String), Seq[String])] = path match {
-          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-            Seq(aliases(head.toLowerCase) -> rest)
+          case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+            aliasKeysOf(head).map(_ -> rest)
           case _ => (modelSources ++ closureSources).map(_ -> path)
         }
         resolved.map { case (k, pp) =>
@@ -872,8 +892,8 @@ object CorpusExecute {
       targets.map { t =>
         val path = t.split("\\.").toSeq
         val resolved: Seq[((String, String), Seq[String])] = path match {
-          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-            Seq(aliases(head.toLowerCase) -> rest)
+          case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+            aliasKeysOf(head).map(_ -> rest)
           case _ => (modelSources ++ closureSources).map(_ -> path)
         }
         resolved.map { case (k, pp) =>
@@ -892,8 +912,8 @@ object CorpusExecute {
       path.size > 1 && {
         val parent = path.init
         val resolved: Seq[((String, String), Seq[String])] = parent match {
-          case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
-            Seq(aliases(h.toLowerCase) -> r)
+          case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+            aliasKeysOf(h).map(_ -> r)
           case _ => (modelSources ++ closureSources).map(_ -> parent)
         }
         resolved.map { case (k, pp) =>
@@ -923,8 +943,8 @@ object CorpusExecute {
       val resolved: Seq[((String, String), Seq[String])] = keyHint match {
         case Some(k) => Seq(k -> rawPath)
         case None => rawPath match {
-          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-            Seq(aliases(head.toLowerCase) -> rest)
+          case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+            aliasKeysOf(head).map(_ -> rest)
           case _ => (modelSources ++ closureSources).map(_ -> rawPath)
         }
       }
@@ -966,8 +986,8 @@ object CorpusExecute {
       targets.map { t =>
         val path = t.split("\\.").toSeq
         val resolved: Seq[((String, String), Seq[String])] = path match {
-          case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-            Seq(aliases(head.toLowerCase) -> rest)
+          case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+            aliasKeysOf(head).map(_ -> rest)
           case _ => (modelSources ++ closureSources).map(_ -> path)
         }
         resolved.map { case (k, pp) =>
@@ -990,7 +1010,14 @@ object CorpusExecute {
       if (depth <= 0) return Nil
       val re = ("(?i)(?<![\\w.'\"`])([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s+AS\\s+" +
         java.util.regex.Pattern.quote(name) + "(?![\\w])").r
-      re.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq.distinct
+      // also see through a single aggregate/function wrapper:
+      // `MIN(t.payload.isHidden) AS is_hidden` defines the alias over the
+      // wrapped path (the aggregate doesn't change the negotiated type for
+      // min/max/first/last-style passthroughs)
+      val reAgg = ("(?i)[A-Za-z_]\\w*\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s*\\)\\s+AS\\s+" +
+        java.util.regex.Pattern.quote(name) + "(?![\\w])").r
+      (re.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq ++
+        reAgg.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq).distinct
         .map(_.split("\\s*\\.\\s*").toSeq)
         .filter(p => p != Seq(name)) // `x AS x` loops
         .flatMap { p =>
@@ -1012,10 +1039,11 @@ object CorpusExecute {
       * analyzer reported (`other` param) — never escalate a base the error
       * is not about (the old any-rung ladder turned structs into arrays when
       * the true culprit was an unpromoted twin on another table). */
-    def promoteExtractBase(rawPath: Seq[String], reported: Option[String]): Boolean = {
+    def promoteExtractBase(rawPath: Seq[String], reported: Option[String],
+                           want: Option[DataType] = None): Boolean = {
       val resolved: Seq[((String, String), Seq[String])] = rawPath match {
-        case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-          Seq(aliases(head.toLowerCase) -> rest)
+        case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+          aliasKeysOf(head).map(_ -> rest)
         case _ =>
           val ms = (modelSources ++ closureSources)
             .filter(k => synth.typeAt(k, rawPath).isDefined).map(_ -> rawPath)
@@ -1028,18 +1056,37 @@ object CorpusExecute {
       }
       val wantString = reported.forall(_.toUpperCase.contains("STRING")) &&
         !reported.exists(_.toUpperCase.contains("ARRAY"))
+      // the promoted type follows the SQL's own index-chain shape:
+      // `base[currency]['exchangeRate']` (first key a dynamic IDENT) means
+      // nested maps of the chain's depth, not a struct — computed from the
+      // ORIGINAL failing name and threaded through alias-def recursion
+      // (the underlying field is indexed via its alias, not its own name)
+      val promotedT: DataType = want.getOrElse {
+        val chains = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(rawPath.last) +
+          "((?:\\s*\\[[^\\]\\[]+\\])+)").r.findAllMatchIn(pc.renderedSql).toSeq
+        val dynFirst = chains.exists(_.group(1).trim.drop(1).trim.headOption
+          .exists(c => c.isLetter || c == '_'))
+        val depth = chains.map(_.group(1).count(_ == '[')).maxOption.getOrElse(0)
+        if (dynFirst && depth >= 1)
+          (1 to depth).foldLeft(StringType: DataType)((t, _) => MapType(StringType, t))
+        else emptyStruct
+      }
       val step = resolved.map { case (k, path) =>
         synth.typeAt(k, path) match {
-          case Some(StringType) if wantString => synth.retypePath(k, path, emptyStruct)
+          case Some(StringType) if wantString => synth.retypePath(k, path, promotedT)
           case Some(ArrayType(StringType, _))
             if reported.exists(_.toUpperCase.contains("ARRAY")) =>
             synth.retypePath(k, path, ArrayType(emptyStruct))
           case _ => false
         }
       }.exists(identity)
-      // the named base may itself be a SELECT alias over a source path
+      // the named base may itself be a SELECT alias over a source path —
+      // which can live under a star-expanded struct (`payload.* …
+      // currencies.companyRates AS company_rates`), reachable only by the
+      // alias-def path's LEAF name
       step || aliasDefPaths(rawPath.mkString(".")).map { p =>
-        promoteExtractBase(p, reported)
+        promoteExtractBase(p, reported, Some(promotedT)) ||
+          (wantString && retypeLeafFields(p, _ == StringType, promotedT))
       }.exists(identity) ||
         // or `LATERAL VIEW EXPLODE(MAP_VALUES(x)) v AS item … item.field`:
         // x's map VALUE side must be a struct
@@ -1049,8 +1096,8 @@ object CorpusExecute {
           re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
             val tp = t.split("\\.").toSeq
             val res: Seq[((String, String), Seq[String])] = tp match {
-              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
-                Seq(aliases(h.toLowerCase) -> r)
+              case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                aliasKeysOf(h).map(_ -> r)
               case _ => (modelSources ++ closureSources).map(_ -> tp)
             }
             res.map { case (k, pp) =>
@@ -1072,8 +1119,8 @@ object CorpusExecute {
           re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
             val tp = t.split("\\.").toSeq
             val res: Seq[((String, String), Seq[String])] = tp match {
-              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
-                Seq(aliases(h.toLowerCase) -> r)
+              case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                aliasKeysOf(h).map(_ -> r)
               case _ => (modelSources ++ closureSources).map(_ -> tp)
             }
             res.map { case (k, pp) =>
@@ -1115,8 +1162,8 @@ object CorpusExecute {
           }
           def retypeTarget(tp: Seq[String], f: DataType => Option[DataType]): Boolean = {
             val resolved: Seq[((String, String), Seq[String])] = tp match {
-              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
-                Seq(aliases(h.toLowerCase) -> r)
+              case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                aliasKeysOf(h).map(_ -> r)
               case _ => (modelSources ++ closureSources).map(_ -> tp)
             }
             resolved.map { case (k, pp) =>
@@ -1264,13 +1311,25 @@ object CorpusExecute {
         // could never analyze in the reference's own SQL either, so ANY
         // struct operand here is our artifact and reverting it is safe
         def stubRevert(): Boolean = {
-          val sides = Seq(p.get("left"), p.get("right")).flatten.map(_.toUpperCase)
-          sides.exists(_.contains("STRUCT")) && sides.exists(_.contains("STRING")) &&
+          val sides = Seq(p.get("left"), p.get("right")).flatten
+            .map(_.toUpperCase.replaceAll("\"", ""))
+          // a stub struct compared against ANY scalar (string, int, bool…)
+          // is our accretion artifact — the reference's own SQL could never
+          // analyze a struct=scalar comparison
+          val scalarSide = sides.find(s =>
+            !s.contains("STRUCT") && !s.startsWith("ARRAY") && !s.startsWith("MAP"))
+          def isStub(s: StructType): Boolean =
+            s.isEmpty || (s.fieldNames.contains("_graft_stub") &&
+              s.fields.forall(_.dataType == StringType))
+          sides.exists(_.contains("STRUCT")) && scalarSide.isDefined &&
             p.get("sqlExpr").exists { expr =>
+              val revertT = scalarSide.flatMap(typeFor).getOrElse(StringType)
               identPaths(expr).flatMap { raw =>
                 // the ident may be an upstream SELECT alias
-                // (`validationStatus as validation_status` in a dep)
-                raw +: aliasDefPaths(raw.head).map(_ ++ raw.tail)
+                // (`validationStatus as validation_status` in a dep), or
+                // carry a relation-alias head the ambiguity-dropper removed
+                val dropped = if (raw.size > 1) Seq(raw.tail) else Nil
+                (raw +: dropped) ++ aliasDefPaths(raw.head).map(_ ++ raw.tail)
               }.map { path =>
                 val owners = (modelSources ++ closureSources)
                   .filter(k => synth.typeAt(k, path).exists(_.isInstanceOf[StructType]))
@@ -1280,14 +1339,23 @@ object CorpusExecute {
                     // own accretion, revert globally; a struct with real
                     // typed fields is another node's established reading —
                     // node overlay (own sources only)
-                    case Some(s: StructType)
-                      if s.isEmpty || (s.fieldNames.contains("_graft_stub") &&
-                        s.fields.forall(_.dataType == StringType)) =>
-                      synth.retypePath(k, path, StringType)
+                    case Some(s: StructType) if isStub(s) =>
+                      synth.retypePath(k, path, revertT)
                     case _ =>
-                      modelSources.contains(k) && synth.overlayPatch(k, path, StringType)
+                      modelSources.contains(k) && synth.overlayPatch(k, path, revertT)
                   }
-                }.exists(identity)
+                }.exists(identity) || {
+                  // the struct operand may be an ELEMENT of an indexed array
+                  // (`categories[0] = category_id`): revert the array's stub
+                  // element type to the scalar side, not the scalar to struct
+                  val arrOwners = (modelSources ++ closureSources).filter(k =>
+                    synth.typeAt(k, path).exists {
+                      case ArrayType(s: StructType, _) => isStub(s)
+                      case _ => false
+                    })
+                  arrOwners.map(k => synth.retypePath(k, path, ArrayType(revertT)))
+                    .exists(identity)
+                }
               }.exists(identity)
             }
         }
@@ -1375,8 +1443,8 @@ object CorpusExecute {
             inList.exists { ident =>
               val path = ident.split("\\.").toSeq
               val cur = path match {
-                case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-                  synth.typeAt(aliases(head.toLowerCase), rest)
+                case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+                  aliasKeysOf(head).iterator.flatMap(k => synth.typeAt(k, rest)).nextOption()
                 case _ => (modelSources ++ closureSources).iterator
                   .flatMap(k => synth.typeAt(k, path)).nextOption()
               }
@@ -1515,8 +1583,8 @@ object CorpusExecute {
         } else if (required.contains("ARRAY") && mapIndexBase.isDefined) {
           val path = mapIndexBase.get.split("\\.").toSeq
           val resolved: Seq[((String, String), Seq[String])] = path match {
-            case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-              Seq(aliases(head.toLowerCase) -> rest)
+            case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+              aliasKeysOf(head).map(_ -> rest)
             case _ => (modelSources ++ closureSources).map(_ -> path)
           }
           resolved.map { case (k, pp) =>
@@ -1537,8 +1605,8 @@ object CorpusExecute {
             else identPaths(inputSql)
           paths.map { path =>
             val cur = path match {
-              case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-                synth.typeAt(aliases(head.toLowerCase), rest)
+              case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+                aliasKeysOf(head).iterator.flatMap(k => synth.typeAt(k, rest)).nextOption()
               case _ => (modelSources ++ closureSources).iterator
                 .flatMap(k => synth.typeAt(k, path)).nextOption()
             }
@@ -1601,8 +1669,13 @@ object CorpusExecute {
           dynBases.map { b =>
             val path = b.split("\\.").toSeq
             val resolved: Seq[((String, String), Seq[String])] = path match {
-              case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-                Seq(aliases(head.toLowerCase) -> rest)
+              case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
+                aliasKeysOf(head).map(_ -> rest)
+              case _ +: rest =>
+                // head may be a relation alias the ambiguity-dropper removed
+                // from the alias map — try the tail as well (typeAt-guarded)
+                (modelSources ++ closureSources).map(_ -> path) ++
+                  (if (rest.nonEmpty) (modelSources ++ closureSources).map(_ -> rest) else Nil)
               case _ => (modelSources ++ closureSources).map(_ -> path)
             }
             resolved.map { case (k, pp) =>
@@ -1621,9 +1694,20 @@ object CorpusExecute {
           val path = b.split("\\.").toSeq
           val resolved: Seq[((String, String), Seq[String])] = path match {
             case head +: rest if rest.nonEmpty && aliases.contains(head.toLowerCase) =>
-              Seq(aliases(head.toLowerCase) -> rest)
+              Seq(aliases(head.toLowerCase) -> rest) ++
+                pc.aliasAlts.getOrElse(head.toLowerCase, Nil).map(_ -> rest)
+            case _ +: rest =>
+              // head may be a relation alias the ambiguity-dropper removed
+              // from the alias map — try the tail as well (typeAt-guarded)
+              (modelSources ++ closureSources).map(_ -> path) ++
+                (if (rest.nonEmpty) (modelSources ++ closureSources).map(_ -> rest) else Nil)
             case _ => (modelSources ++ closureSources).map(_ -> path)
           }
+          if (CorpusExecute.debug)
+            println(s"[corpus-debug] extract-field base=$b resolved=" + resolved.map {
+              case (k, pp) => s"${k._1}.${k._2}:${pp.mkString(".")}=" +
+                synth.typeAt(k, pp).map(_.simpleString.take(30)).getOrElse("∅")
+            }.mkString(" "))
           resolved.map { case (k, pp) =>
             synth.typeAt(k, pp) match {
               case Some(s: StructType) => synth.retypePath(k, pp, ArrayType(s))
@@ -1755,8 +1839,8 @@ object CorpusExecute {
           tgtRe.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
             val tp = t.split("\\.").toSeq
             val resolved: Seq[((String, String), Seq[String])] = tp match {
-              case h +: r if r.nonEmpty && aliases.contains(h.toLowerCase) =>
-                Seq(aliases(h.toLowerCase) -> r)
+              case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                aliasKeysOf(h).map(_ -> r)
               case _ => (modelSources ++ closureSources).map(_ -> tp)
             }
             resolved.map { case (k, pp) =>
@@ -2119,9 +2203,22 @@ object CorpusExecute {
     val rawHere = synth.rawCatalogKeys.toSeq.filter { case (db, tbl) =>
       renderedSql.toLowerCase.contains(s"$db.$tbl".toLowerCase) }
     synth.nodeRawKeys(node.name) = rawHere
+    // an alias letter reused for SEVERAL relations (`… AS t` for two source
+    // views, or a source view + a raw catalog table): aliasMap drops such
+    // multi-target aliases, but qualified attribution still needs to reach
+    // every relation the alias names (0-row semantics: planting the column
+    // on all of them is harmless) — collect all targets here
+    val aliasAlts = mutable.Map.empty[String, Seq[(String, String)]]
+    for ((a, es) <- srcs.flatMap(st =>
+           aliasEntries(renderedSql, viewNameOf(st._1, st._2), st)).groupBy(_._1)
+         if es.map(_._2).distinct.size > 1)
+      aliasAlts(a) = es.map(_._2).distinct
     for (key @ (db, tbl) <- rawHere;
-         e <- aliasEntries(renderedSql, s"$db.$tbl", key))
-      aliases.getOrElseUpdate(e._1, e._2)
+         e <- aliasEntries(renderedSql, s"$db.$tbl", key)) {
+      if (aliases.get(e._1).exists(_ != e._2) || aliasAlts.contains(e._1))
+        aliasAlts(e._1) = (aliasAlts.getOrElse(e._1, Nil) :+ e._2).distinct
+      else aliases.getOrElseUpdate(e._1, e._2)
+    }
     if (debug && rawHere.nonEmpty)
       println(s"[corpus-debug] ${node.name} rawHere=" +
         rawHere.map { case (d, t) => s"$d.$t" }.mkString(",") +
@@ -2142,7 +2239,7 @@ object CorpusExecute {
           .getOrElse("").trim.take(200))
     val pc = PatchCtx(node.name, srcs ++ rawHere, closure.filterNot(srcs.contains),
       aliases, renderedSql, synth, Some(ctx.warehouse), depsSql = depsSql,
-      nodeSchemas = nodeSchemas)
+      nodeSchemas = nodeSchemas, aliasAlts = aliasAlts.toMap)
 
     // fixpoint passes rebuild from scratch: schema growth must never merge
     // into (or SCD2-advance against) last pass's narrower files
