@@ -309,19 +309,28 @@ object CorpusExecute {
       }
     }
 
-    /** Replace the type at `path` in `key`; true if changed. */
-    def retypePath(key: (String, String), path: Seq[String], dt: DataType): Boolean =
+    /** Replace the type at `path` in `key`; true if changed. The current
+      * node's OWN overlay at that path is dropped too — the node is actively
+      * renegotiating the path, and a stale overlay would re-impose the old
+      * type on every rebuild, masking the global change (the
+      * `categories[0] = category_id` revert↔promote ping-pong). */
+    def retypePath(key: (String, String), path: Seq[String], dt: DataType): Boolean = {
+      val ovCleared = overlays.get((currentNode, key)).exists { m =>
+        m.keys.find(p => p.map(_.toLowerCase) == path.map(_.toLowerCase))
+          .exists { p => if (m(p) == dt) false else { m.remove(p); true } }
+      }
       schemas.get(key) match {
         case Some(st) =>
           val updated = retypeIn(st, path, dt)
-          if (updated == st) false
+          if (updated == st) ovCleared
           else {
             if (CorpusExecute.debug)
               println(s"[synth] retype ${key._1}.${key._2} ${path.mkString(".")} -> ${dt.simpleString.take(60)}")
             schemas(key) = updated; version += 1; keyVersions(key) = version; markDirty(key); true
           }
-        case None => false
+        case None => ovCleared
       }
+    }
 
     private def retypeIn(st: StructType, path: Seq[String], dt: DataType): StructType =
       st.fields.indexWhere(_.name.equalsIgnoreCase(path.head)) match {
@@ -1040,7 +1049,8 @@ object CorpusExecute {
       * is not about (the old any-rung ladder turned structs into arrays when
       * the true culprit was an unpromoted twin on another table). */
     def promoteExtractBase(rawPath: Seq[String], reported: Option[String],
-                           want: Option[DataType] = None): Boolean = {
+                           want: Option[DataType] = None, depth: Int = 3): Boolean = {
+      if (depth <= 0) return false
       val resolved: Seq[((String, String), Seq[String])] = rawPath match {
         case head +: rest if rest.nonEmpty && aliasKeysOf(head).nonEmpty =>
           aliasKeysOf(head).map(_ -> rest)
@@ -1077,15 +1087,24 @@ object CorpusExecute {
           case Some(ArrayType(StringType, _))
             if reported.exists(_.toUpperCase.contains("ARRAY")) =>
             synth.retypePath(k, path, ArrayType(emptyStruct))
+          case Some(ArrayType(StringType, _)) if wantString =>
+            // the reported STRING is the array's ELEMENT (the base is an
+            // explode/lambda output): promote the element type
+            synth.retypePath(k, path, ArrayType(promotedT))
           case _ => false
         }
       }.exists(identity)
       // the named base may itself be a SELECT alias over a source path —
       // which can live under a star-expanded struct (`payload.* …
       // currencies.companyRates AS company_rates`), reachable only by the
-      // alias-def path's LEAF name
-      step || aliasDefPaths(rawPath.mkString(".")).map { p =>
-        promoteExtractBase(p, reported, Some(promotedT)) ||
+      // alias-def path's LEAF name. A multipart base also tries its TAIL's
+      // alias-defs (the head may be a CTE alias: `po.procurement_statuses`
+      // where the CTE selects `procurementStatuses AS procurement_statuses`)
+      val defs = (aliasDefPaths(rawPath.mkString(".")) ++
+        (if (rawPath.size > 1) aliasDefPaths(rawPath.last) else Nil))
+        .filterNot(_ == rawPath)
+      step || defs.map { p =>
+        promoteExtractBase(p, reported, Some(promotedT), depth - 1) ||
           (wantString && retypeLeafFields(p, _ == StringType, promotedT))
       }.exists(identity) ||
         // or `LATERAL VIEW EXPLODE(MAP_VALUES(x)) v AS item … item.field`:
@@ -1392,9 +1411,15 @@ object CorpusExecute {
               }.exists(identity)
             }
           }
+        // a side carrying our own `_graft_stub` marker is never authoritative:
+        // it is either this negotiation's accretion (stubRevert's job) or a
+        // STALE upstream table built before a revert — promoting the guess
+        // side to match it re-freezes the bad type and starves the
+        // refreshUpstreams path of its no-patch trigger
+        def isStubType(t: String) = t.toUpperCase.contains("_GRAFT_STUB")
         val fromSides = (p.get("left"), p.get("right")) match {
-          case (Some(l), Some(r)) if isGuess(l) && !isGuess(r) => typeFor(r)
-          case (Some(l), Some(r)) if isGuess(r) && !isGuess(l) => typeFor(l)
+          case (Some(l), Some(r)) if isGuess(l) && !isGuess(r) && !isStubType(r) => typeFor(r)
+          case (Some(l), Some(r)) if isGuess(r) && !isGuess(l) && !isStubType(l) => typeFor(l)
           case _ => None
         }
         if (stubRevert() || arrayGuessRevert() || lambdaElemRetype()) return true
@@ -1625,7 +1650,12 @@ object CorpusExecute {
               // and leaf rungs reach the underlying column; then the plain
               // leaf fallback
               (cur.isEmpty && (retypeByPath(path, ArrayType(StringType)) ||
-                retypeLeafFields(path, _ == StringType, ArrayType(StringType))))
+                retypeLeafFields(path, _ == StringType, ArrayType(StringType)))) ||
+              // cur may be a same-named IMPOSTOR on an unrelated co-source
+              // (already array): the failing occurrence reads a SELECT
+              // alias over a different table's column — chase the alias def
+              aliasDefPaths(path.mkString(".")).map(p =>
+                retypeByPath(p, ArrayType(StringType))).exists(identity)
           }.exists(identity)
         } else {
           typeFor(required).exists { dt =>
@@ -1719,7 +1749,45 @@ object CorpusExecute {
             (modelSources ++ closureSources).flatMap(k =>
               synth.stringFieldPaths(k, path.last).map(k -> _))
               .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(emptyStruct)) }
-              .exists(identity)
+              .exists(identity) ||
+            // `variant.attributes.value[0]`: `attributes` (found nested, by
+            // leaf name) is a STRUCT carrying `value` — the mongo shape is
+            // an ARRAY of that struct, whose field extraction vectorizes
+            // into an indexable array
+            (path.size >= 2 && {
+              (modelSources ++ closureSources).flatMap { k =>
+                synth.fieldPathsByLeaf(k, path.init.last).collect {
+                  case (fp, s: StructType)
+                    if s.fieldNames.exists(_.equalsIgnoreCase(path.last)) =>
+                    (k, fp, s)
+                }
+              }.map { case (k, fp, s) => synth.retypePath(k, fp, ArrayType(s)) }
+                .exists(identity)
+            }) ||
+            // `explode(statusChangedEvents) AS st … st.statuses[0]`: the
+            // head is an explode-output alias — the exploded element's
+            // field at the path tail must be an array (typeAt/retypePath
+            // walk through the array element transparently)
+            (path.size >= 2 && {
+              val exRe = ("(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s+(?:AS\\s+)?" +
+                java.util.regex.Pattern.quote(path.head) + "(?![\\w])").r
+              exRe.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
+                val tp = t.split("\\.").toSeq
+                val keys: Seq[((String, String), Seq[String])] = tp match {
+                  case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                    aliasKeysOf(h).map(_ -> r)
+                  case _ => (modelSources ++ closureSources).map(_ -> tp)
+                }
+                keys.map { case (k, pp) =>
+                  val full = pp ++ path.tail
+                  synth.typeAt(k, full) match {
+                    case Some(s: StructType) => synth.retypePath(k, full, ArrayType(s))
+                    case Some(StringType) => synth.retypePath(k, full, ArrayType(emptyStruct))
+                    case _ => false
+                  }
+                }.exists(identity)
+              }.exists(identity)
+            })
         }.exists(identity)
       case "_LEGACY_ERROR_TEMP_1050" =>
         // "Can only star expand struct data types. Attribute: `List(payload,
@@ -2083,8 +2151,12 @@ object CorpusExecute {
           new DagRunner(Seq(m)).materialize(ctx, m)
           lastRunVersion(d) = synth.version
           refreshMirror(d)
+          if (debug) println(s"[corpus-debug] refreshUpstream($d) ok")
           any = true
-        } catch { case scala.util.control.NonFatal(_) => () } // next pass retries
+        } catch { case scala.util.control.NonFatal(e) =>
+          if (debug) println(s"[corpus-debug] refreshUpstream($d) FAILED: " +
+            s"${condOf(e)} ${String.valueOf(e.getMessage).take(120)}")
+        } // next pass retries
         finally synth.currentNode = savedNode
       }
       any
@@ -2319,7 +2391,15 @@ object CorpusExecute {
             // keep negotiating; only defer to the next fixpoint pass if even
             // that leaves the error byte-identical
             val msg = String.valueOf(e.getMessage).take(300)
-            if (msg == lastMsg) stall += 1 else stall = 0
+            if (msg == lastMsg) {
+              stall += 1
+              // a byte-identical error despite a schema change can be fed by
+              // the node's OWN partially-materialized table (a snapshot's
+              // first-run CTAS from iteration 1 freezes the bad schema on
+              // disk; the SCD2-advance query then re-reads it) — drop it so
+              // the next attempt rebuilds from the fixed sources
+              ctx.warehouse.drop(node.name)
+            } else stall = 0
             if (stall >= 1 && refreshUpstreams(node.name)) { lastMsg = ""; stall = 0 }
             else if (stall >= 2)
               return Item(node.name, node.kind, s"gap:deferred:${condOf(e)}",

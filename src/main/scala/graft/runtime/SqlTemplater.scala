@@ -192,7 +192,12 @@ object SqlTemplater {
     val alias = """(?i)\b(?:FROM|JOIN)\s+[`"\w.]+\s+(?:AS\s+)?([A-Za-z_]\w*)""".r
       .findAllMatchIn(text).map(_.group(1).toLowerCase)
       .filterNot(aliasStopWords)
-    (cte ++ alias).toSet
+    // an EXPLICIT `AS name` is an alias even when the name is a keyword —
+    // the corpus aliases relations `AS order` (non-ANSI Spark allows it),
+    // and the stoplist above must not suppress those
+    val aliasExplicit = """(?i)\b(?:FROM|JOIN)\s+[`"\w.]+\s+AS\s+([A-Za-z_]\w*)""".r
+      .findAllMatchIn(text).map(_.group(1).toLowerCase)
+    (cte ++ alias ++ aliasExplicit).toSet
   }
 
   /** Pure-text render of a dbt-style SQL body: config/comment strip, macro
@@ -274,6 +279,16 @@ object SqlTemplater {
     // struct-column access, not a schema-qualified relation), and never
     // inside string literals
     val defined = definedNames(text)
+    // dbt's rendered `schema.table` relation also lets columns qualify by
+    // the BARE table name (`FROM pharmacy.marketing_channel_price_fast_scd2
+    // … marketing_channel_price_fast_scd2.product_id`) — our renamed view
+    // breaks that, so rewrite bare-table qualifiers onto the view name,
+    // unless the statement defines an alias/CTE of the same name
+    for ((schema, table) <- sources if !defined.contains(table.toLowerCase)) {
+      val q = s"""(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(table)}\\b(?=\\s*\\.\\s*[A-Za-z_`])""".r
+      text = rewriteOutsideLiterals(text, q, _ => true,
+        viewName(s"${schema}__${table}"), s"source-bare $schema.$table")
+    }
     for (ref <- refs) {
       val q = s"""(?i)(?<![\\w.`])([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*${java.util.regex.Pattern.quote(ref)}\\b(?=\\s*\\.)""".r
       text = rewriteOutsideLiterals(text, q,
