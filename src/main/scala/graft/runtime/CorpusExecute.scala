@@ -1187,7 +1187,13 @@ object CorpusExecute {
             }
             resolved.map { case (k, pp) =>
               synth.typeAt(k, pp).flatMap(f).exists(synth.retypePath(k, pp, _))
-            }.exists(identity)
+            }.exists(identity) ||
+              // the target can live under a star-expanded struct
+              // (`payload.currencies.* … explode(rates)`): reach it by leaf
+              (modelSources ++ closureSources).flatMap(k =>
+                synth.fieldPathsByLeaf(k, tp.last).map(k -> _))
+                .map { case (k, (fp, t)) => f(t).exists(synth.retypePath(k, fp, _)) }
+                .exists(identity)
           }
           def withField(dt: DataType, field: String): StructType = dt match {
             case s: StructType if s.fieldNames.exists(_.equalsIgnoreCase(field)) => s
@@ -1195,10 +1201,11 @@ object CorpusExecute {
             case _ => StructType(Seq(StructField("_graft_stub", StringType),
               StructField(field, StringType)))
           }
-          val colField = path.size > 1 && path.head.equalsIgnoreCase("col") && {
+          lazy val colField = path.size > 1 && path.head.equalsIgnoreCase("col") && {
             // `col.type`: an explode target must be an ARRAY of a struct
-            // carrying `type` — a map guess there was wrong. Try the
-            // lexically nearest preceding explode first; with nested
+            // carrying `type` — a map guess there was wrong. Prefer the
+            // producers in the referencing block's own plan subtree, then
+            // the lexically nearest preceding explode; with nested
             // subqueries the producer can sit BELOW the reference, so fall
             // back to every explode target in the model.
             val fix: DataType => Option[DataType] = {
@@ -1210,17 +1217,93 @@ object CorpusExecute {
                 Some(ArrayType(withField(s, path.last)))
               case _ => None
             }
-            val near = nearestExplodeTargetsBefore("(?i)(?<![\\w.`])col\\s*\\.")
-              .map(retypeTarget(_, fix)).exists(identity)
-            near || {
-              val all = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
-                .findAllMatchIn(pc.renderedSql).map(_.group(1).split("\\.").toSeq)
-                .toSeq.distinct
-              all.map(retypeTarget(_, fix)).exists(identity)
+            val scopedT = scopeGeneratorTargets("col")
+            scopedT.map(retypeTarget(_, fix)).exists(identity) || {
+              val near = nearestExplodeTargetsBefore("(?i)(?<![\\w.`])col\\s*\\.")
+                .map(retypeTarget(_, fix)).exists(identity)
+              near || {
+                val all = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+                  .findAllMatchIn(pc.renderedSql).map(_.group(1).split("\\.").toSeq)
+                  .toSeq.distinct
+                all.map(retypeTarget(_, fix)).exists(identity)
+              }
             }
           }
+          // a bare `key`/`value` reference only implies a map explode when
+          // the referencing block's own subtree holds a generator — `key`
+          // can be a PLAIN COLUMN of another table (core_i18ndata's key/val),
+          // and a cross-CTE textual-proximity flip corrupted the unrelated
+          // explode's target (email_texts ping-pong)
+          def scopeHasGenerator(refName: String): Boolean = scala.util.Try {
+            import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedGenerator}
+            import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, UnresolvedWith}
+            val plan = pc.parsedPlan.getOrElse(return false)
+            val ctes: Map[String, LogicalPlan] = plan.collect {
+              case w: UnresolvedWith =>
+                w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
+            }.flatten.toMap
+            def hasGen(p: LogicalPlan, depth: Int): Boolean =
+              p.collectFirst { case g: Generate => g }.isDefined ||
+                p.expressions.exists(_.collectFirst {
+                  case g: UnresolvedGenerator => g }.isDefined) ||
+                (depth > 0 && p.collect {
+                  case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                    r.multipartIdentifier.last.toLowerCase
+                }.exists(n => ctes.get(n).exists(hasGen(_, depth - 1))))
+            val target = refName.toLowerCase
+            plan.collect {
+              case p if p.expressions.exists(_.collectFirst {
+                case a: UnresolvedAttribute
+                  if a.nameParts.map(_.toLowerCase) == Seq(target) => a
+              }.isDefined) => p
+            }.exists(hasGen(_, 2))
+          }.getOrElse(true) // parse failure: keep the old permissive behavior
+          /** Explode/posexplode ARGUMENT paths inside the subtree of every
+            * plan node referencing `refName` (CTE bodies expanded two
+            * levels) — the producers a `key`/`value`/`col` default-alias
+            * reference can actually see. Textual nearest-explode guessing
+            * flipped UNRELATED targets in multi-explode models
+            * (fact_order_change's rates-map vs typedPrices-array war). */
+          def scopeGeneratorTargets(refName: String): Seq[Seq[String]] = scala.util.Try {
+            import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedGenerator, UnresolvedRelation}
+            import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+            import org.apache.spark.sql.catalyst.expressions.Expression
+            val plan = pc.parsedPlan.getOrElse(return Nil)
+            val ctes: Map[String, LogicalPlan] = plan.collect {
+              case w: UnresolvedWith =>
+                w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
+            }.flatten.toMap
+            val genName = "(?i)(pos)?explode(_outer)?".r
+            def fromExpr(e: Expression): Seq[Seq[String]] = e.collect {
+              case f: UnresolvedFunction
+                if genName.matches(f.nameParts.last) =>
+                f.arguments.flatMap(_.collectFirst {
+                  case a: UnresolvedAttribute => a.nameParts })
+              case g: UnresolvedGenerator
+                if genName.matches(g.name.funcName) =>
+                g.children.flatMap(_.collectFirst {
+                  case a: UnresolvedAttribute => a.nameParts })
+            }.flatten
+            def targetsIn(p: LogicalPlan, depth: Int): Seq[Seq[String]] =
+              p.collect { case n => n.expressions.flatMap(fromExpr) }.flatten ++
+                (if (depth > 0)
+                  p.collect { case r: UnresolvedRelation =>
+                    r.multipartIdentifier.last.toLowerCase }
+                    .flatMap(n => ctes.get(n).toSeq.flatMap(targetsIn(_, depth - 1)))
+                else Nil)
+            val target = refName.toLowerCase
+            plan.collect {
+              case p if p.expressions.exists(_.collectFirst {
+                case a: UnresolvedAttribute
+                  if a.nameParts.map(_.toLowerCase).lastOption.contains(target) ||
+                    a.nameParts.map(_.toLowerCase).headOption.contains(target) => a
+              }.isDefined) => p
+            }.flatMap(targetsIn(_, 2)).distinct
+              .filterNot(_.map(_.toLowerCase) == Seq(refName.toLowerCase))
+          }.getOrElse(Nil)
           val keyValueFlip =
-            Set("key", "value").contains(path.last.toLowerCase) && path.size == 1 && {
+            Set("key", "value").contains(path.last.toLowerCase) && path.size == 1 &&
+            scopeHasGenerator(path.last) && {
               // bare `key`/`value`: an explode target must be a MAP — try
               // the lexically nearest first, then every target (nested
               // subqueries put the producer BELOW the reference)
@@ -1229,14 +1312,17 @@ object CorpusExecute {
                 case StringType => Some(MapType(StringType, StringType))
                 case _ => None
               }
-              val near = nearestExplodeTargetsBefore(
-                "(?i)(?<![\\w.`])" + path.last.toLowerCase + "(?![\\w])")
-                .map(retypeTarget(_, fix)).exists(identity)
-              near || {
-                val all = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
-                  .findAllMatchIn(pc.renderedSql).map(_.group(1).split("\\.").toSeq)
-                  .toSeq.distinct
-                all.map(retypeTarget(_, fix)).exists(identity)
+              val scopedT = scopeGeneratorTargets(path.last)
+              scopedT.map(retypeTarget(_, fix)).exists(identity) || {
+                val near = nearestExplodeTargetsBefore(
+                  "(?i)(?<![\\w.`])" + path.last.toLowerCase + "(?![\\w])")
+                  .map(retypeTarget(_, fix)).exists(identity)
+                near || {
+                  val all = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+                    .findAllMatchIn(pc.renderedSql).map(_.group(1).split("\\.").toSeq)
+                    .toSeq.distinct
+                  all.map(retypeTarget(_, fix)).exists(identity)
+                }
               }
             }
           mapValueField || colField || keyValueFlip ||
@@ -1892,10 +1978,17 @@ object CorpusExecute {
         // aliases the model wrote. 1-vs-2 ⇒ the array guess is really a map;
         // 2-vs-1 ⇒ the map guess is really an array.
         val msg = String.valueOf(e.getMessage)
-        val expected = "Expected (\\d+) aliases".r.findFirstMatchIn(msg)
-          .map(_.group(1).toInt)
-        val gotNames = "but got ([\\w,\\s]+)".r.findFirstMatchIn(msg)
-          .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        // Spark 4 supplies typed params: aliasesSize = the UDTF's output
+        // arity, aliasesNames = the alias list the model wrote
+        val expected = p.get("aliasesSize")
+          .flatMap(s => scala.util.Try(stripDq(s).trim.toInt).toOption)
+          .orElse("Expected (\\d+) aliases".r.findFirstMatchIn(msg)
+            .map(_.group(1).toInt))
+        val gotNames = p.get("aliasesNames")
+          .map(stripDq(_).split(",").map(s => stripDq(s.trim)).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+          .orElse("but got ([\\w,\\s]+)".r.findFirstMatchIn(msg)
+            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
           .getOrElse(Nil)
         // SELECTIVE flip: the alias list in the message identifies WHICH
         // explode call is wrong — a model holding both an array explode and
