@@ -185,13 +185,23 @@ object CorpusExecute {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$loc'")
     }
 
+    /** A path with 3+ consecutive identical segments is a promotion feedback
+      * loop, not a schema (a `Money{amount}` shape legitimately yields
+      * `amount.amount` once — `amount.amount.amount` only ever comes from a
+      * leaf-name promotion re-promoting its own output; round 10's
+      * `price.amount` runaway deepened one level per iteration until the
+      * schema budget killed the whole node). */
+    private def selfNested(path: Seq[String]): Boolean =
+      path.sliding(3).exists(w => w.size == 3 &&
+        w.forall(_.equalsIgnoreCase(w.head)))
+
     /** Ensure `path` exists under `key` (nested parts become structs);
       * returns true if the schema changed. `force` = the attribution is
       * table-qualified: it overrides (and clears) a tombstone and pins the
       * column against future ambiguity retraction. */
     def addPath(key: (String, String), path: Seq[String], force: Boolean = false,
                 by: String = ""): Boolean = {
-      if (path.isEmpty) return false
+      if (path.isEmpty || selfNested(path)) return false
       if (tombstones.contains((key, path.head))) {
         if (!force) return false
         tombstones -= ((key, path.head))
@@ -314,7 +324,39 @@ object CorpusExecute {
       * renegotiating the path, and a stale overlay would re-impose the old
       * type on every rebuild, masking the global change (the
       * `categories[0] = category_id` revert↔promote ping-pong). */
+    /** array↔map flips per (key,path): two rules reading the SAME default
+      * explode alias (`col` wants array-of-struct, `key`/`value` want map)
+      * can tug one target back and forth forever when scope attribution
+      * overreaches — after 2 reversals the path freezes on its current type
+      * and the iteration budget goes to the rules' other candidates. */
+    private val flips = mutable.Map.empty[((String, String), Seq[String]), Int]
+
     def retypePath(key: (String, String), path: Seq[String], dt: DataType): Boolean = {
+      if (selfNested(path)) return false
+      val lp = path.map(_.toLowerCase)
+      val isFlip = (typeAt(key, path), dt) match {
+        case (Some(_: MapType), _: ArrayType) => true
+        case (Some(_: ArrayType), _: MapType) => true
+        case _ => false
+      }
+      if (isFlip) {
+        val n = flips.getOrElse((key, lp), 0)
+        if (n >= 2) {
+          if (CorpusExecute.debug)
+            println(s"[synth] flip-budget ${key._1}.${key._2} ${path.mkString(".")} frozen")
+          return false
+        }
+        flips((key, lp)) = n + 1
+      }
+      // retyping a field to a struct holding ONLY a same-named field is the
+      // first step of the same loop (`amount` -> struct<amount>) — refuse
+      // when the path already ends in a repeated segment
+      dt match {
+        case StructType(Array(f)) if path.size >= 2 &&
+          f.name.equalsIgnoreCase(path.last) &&
+          path(path.size - 2).equalsIgnoreCase(path.last) => return false
+        case _ =>
+      }
       val ovCleared = overlays.get((currentNode, key)).exists { m =>
         m.keys.find(p => p.map(_.toLowerCase) == path.map(_.toLowerCase))
           .exists { p => if (m(p) == dt) false else { m.remove(p); true } }
@@ -499,6 +541,30 @@ object CorpusExecute {
   /** Promoted structs carry a stub field: parquet refuses empty groups. */
   private[runtime] val emptyStruct = StructType(Seq(StructField("_graft_stub", StringType)))
 
+  /** Every node of `plan` INCLUDING CTE bodies and subquery-expression
+    * plans: Spark 4's UnresolvedWith keeps `cteRelations` out of `children`,
+    * so TreeNode.collect/foreach never enter them — a plan-scope walk using
+    * bare `plan.collect` silently ignores everything defined in a WITH
+    * clause (which is most of the corpus). */
+  private def planNodes(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val buf = mutable.ArrayBuffer.empty[LogicalPlan]
+    def go(p: LogicalPlan): Unit = {
+      buf += p
+      p match {
+        case w: UnresolvedWith => w.cteRelations.foreach(r => go(r._2))
+        case _ =>
+      }
+      p.expressions.foreach(_.foreach {
+        case s: SubqueryExpression => go(s.plan)
+        case _ =>
+      })
+      p.children.foreach(go)
+    }
+    go(plan); buf.toSeq
+  }
+
   private def typeFor(required: String): Option[DataType] = {
     val r = required.toUpperCase
     if (r.contains("ARRAY")) Some(ArrayType(StringType))
@@ -558,7 +624,12 @@ object CorpusExecute {
                             warehouse: Option[Warehouse] = None,
                             depsSql: String = "",
                             nodeSchemas: Map[String, String] = Map.empty,
-                            aliasAlts: Map[String, Seq[(String, String)]] = Map.empty) {
+                            aliasAlts: Map[String, Seq[(String, String)]] = Map.empty,
+                            // model sources that ALSO feed a ref() dep: a
+                            // column can reach this node through the dep's
+                            // star-select even when every DIRECT occurrence
+                            // of the source in this plan is sealed
+                            depFed: Seq[(String, String)] = Nil) {
     /** Text searched for `<path> AS name` alias definitions: this model's
       * rendered SQL plus its direct deps' raw SQL — a column this model
       * reads from a ref() is often a SELECT alias defined UPSTREAM
@@ -569,8 +640,13 @@ object CorpusExecute {
     /** The UNRESOLVED logical plan of the rendered SQL — the lexical-scope
       * oracle for [[CorpusExecute.patch]]'s scoped attribution. Parsed once
       * per node negotiation. */
-    lazy val parsedPlan: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
-      scala.util.Try(synth.spark.sessionState.sqlParser.parsePlan(renderedSql)).toOption
+    lazy val parsedPlan: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+      val r = scala.util.Try(synth.spark.sessionState.sqlParser.parsePlan(renderedSql))
+      if (CorpusExecute.debug && r.isFailure)
+        println(s"[corpus-debug] parsedPlan($nodeName) FAILED: " +
+          r.failed.get.getMessage.linesIterator.take(1).mkString.take(160))
+      r.toOption
+    }
   }
 
   /** One patch step from a typed analyzer condition; true = schema changed,
@@ -599,13 +675,19 @@ object CorpusExecute {
       * same model reads numerically in another CTE. Empty when the scope
       * can't be determined (parse failure, ref-only scope) — caller falls
       * back to the offer-everywhere rule. */
-    def scopedSources(path: Seq[String]): Seq[(String, String)] =
+    /** (source key, struct prefix) pairs in the failing column's lexical
+      * scope. The prefix is non-empty when the column reaches the demand
+      * through a QUALIFIED star (`select payload.* …`): the column must then
+      * be planted INSIDE that struct — a top-level plant is an impostor the
+      * star never exposes. */
+    def scopedSources(path: Seq[String]): Seq[((String, String), Seq[String])] =
       scala.util.Try {
         import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
         import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
         val plan = pc.parsedPlan.getOrElse(return Nil)
+        val nodes = planNodes(plan)
         val target = path.map(_.toLowerCase)
-        val ctes: Map[String, LogicalPlan] = plan.collect {
+        val ctes: Map[String, LogicalPlan] = nodes.collect {
           case w: UnresolvedWith =>
             w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
         }.flatten.toMap
@@ -615,15 +697,90 @@ object CorpusExecute {
               if { val np = a.nameParts.map(_.toLowerCase)
                    np == target || np.endsWith(target) } => a
           }.isDefined)
-        def rels(p: LogicalPlan, depth: Int): Seq[String] =
-          p.collect { case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase }
-            .flatMap(n => if (depth > 0 && ctes.contains(n)) n +: rels(ctes(n), depth - 1)
-                          else Seq(n))
-        plan.collect { case p if refsTarget(p) => p }
-          .flatMap(h => rels(h, 2)).distinct
-          .flatMap(n => aliases.get(n)).distinct
-          .filter(modelSources.contains)
+        nodes.filter(refsTarget)
+          .flatMap(h => sealAwareRels(h, 2, target.last, ctes)).distinct
+          .flatMap { case (n, pre) => aliases.get(n).map(_ -> pre) }.distinct
+          .filter { case (k, _) => modelSources.contains(k) }
       }.getOrElse(Nil)
+
+    /** Relations reachable from `p` WITHOUT crossing a sealing block: a
+      * Project/Aggregate with an explicit star-free output list that does not
+      * name `leaf` can never surface that column — `(select category_id,
+      * name from category_levels) cat` must not absorb `friendlyId` offers
+      * (round 10: that spray grew category_levels past the schema budget,
+      * blocking the whole gold subtree). */
+    def sealAwareRels(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                      depth: Int, leaf: String,
+                      ctes: Map[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Seq[(String, Seq[String])] = {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+      val lf = leaf.toLowerCase
+      def stars(exprs: Seq[Expression]): Seq[UnresolvedStar] =
+        exprs.flatMap(_.collect { case s: UnresolvedStar => s })
+      def namesLeaf(exprs: Seq[Expression]): Boolean = exprs.exists { e =>
+        (e match {
+          case al: Alias => al.name.equalsIgnoreCase(lf)
+          case _ => false
+        }) || e.collectFirst {
+          case a: UnresolvedAttribute if a.nameParts.last.equalsIgnoreCase(lf) => a
+        }.isDefined
+      }
+      // a block whose SUBTREE references the leaf is not a seal for it: the
+      // demand itself can live below an outer star-free projection
+      // (`typed_prices AS (select fee … from (… explode(typedPricesOriginal) …))`)
+      def subtreeRefs(n: LogicalPlan): Boolean =
+        n.expressions.exists(_.collectFirst {
+          case a: UnresolvedAttribute if a.nameParts.last.equalsIgnoreCase(lf) => a
+        }.isDefined) || n.children.exists(subtreeRefs)
+      def throughList(exprs: Seq[Expression], n: LogicalPlan, d: Int,
+                      pre: Seq[String]): Seq[(String, Seq[String])] = {
+        val ss = stars(exprs)
+        if (namesLeaf(exprs) || subtreeRefs(n))
+          // pass-through / demand below: keep the current prefix
+          n.children.flatMap(walk(_, d, pre))
+        else if (ss.nonEmpty)
+          // reached ONLY via stars: a qualified star (`payload.*`) shifts the
+          // plant point inside that struct; an unqualified star keeps it
+          ss.flatMap { s =>
+            val t = s.target.getOrElse(Nil)
+            n.children.flatMap(walk(_, d, pre ++ t))
+          }.distinct
+        else Nil // sealed: explicit star-free list not naming the leaf
+      }
+      def walk(n: LogicalPlan, d: Int, pre: Seq[String]): Seq[(String, Seq[String])] = n match {
+        case pr: Project => throughList(pr.projectList, pr, d, pre)
+        case ag: Aggregate => throughList(ag.aggregateExpressions, ag, d, pre)
+        case r: UnresolvedRelation =>
+          val nm = r.multipartIdentifier.last.toLowerCase
+          if (d > 0 && ctes.contains(nm)) (nm, pre) +: walk(ctes(nm), d - 1, pre)
+          else Seq((nm, pre))
+        case other => other.children.flatMap(walk(_, d, pre))
+      }
+      walk(p, depth, Nil)
+    }
+
+    /** Model sources that appear in the plan but are sealed away from `path`
+      * EVERYWHERE (every occurrence sits behind a star-free block not naming
+      * its leaf) — never valid targets for an unqualified-column offer. */
+    def sealedSources(path: Seq[String]): Set[(String, String)] =
+      scala.util.Try {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+        val plan = pc.parsedPlan.getOrElse(return Set.empty[(String, String)])
+        val nodes = planNodes(plan)
+        val ctes: Map[String, LogicalPlan] = nodes.collect {
+          case w: UnresolvedWith =>
+            w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
+        }.flatten.toMap
+        val open = (sealAwareRels(plan, 2, path.last, ctes) ++
+          ctes.valuesIterator.flatMap(sealAwareRels(_, 2, path.last, ctes)))
+          .map(_._1).toSet
+        val all = nodes.collect {
+          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+        }.toSet
+        (all -- open).flatMap(aliases.get).filter(modelSources.contains)
+      }.getOrElse(Set.empty)
 
     def attribute(path: Seq[String]): Boolean = path match {
       case head +: rest if rest.nonEmpty && (aliases.contains(head.toLowerCase) ||
@@ -658,18 +815,39 @@ object CorpusExecute {
           case _ => Seq(path)
         }
         lazy val scoped = scopedSources(path)
+        lazy val sealedSet = sealedSources(path)
+        if (CorpusExecute.debug)
+          println(s"[corpus-debug] attribute(${path.mkString(".")}) cands=" +
+            candidates.map(_.mkString(".")).mkString("|") + " scoped=" +
+            scoped.map { case (k, pre) => s"${k._2}" + (if (pre.nonEmpty) s"+${pre.mkString(".")}" else "") }.mkString(",") +
+            " sealed=" + sealedSet.map(_._2).mkString(",") +
+            " model=" + modelSources.map(_._2).mkString(",") +
+            " closure=" + closureSources.map(_._2).mkString(","))
         candidates.iterator.map { cp =>
           // scope-restricted first: only the sources of the enclosing
-          // SELECT block get the column; offer-everywhere is the fallback.
+          // SELECT block get the column; offer-everywhere is the fallback —
+          // minus sources sealed behind star-free blocks, which can never
+          // surface the column no matter what we plant on them.
           // If every scope-attributed source ALREADY carries the column, the
           // attribution provably missed the failing block (the analyzer
           // would have resolved it there) — a UNION of per-network insight
           // tables where only some declare campaign_id hits exactly this.
-          val scopedHit = scoped.map(k => synth.addPath(k, cp)).exists(identity)
+          val scopedHit = scoped.map { case (k, pre) =>
+            val full = if (cp.startsWith(pre)) cp else pre ++ cp
+            synth.addPath(k, full)
+          }.exists(identity)
           val local = scopedHit ||
-            ((scoped.isEmpty || scoped.forall(k => synth.has(k, cp.head))) &&
-              modelSources.map(k => synth.addPath(k, cp)).exists(identity))
-          local || closureSources.map(k => synth.addPath(k, cp)).exists(identity)
+            ((scoped.isEmpty || scoped.forall { case (k, pre) =>
+              val full = if (cp.startsWith(pre)) cp else pre ++ cp
+              synth.typeAt(k, full).isDefined || synth.has(k, cp.head)
+            }) &&
+              modelSources.filterNot(sealedSet.contains)
+                .map(k => synth.addPath(k, cp)).exists(identity))
+          local || closureSources.map(k => synth.addPath(k, cp)).exists(identity) ||
+            // sealed here but feeding a ref() dep: the dep's star-select can
+            // still surface the column (scd2 SELECT * snapshots)
+            pc.depFed.filter(sealedSet.contains)
+              .map(k => synth.addPath(k, cp)).exists(identity)
         }.find(identity).getOrElse {
           // every plain offer was a no-op. Two remaining explanations:
           // (a) an earlier ambiguity retraction tombstoned the column on
@@ -713,11 +891,15 @@ object CorpusExecute {
             }) ||
             // `grade_info.utms` where grade_info is a SELECT alias over a
             // NESTED scalar (`col.gradeInfo AS grade_info`): the underlying
-            // field must become a struct carrying the requested tail
-            (path.size > 1 && aliasDefPaths(path.head).map { ap =>
+            // field must become a struct carrying the requested tail.
+            // `price.amount AS price` is NOT a def for resolving
+            // `price.amount` itself — substituting it yields
+            // `price.amount.amount`, the self-nesting loop
+            (path.size > 1 && aliasDefPaths(path.head)
+              .filterNot(ap => ap.map(_.toLowerCase) == path.map(_.toLowerCase)).map { ap =>
               val structFor = path.tail.foldRight(StringType: DataType)((f, acc) =>
                 StructType(Seq(StructField(f, acc))))
-              (modelSources ++ closureSources).flatMap(k =>
+              (modelSources.filterNot(sealedSet.contains) ++ closureSources).flatMap(k =>
                 synth.fieldPathsByLeaf(k, ap.last).collect {
                   case (fp, StringType) => k -> fp
                 })
@@ -725,7 +907,8 @@ object CorpusExecute {
                 .exists(identity)
             }.exists(identity)) || {
             val leaf = path.last
-            val local = modelSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
+            val local = modelSources.filterNot(sealedSet.contains)
+              .map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
             local || closureSources.map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
           } || {
             if (CorpusExecute.debug)
@@ -766,13 +949,19 @@ object CorpusExecute {
         // a single-owner retype no-ops (the owner can be a planted top-level
         // impostor whose retype already happened, while the failing read is
         // of a CTE alias over a nested source field).
-        def aliasRungs: Boolean =
+        def aliasRungs: Boolean = {
+          if (CorpusExecute.debug)
+            println(s"[corpus-debug] retypeByPath(${path.mkString(".")}) rungs: defs=" +
+              aliasDefPaths(path.mkString(".")).map(_.mkString(".")).mkString(",") +
+              " stringFields=" + (modelSources ++ closureSources).flatMap(k =>
+                synth.stringFieldPaths(k, path.last).map(p => s"${k._2}:${p.mkString(".")}")).mkString(","))
           aliasDefPaths(path.mkString(".")).map(retypeByPath(_, dt, depth - 1))
             .exists(identity) ||
             (modelSources ++ closureSources).flatMap(k =>
               synth.stringFieldPaths(k, path.last).map(k -> _))
               .map { case (k, fp) => synth.retypePath(k, fp, dt) }
               .exists(identity)
+        }
         val owners = synth.schemas.keys.filter(k => synth.typeAt(k, path).isDefined).toSeq
         owners match {
           case Seq(only) => synth.retypePath(only, path, dt) || aliasRungs
@@ -1072,13 +1261,23 @@ object CorpusExecute {
       // ORIGINAL failing name and threaded through alias-def recursion
       // (the underlying field is indexed via its alias, not its own name)
       val promotedT: DataType = want.getOrElse {
-        val chains = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(rawPath.last) +
+        // shape detection must see QUALIFIED chains too (`a.queues[0]`) —
+        // only a word char blocks the match, a dot does not
+        val chains = ("(?i)(?<!\\w)" + java.util.regex.Pattern.quote(rawPath.last) +
           "((?:\\s*\\[[^\\]\\[]+\\])+)").r.findAllMatchIn(pc.renderedSql).toSeq
         val dynFirst = chains.exists(_.group(1).trim.drop(1).trim.headOption
           .exists(c => c.isLetter || c == '_'))
+        // `tags[0]` / `labels[0]['k']`: a NUMERIC first index means the base
+        // is an ARRAY, not a struct (the struct guess produced the
+        // INVALID_EXTRACT_FIELD_TYPE "0" dead end downstream)
+        val numFirst = !dynFirst && chains.exists(_.group(1).trim.drop(1).trim
+          .headOption.exists(_.isDigit))
         val depth = chains.map(_.group(1).count(_ == '[')).maxOption.getOrElse(0)
         if (dynFirst && depth >= 1)
           (1 to depth).foldLeft(StringType: DataType)((t, _) => MapType(StringType, t))
+        else if (numFirst && depth >= 1)
+          ArrayType((2 to depth).foldLeft(StringType: DataType)((t, _) =>
+            MapType(StringType, t)))
         else emptyStruct
       }
       val step = resolved.map { case (k, path) =>
@@ -1111,12 +1310,17 @@ object CorpusExecute {
         // x's map VALUE side must be a struct
         (rawPath.size == 1 && wantString && {
           val re = ("(?i)explode(?:_outer)?\\s*\\(\\s*map_values\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s*\\)" +
-            "\\s+\\w+\\s+AS\\s+" + java.util.regex.Pattern.quote(rawPath.head) + "(?![\\w])").r
+            "\\s+(?:\\w+\\s+)?AS\\s+" + java.util.regex.Pattern.quote(rawPath.head) + "(?![\\w])").r
           re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
             val tp = t.split("\\.").toSeq
             val res: Seq[((String, String), Seq[String])] = tp match {
               case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
                 aliasKeysOf(h).map(_ -> r)
+              case _ +: r =>
+                // head may be a CTE/select alias (`filtered AS f` …
+                // MAP_VALUES(f.distribution.byTx)): try the tail too
+                (modelSources ++ closureSources).map(_ -> tp) ++
+                  (if (r.nonEmpty) (modelSources ++ closureSources).map(_ -> r) else Nil)
               case _ => (modelSources ++ closureSources).map(_ -> tp)
             }
             res.map { case (k, pp) =>
@@ -1127,7 +1331,51 @@ object CorpusExecute {
                   synth.retypePath(k, pp, MapType(StringType, emptyStruct))
                 case _ => false
               }
-            }.exists(identity)
+            }.exists(identity) ||
+              retypeLeafFields(tp, tt => tt == StringType,
+                MapType(StringType, emptyStruct))
+          }.exists(identity)
+        }) ||
+        // or `LATERAL VIEW EXPLODE(MAP_ENTRIES(x)) [t] AS pc … pc.value.f` /
+        // `pc.key`: x is a MAP whose VALUE side must be a struct when the
+        // model extracts through `.value`
+        (rawPath.size >= 2 && wantString &&
+          Set("key", "value").contains(rawPath(1).toLowerCase) && {
+          val re = ("(?i)explode(?:_outer)?\\s*\\(\\s*map_entries\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s*\\)" +
+            "\\s+(?:\\w+\\s+)?AS\\s+" + java.util.regex.Pattern.quote(rawPath.head) + "(?![\\w])").r
+          re.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
+            val tp = t.split("\\.").toSeq
+            val res: Seq[((String, String), Seq[String])] = tp match {
+              case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                aliasKeysOf(h).map(_ -> r)
+              case _ +: r =>
+                (modelSources ++ closureSources).map(_ -> tp) ++
+                  (if (r.nonEmpty) (modelSources ++ closureSources).map(_ -> r) else Nil)
+              case _ => (modelSources ++ closureSources).map(_ -> tp)
+            }
+            val wantValueStruct = rawPath(1).equalsIgnoreCase("value")
+            res.map { case (k, pp) =>
+              synth.typeAt(k, pp) match {
+                case Some(MapType(mk, StringType, _)) if wantValueStruct =>
+                  synth.retypePath(k, pp, MapType(mk, emptyStruct))
+                case Some(StringType) =>
+                  synth.retypePath(k, pp,
+                    MapType(StringType, if (wantValueStruct) emptyStruct else StringType))
+                case _ => false
+              }
+            }.exists(identity) ||
+              // the map can live NESTED (products[].variants[].priceComponents):
+              // reach it by leaf and fix the value side in place
+              (modelSources ++ closureSources).flatMap(k =>
+                synth.fieldPathsByLeaf(k, tp.last).collect {
+                  case (fp, MapType(mk, StringType, _)) if wantValueStruct =>
+                    (k, fp, MapType(mk, emptyStruct): DataType)
+                  case (fp, StringType) =>
+                    (k, fp, MapType(StringType,
+                      if (wantValueStruct) emptyStruct else StringType): DataType)
+                })
+                .map { case (k, fp, dtn) => synth.retypePath(k, fp, dtn) }
+                .exists(identity)
           }.exists(identity)
         }) ||
         // or an EXPLODE alias (`explode(items) AS item … item.price`): the
@@ -1218,7 +1466,13 @@ object CorpusExecute {
               case _ => None
             }
             val scopedT = scopeGeneratorTargets("col")
-            scopedT.map(retypeTarget(_, fix)).exists(identity) || {
+            // scoped targets are authoritative: when the plan walk FOUND the
+            // binding generator(s), a no-effect retype means the failure is
+            // elsewhere (stale upstream) — falling through to nearest/all
+            // would flip unrelated healthy targets (the rates-map vs
+            // typedPrices-array war)
+            if (scopedT.nonEmpty) scopedT.map(retypeTarget(_, fix)).exists(identity)
+            else {
               val near = nearestExplodeTargetsBefore("(?i)(?<![\\w.`])col\\s*\\.")
                 .map(retypeTarget(_, fix)).exists(identity)
               near || {
@@ -1235,28 +1489,30 @@ object CorpusExecute {
           // and a cross-CTE textual-proximity flip corrupted the unrelated
           // explode's target (email_texts ping-pong)
           def scopeHasGenerator(refName: String): Boolean = scala.util.Try {
-            import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedGenerator}
+            import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedGenerator}
             import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, UnresolvedWith}
             val plan = pc.parsedPlan.getOrElse(return false)
-            val ctes: Map[String, LogicalPlan] = plan.collect {
+            val nodes = planNodes(plan)
+            val ctes: Map[String, LogicalPlan] = nodes.collect {
               case w: UnresolvedWith =>
                 w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
             }.flatten.toMap
+            val genNameRe = "(?i)(pos)?explode(_outer)?".r
             def hasGen(p: LogicalPlan, depth: Int): Boolean =
               p.collectFirst { case g: Generate => g }.isDefined ||
                 p.expressions.exists(_.collectFirst {
-                  case g: UnresolvedGenerator => g }.isDefined) ||
+                  case g: UnresolvedGenerator => g
+                  case f: UnresolvedFunction
+                    if genNameRe.matches(f.nameParts.last) => f }.isDefined) ||
                 (depth > 0 && p.collect {
                   case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
                     r.multipartIdentifier.last.toLowerCase
                 }.exists(n => ctes.get(n).exists(hasGen(_, depth - 1))))
             val target = refName.toLowerCase
-            plan.collect {
-              case p if p.expressions.exists(_.collectFirst {
-                case a: UnresolvedAttribute
-                  if a.nameParts.map(_.toLowerCase) == Seq(target) => a
-              }.isDefined) => p
-            }.exists(hasGen(_, 2))
+            nodes.filter(p => p.expressions.exists(_.collectFirst {
+              case a: UnresolvedAttribute
+                if a.nameParts.map(_.toLowerCase) == Seq(target) => a
+            }.isDefined)).exists(hasGen(_, 2))
           }.getOrElse(true) // parse failure: keep the old permissive behavior
           /** Explode/posexplode ARGUMENT paths inside the subtree of every
             * plan node referencing `refName` (CTE bodies expanded two
@@ -1265,11 +1521,12 @@ object CorpusExecute {
             * flipped UNRELATED targets in multi-explode models
             * (fact_order_change's rates-map vs typedPrices-array war). */
           def scopeGeneratorTargets(refName: String): Seq[Seq[String]] = scala.util.Try {
-            import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedGenerator, UnresolvedRelation}
-            import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+            import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedGenerator, UnresolvedRelation, UnresolvedStar}
+            import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan, Project, UnresolvedWith}
             import org.apache.spark.sql.catalyst.expressions.Expression
             val plan = pc.parsedPlan.getOrElse(return Nil)
-            val ctes: Map[String, LogicalPlan] = plan.collect {
+            val nodes = planNodes(plan)
+            val ctes: Map[String, LogicalPlan] = nodes.collect {
               case w: UnresolvedWith =>
                 w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
             }.flatten.toMap
@@ -1284,26 +1541,81 @@ object CorpusExecute {
                 g.children.flatMap(_.collectFirst {
                   case a: UnresolvedAttribute => a.nameParts })
             }.flatten
-            def targetsIn(p: LogicalPlan, depth: Int): Seq[Seq[String]] =
-              p.collect { case n => n.expressions.flatMap(fromExpr) }.flatten ++
-                (if (depth > 0)
-                  p.collect { case r: UnresolvedRelation =>
-                    r.multipartIdentifier.last.toLowerCase }
-                    .flatMap(n => ctes.get(n).toSeq.flatMap(targetsIn(_, depth - 1)))
-                else Nil)
+            def hasStar(exprs: Seq[Expression]): Boolean =
+              exprs.exists(_.collectFirst { case s: UnresolvedStar => s }.isDefined)
+            // The LEVELS of generator targets below `n`: the binder of a
+            // default explode alias (`col`/`key`/`value`) is the FIRST
+            // Project/Aggregate boundary below the demand block that holds a
+            // generator; non-generator boundaries pass through only when
+            // they star-select (their deeper generator outputs flow up).
+            // Levels after the binder resolve relative chains
+            // (`col.stagedPrices` -> <deeper target>.stagedPrices).
+            def levelsBelow(n: LogicalPlan, d: Int): List[Seq[Seq[String]]] = {
+              if (d <= 0) return Nil
+              n match {
+                case pr: Project =>
+                  val own = pr.projectList.flatMap(fromExpr)
+                  if (own.nonEmpty) own.toList.distinct :: pr.children.toList.flatMap(levelsBelow(_, d - 1)).take(6)
+                  else if (hasStar(pr.projectList)) pr.children.toList.flatMap(levelsBelow(_, d - 1))
+                  else Nil // sealed: explicit star-free list w/o generators
+                case ag: Aggregate =>
+                  val own = ag.aggregateExpressions.flatMap(fromExpr)
+                  if (own.nonEmpty) own.toList.distinct :: ag.children.toList.flatMap(levelsBelow(_, d - 1)).take(6)
+                  else if (hasStar(ag.aggregateExpressions)) ag.children.toList.flatMap(levelsBelow(_, d - 1))
+                  else Nil
+                case g: Generate =>
+                  val own = (fromExpr(g.generator) ++ g.generator.children.flatMap(fromExpr)).distinct
+                  own :: g.children.toList.flatMap(levelsBelow(_, d - 1)).take(6)
+                case r: UnresolvedRelation =>
+                  val nm = r.multipartIdentifier.last.toLowerCase
+                  ctes.get(nm).map(levelsBelow(_, d - 1)).getOrElse(Nil)
+                case other => other.children.toList.flatMap(levelsBelow(_, d - 1))
+              }
+            }
+            // resolve relative heads (`col.x` at level i binds to level i+1)
+            def resolveLevels(levels: List[Seq[Seq[String]]]): Seq[Seq[String]] =
+              levels match {
+                case Nil => Nil
+                case g0 :: rest =>
+                  val below = resolveLevels(rest)
+                  g0.map { t =>
+                    if (t.headOption.exists(h => h.equalsIgnoreCase("col") ||
+                        h.equalsIgnoreCase(refName)) && t.size > 1)
+                      below match {
+                        case Seq(one) => one ++ t.tail
+                        case _ => t
+                      }
+                    else t
+                  }
+              }
             val target = refName.toLowerCase
-            plan.collect {
-              case p if p.expressions.exists(_.collectFirst {
-                case a: UnresolvedAttribute
-                  if a.nameParts.map(_.toLowerCase).lastOption.contains(target) ||
-                    a.nameParts.map(_.toLowerCase).headOption.contains(target) => a
-              }.isDefined) => p
-            }.flatMap(targetsIn(_, 2)).distinct
+            val demandBlocks = nodes.filter(p => p.expressions.exists(_.collectFirst {
+              case a: UnresolvedAttribute
+                if a.nameParts.map(_.toLowerCase).lastOption.contains(target) ||
+                  a.nameParts.map(_.toLowerCase).headOption.contains(target) => a
+            }.isDefined))
+            demandBlocks.flatMap { p =>
+              val levels = p.children.toList.flatMap(levelsBelow(_, 8)) match {
+                case Nil =>
+                  // the demand may sit in the same Project as a LATERAL VIEW
+                  // over this block (Generate wraps the Project's child)
+                  List(p.expressions.flatMap(fromExpr).toSeq).filter(_.nonEmpty)
+                case ls => ls
+              }
+              levels match {
+                case Nil => Nil
+                case binder :: deeper => resolveLevels(binder :: deeper).take(binder.size)
+              }
+            }.distinct
               .filterNot(_.map(_.toLowerCase) == Seq(refName.toLowerCase))
           }.getOrElse(Nil)
           val keyValueFlip =
-            Set("key", "value").contains(path.last.toLowerCase) && path.size == 1 &&
-            scopeHasGenerator(path.last) && {
+            Set("key", "value").contains(path.last.toLowerCase) && path.size == 1 && {
+              val shg = scopeHasGenerator(path.last)
+              if (CorpusExecute.debug)
+                println(s"[corpus-debug] scopeHasGenerator(${path.last})=$shg")
+              shg
+            } && {
               // bare `key`/`value`: an explode target must be a MAP — try
               // the lexically nearest first, then every target (nested
               // subqueries put the producer BELOW the reference)
@@ -1313,7 +1625,13 @@ object CorpusExecute {
                 case _ => None
               }
               val scopedT = scopeGeneratorTargets(path.last)
-              scopedT.map(retypeTarget(_, fix)).exists(identity) || {
+              if (CorpusExecute.debug)
+                println(s"[corpus-debug] keyValueFlip(${path.last}) scopedT=" +
+                  scopedT.map(_.mkString(".")).mkString(","))
+              // scoped = authoritative (see colField): no nearest/all
+              // fallback once the binding generator is known
+              if (scopedT.nonEmpty) scopedT.map(retypeTarget(_, fix)).exists(identity)
+              else {
                 val near = nearestExplodeTargetsBefore(
                   "(?i)(?<![\\w.`])" + path.last.toLowerCase + "(?![\\w])")
                   .map(retypeTarget(_, fix)).exists(identity)
@@ -1887,6 +2205,16 @@ object CorpusExecute {
               .exists(identity))
         }
       case c if c.startsWith("DATATYPE_MISMATCH") =>
+        // `map_from_entries(x)` requires ARRAY<STRUCT<key,value>> — the
+        // generic ARRAY fallback (array<string>) can never satisfy it
+        val mapEntries = for {
+          expr <- p.get("sqlExpr").map(stripDq)
+          m <- "(?i)^map_from_entries\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)$".r
+            .findFirstMatchIn(expr)
+        } yield retypeByPath(m.group(1).split("\\.").toSeq,
+          ArrayType(StructType(Seq(StructField("key", StringType),
+            StructField("value", StringType)))))
+        if (mapEntries.contains(true)) return true
         // `payload[userId]` where userId is a STRING column: the ordinal-
         // access guess (array) was wrong — the base is really a map
         val mapIndex = for {
@@ -2404,7 +2732,8 @@ object CorpusExecute {
           .getOrElse("").trim.take(200))
     val pc = PatchCtx(node.name, srcs ++ rawHere, closure.filterNot(srcs.contains),
       aliases, renderedSql, synth, Some(ctx.warehouse), depsSql = depsSql,
-      nodeSchemas = nodeSchemas, aliasAlts = aliasAlts.toMap)
+      nodeSchemas = nodeSchemas, aliasAlts = aliasAlts.toMap,
+      depFed = closure.filter(srcs.contains))
 
     // fixpoint passes rebuild from scratch: schema growth must never merge
     // into (or SCD2-advance against) last pass's narrower files
@@ -2455,6 +2784,17 @@ object CorpusExecute {
             println(s"[corpus-debug] ${node.name} it=$it cond=${condOf(e)} " +
               ps.map { case (k, v) => s"$k=${String.valueOf(v).take(160)}" }.mkString(" | "))
           }
+          // stale-upstream-first: never patch against a stale upstream
+          // output. Any analysis error can be an artifact of a ref that
+          // materialized before the latest schema knowledge landed on its
+          // sources — refreshUpstreams is version-gated (a no-op when
+          // nothing is stale), so rebuild-and-retry before letting the
+          // patcher escalate to leaf-name promotions or explode flips that
+          // corrupt healthy sources.
+          if (refreshUpstreams(node.name)) {
+            if (debug) println(s"[corpus-debug] ${node.name} it=$it stale-upstream refresh")
+            lastMsg = ""; stall = 0
+          } else {
           // a throw inside the patcher must classify, not kill the phase
           val changed = try patch(e, pc) catch {
             case scala.util.control.NonFatal(pe) =>
@@ -2498,6 +2838,7 @@ object CorpusExecute {
               return Item(node.name, node.kind, s"gap:deferred:${condOf(e)}",
                 msg.linesIterator.take(2).mkString(" | ").take(220), it)
             else { lastMsg = msg; lastCond = condOf(e) }
+          }
           }
         case scala.util.control.NonFatal(e) =>
           return Item(node.name, node.kind, s"gap:runtime:${e.getClass.getSimpleName}",
