@@ -108,6 +108,14 @@ object CorpusExecute {
       }
     }
 
+    /** The current node's own overlay type at `path`, if any — patches must
+      * be able to SEE (and correct) a stale overlay that applyOverlays would
+      * otherwise re-impose on every rebuild. */
+    def overlayTypeAt(key: (String, String), path: Seq[String]): Option[DataType] =
+      overlays.get((currentNode, key)).flatMap(_.collectFirst {
+        case (p, dt) if p.map(_.toLowerCase) == path.map(_.toLowerCase) => dt
+      })
+
     /** The view of `key` served to [[currentNode]]: the global schema with
       * that node's overlay paths ensured and retyped. */
     private def applyOverlays(key: (String, String), st: StructType): StructType =
@@ -571,6 +579,8 @@ object CorpusExecute {
     else if (r.contains("MAP")) Some(MapType(StringType, StringType))
     else if (r.contains("STRUCT")) Some(emptyStruct)
     else if (r.contains("TIMESTAMP")) Some(TimestampType)
+    else if (r.replaceAll("\"", "").trim == "DATE")
+      Some(DateType) // a bare DATE operand (e.g. `id >= DATE '…'`) is a date
     else if (r.contains("DATE") || r.contains("DATETIME") || r.contains("INTERVAL"))
       Some(TimestampType) // `x + INTERVAL` ⇒ x is a point in time
     else if (r.contains("BINARY")) Some(BinaryType)
@@ -590,6 +600,8 @@ object CorpusExecute {
     val e = expr.toUpperCase
     if (e.contains("CURRENT_DATE")) Some(DateType)
     else if (e.contains("CURRENT_TIMESTAMP") || e.contains("INTERVAL")) Some(TimestampType)
+    else if (e.matches("(?s).*\\bTIMESTAMP\\s*'.*")) Some(TimestampType)
+    else if (e.matches("(?s).*\\bDATE\\s*'.*")) Some(DateType)
     else if (e.contains("ARRAY(")) Some(ArrayType(StringType))
     else if (e.matches("(?s).*\\b(TRUE|FALSE|AND|OR|NOT)\\b.*")) Some(BooleanType)
     // a bare numeric literal argument (`coalesce(grade, 0)`,
@@ -735,18 +747,41 @@ object CorpusExecute {
         }.isDefined) || n.children.exists(subtreeRefs)
       def throughList(exprs: Seq[Expression], n: LogicalPlan, d: Int,
                       pre: Seq[String]): Seq[(String, Seq[String])] = {
-        val ss = stars(exprs)
-        if (namesLeaf(exprs) || subtreeRefs(n))
-          // pass-through / demand below: keep the current prefix
-          n.children.flatMap(walk(_, d, pre))
-        else if (ss.nonEmpty)
-          // reached ONLY via stars: a qualified star (`payload.*`) shifts the
-          // plant point inside that struct; an unqualified star keeps it
-          ss.flatMap { s =>
-            val t = s.target.getOrElse(Nil)
-            n.children.flatMap(walk(_, d, pre ++ t))
-          }.distinct
-        else Nil // sealed: explicit star-free list not naming the leaf
+        // prefix REBINDING: arriving with prefix `statuses` at a block whose
+        // list defines `explode(slaTable) AS statuses` means the column
+        // lives in slaTable's elements — swap the prefix for the generator's
+        // (or plain path's) argument and keep walking
+        val rebound: Option[Seq[(String, Seq[String])]] =
+          if (pre.isEmpty) None
+          else {
+            import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+            val genNameRe = "(?i)(pos)?explode(_outer)?".r
+            exprs.collectFirst {
+              case al: Alias if al.name.equalsIgnoreCase(pre.head) => al
+            }.flatMap { al =>
+              val arg = al.child match {
+                case f: UnresolvedFunction if genNameRe.matches(f.nameParts.last) =>
+                  f.arguments.collectFirst { case a: UnresolvedAttribute => a.nameParts }
+                case a: UnresolvedAttribute => Some(a.nameParts)
+                case _ => None
+              }
+              arg.map(t => n.children.flatMap(walk(_, d, t ++ pre.tail)))
+            }
+          }
+        rebound.getOrElse {
+          val ss = stars(exprs)
+          if (namesLeaf(exprs) || subtreeRefs(n))
+            // pass-through / demand below: keep the current prefix
+            n.children.flatMap(walk(_, d, pre))
+          else if (ss.nonEmpty)
+            // reached ONLY via stars: a qualified star (`payload.*`) shifts
+            // the plant point inside that struct; an unqualified star keeps it
+            ss.flatMap { s =>
+              val t = s.target.getOrElse(Nil)
+              n.children.flatMap(walk(_, d, pre ++ t))
+            }.distinct
+          else Nil // sealed: explicit star-free list not naming the leaf
+        }
       }
       def walk(n: LogicalPlan, d: Int, pre: Seq[String]): Seq[(String, Seq[String])] = n match {
         case pr: Project => throughList(pr.projectList, pr, d, pre)
@@ -1212,7 +1247,9 @@ object CorpusExecute {
       // `MIN(t.payload.isHidden) AS is_hidden` defines the alias over the
       // wrapped path (the aggregate doesn't change the negotiated type for
       // min/max/first/last-style passthroughs)
-      val reAgg = ("(?i)[A-Za-z_]\\w*\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s*\\)\\s+AS\\s+" +
+      // also tolerate simple trailing args: `COALESCE(x, 0) AS n`,
+      // `ROUND(t.amount, 3) AS n` define the alias over the first-arg path
+      val reAgg = ("(?i)[A-Za-z_]\\w*\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s*(?:,[^()]*)?\\)\\s+AS\\s+" +
         java.util.regex.Pattern.quote(name) + "(?![\\w])").r
       (re.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq ++
         reAgg.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq).distinct
@@ -1302,6 +1339,82 @@ object CorpusExecute {
       val defs = (aliasDefPaths(rawPath.mkString(".")) ++
         (if (rawPath.size > 1) aliasDefPaths(rawPath.last) else Nil))
         .filterNot(_ == rawPath)
+      // `payload['rejectReasons'] AS reject_reasons … reject_reasons[0]['code']`:
+      // the alias is a map VALUE — the map's value side must carry the
+      // promoted shape
+      val mapValDefFixed = {
+        val leafName = rawPath.last
+        val re = ("(?i)([A-Za-z_][\\w.]*)\\s*\\[\\s*'([^']+)'\\s*\\]\\s+AS\\s+" +
+          java.util.regex.Pattern.quote(leafName) + "(?![\\w])").r
+        re.findAllMatchIn(pc.aliasSearchSql).map(m => (m.group(1), m.group(2)))
+          .toSeq.distinct.map { case (t, key) =>
+          val tp = t.split("\\.").toSeq
+          val res: Seq[((String, String), Seq[String])] = tp match {
+            case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+              aliasKeysOf(h).map(_ -> r)
+            case _ +: r =>
+              (modelSources ++ closureSources).map(_ -> tp) ++
+                (if (r.nonEmpty) (modelSources ++ closureSources).map(_ -> r) else Nil)
+            case _ => (modelSources ++ closureSources).map(_ -> tp)
+          }
+          res.map { case (k, pp) =>
+            synth.typeAt(k, pp) match {
+              case Some(MapType(mk, StringType, _)) =>
+                synth.retypePath(k, pp, MapType(mk, promotedT))
+              case Some(StringType) =>
+                synth.retypePath(k, pp, MapType(StringType, promotedT))
+              case Some(_: StructType) =>
+                // `payload['rejectReasons']` over an ESTABLISHED struct is a
+                // FIELD access by literal name — promote that field
+                synth.typeAt(k, pp :+ key) match {
+                  case Some(StringType) | None =>
+                    synth.addPath(k, pp :+ key)
+                    synth.retypePath(k, pp :+ key, promotedT)
+                  case _ => false
+                }
+              case _ => false
+            }
+          }.exists(identity) ||
+            retypeLeafFields(tp, tt => tt == StringType,
+              MapType(StringType, promotedT))
+        }.exists(identity)
+      }
+      if (mapValDefFixed) return true
+      // `ELEMENT_AT(inv.sh, 1) AS inv_sh_0 … inv.inv_sh_0.s`: the alias is an
+      // ELEMENT of an array — the array's element type must carry the struct
+      val elemDefFixed = {
+        val leafName = rawPath.last
+        // the index may be an INT COLUMN (`productVariants[variant_number]
+        // AS variant`), not just a literal — quoted-string indexes (maps)
+        // are handled by mapValDefFixed above
+        val re = ("(?i)(?:element_at\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*,\\s*-?\\d+\\s*\\)|" +
+          "([A-Za-z_][\\w.]*)\\s*\\[\\s*(?:-?\\d+|[A-Za-z_]\\w*)\\s*\\])\\s+AS\\s+" +
+          java.util.regex.Pattern.quote(leafName) + "(?![\\w])").r
+        re.findAllMatchIn(pc.aliasSearchSql)
+          .flatMap(m => Option(m.group(1)).orElse(Option(m.group(2)))).toSeq.distinct
+          .map { t =>
+            val tp = t.split("\\.").toSeq
+            val res: Seq[((String, String), Seq[String])] = tp match {
+              case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                aliasKeysOf(h).map(_ -> r)
+              case _ +: r =>
+                (modelSources ++ closureSources).map(_ -> tp) ++
+                  (if (r.nonEmpty) (modelSources ++ closureSources).map(_ -> r) else Nil)
+              case _ => (modelSources ++ closureSources).map(_ -> tp)
+            }
+            res.map { case (k, pp) =>
+              synth.typeAt(k, pp) match {
+                case Some(StringType) | Some(ArrayType(StringType, _)) =>
+                  synth.retypePath(k, pp, ArrayType(emptyStruct))
+                case _ => false
+              }
+            }.exists(identity) ||
+              retypeLeafFields(tp,
+                tt => tt == StringType || tt == ArrayType(StringType),
+                ArrayType(emptyStruct))
+          }.exists(identity)
+      }
+      if (elemDefFixed) return true
       step || defs.map { p =>
         promoteExtractBase(p, reported, Some(promotedT), depth - 1) ||
           (wantString && retypeLeafFields(p, _ == StringType, promotedT))
@@ -1852,7 +1965,13 @@ object CorpusExecute {
               val bare = "(?i)(?<=\\(|\\bAND |\\bOR |\\bNOT |^)\\s*([A-Za-z_][\\w.]*)\\s*(?=\\)|\\bAND\\b|\\bOR\\b|$)".r
                 .findAllMatchIn(stripDq(expr)).map(_.group(1)).toSeq.distinct
               bare.map(b => retypeIdentsIn(b, dt)).exists(identity)
-            } else retypeIdentsIn(expr, dt)
+            } else retypeIdentsIn(expr, dt) ||
+              // the operand is ESTABLISHED to a different scalar by other
+              // readers of the shared source (dim_date.id: BIGINT for
+              // key-join models, DATE for `id >= DATE '…'` models) — give
+              // THIS node its own overlay view instead of flip-flopping the
+              // global type
+              identPaths(expr).map(overlayScalarConflict(_, dt)).exists(identity)
           }
         }
       case "DATATYPE_MISMATCH.SEQUENCE_WRONG_INPUT_TYPES" =>
@@ -1862,8 +1981,84 @@ object CorpusExecute {
          | "INCOMPATIBLE_COLUMN_TYPE" =>
         // least/coalesce/union branches disagree: infer the intended type
         // from the expression's literals and retype its string identifiers
+        // `arrays_overlap(labels.key, array('…'))` with labels.key typed
+        // ARRAY<ARRAY<STRING>>: the nested `key` field was wrongly
+        // array-promoted (the outer array-ness comes from the PARENT
+        // array-of-structs) — de-nest the leaf
+        val deNest = for {
+          lt <- p.get("leftType").map(_.replaceAll("\"", "").toUpperCase)
+          rt <- p.get("rightType").map(_.replaceAll("\"", "").toUpperCase)
+          if lt == s"ARRAY<$rt>"
+          expr <- p.get("sqlExpr").map(stripDq)
+          m <- "\\(\\s*([A-Za-z_][\\w.]*)".r.findFirstMatchIn(expr)
+        } yield retypeLeafFields(m.group(1).split("\\.").toSeq,
+          _ == ArrayType(StringType), StringType)
+        if (deNest.contains(true)) return true
+        // `array_union(coalesce(gradeInfoHistory, array()), array(struct(…)))`
+        // — one side's reported type is a real DDL shape: a default-guess
+        // ident on the other side ADOPTS it wholesale
+        // a shape where EVERY leaf is a string is still a default guess
+        // (accreted field-by-field) — eligible for wholesale adoption
+        def allStringLeaves(d: DataType): Boolean = d match {
+          case StringType => true
+          case s: StructType => s.fields.forall(f => allStringLeaves(f.dataType))
+          case ArrayType(e, _) => allStringLeaves(e)
+          case MapType(k2, v, _) => allStringLeaves(k2) && allStringLeaves(v)
+          case _ => false
+        }
+        val adopt = for {
+          expr <- p.get("sqlExpr").map(stripDq)
+          parsed = (p.get("leftType").toSeq ++ p.get("rightType").toSeq)
+            .map(s => stripDq(s).trim)
+            .flatMap(s => scala.util.Try(DataType.fromDDL(s)).toOption)
+            .filter(t => t != ArrayType(StringType) && t != StringType &&
+              !String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB"))
+          // the authoritative side is the one that is NOT an all-string guess
+          t <- parsed.find(t => !allStringLeaves(t)).orElse(parsed.headOption)
+          // a self-similar nested shape (an inner struct repeating its
+          // ancestor's field set) is accreted garbage, never authoritative
+          if !{
+            def fieldSets(d: DataType, anc: List[Set[String]]): Boolean = d match {
+              case s: StructType =>
+                val fs = s.fieldNames.map(_.toLowerCase).toSet
+                anc.contains(fs) || s.fields.exists(f => fieldSets(f.dataType, fs :: anc))
+              case ArrayType(e2, _) => fieldSets(e2, anc)
+              case MapType(k2, v, _) => fieldSets(k2, anc) || fieldSets(v, anc)
+              case _ => false
+            }
+            fieldSets(t, Nil)
+          }
+        } yield {
+          // only the SUBJECT ident (first in text order) adopts — retyping
+          // every ident in the expr propagated the shape onto struct fields
+          // that merely appear inside it (gradeInfo.moderatorId)
+          val subject = identPaths(expr)
+            .map(p2 => p2 -> stripDq(expr).indexOf(p2.mkString(".")))
+            .filter(_._2 >= 0).sortBy(_._2).headOption.map(_._1)
+          subject.exists { path =>
+            val cur = (modelSources ++ closureSources).iterator
+              .flatMap(k => synth.typeAt(k, path)).nextOption()
+            (cur.isEmpty || cur.exists(allStringLeaves) ||
+              cur.exists(c => String.valueOf(c.sql).toUpperCase.contains("_GRAFT_STUB"))) &&
+              cur.forall(_ != t) &&
+              retypeByPath(path, t)
+          }
+        }
+        if (adopt.contains(true)) return true
         p.get("sqlExpr").orElse(p.get("expr")).exists { expr =>
           typeFromExprShape(expr).exists(dt => retypeIdentsIn(expr, dt)) || {
+            // the analyzer lists the disagreeing types (`["STRING", "DATE"]`):
+            // with exactly one NON-string type among them, the strings are
+            // default guesses — retype them to it
+            val listed = "\"([A-Z<>,() ]+)\"".r
+              .findAllMatchIn(String.valueOf(e.getMessage)).map(_.group(1)).toSeq
+            val nonString = listed.filterNot(_ == "STRING").distinct
+            (nonString.size == 1 && listed.contains("STRING") &&
+              typeFor(nonString.head).exists(dt => retypeIdentsIn(expr, dt) ||
+                // the string side may be a SELECT alias over an upstream
+                // column — retypeByPath's alias-def rungs trace it
+                identPaths(expr).map(retypeByPath(_, dt)).exists(identity)))
+          } || {
             // `x IN (A, B, …)` where the list items are unquoted string
             // literals (the analyzer prints them bare) and x was mis-typed
             // by an earlier broad-brush retype: revert x to STRING
@@ -1891,12 +2086,29 @@ object CorpusExecute {
         (p.get("sqlExpr").map(stripDq), p.get("srcType"), p.get("targetType")) match {
           case (Some(expr), Some(src), Some(tgt))
             if src.toUpperCase.replaceAll("\"", "").matches("STRING|ARRAY<STRING>") =>
-            typeFor(tgt).exists(dt => identPaths(expr).map(retypeByPath(_, dt)).exists(identity)) ||
-              identPaths(expr).map(deArrayifyParent).exists(identity)
+            typeFor(tgt).exists { dt =>
+              identPaths(expr).map(retypeByPath(_, dt)).exists(identity) ||
+                identPaths(expr).map(deArrayifyParent).exists(identity) ||
+                // ARRAY<STRING> source whose array-ness is a wrongly
+                // promoted NESTED field (statusHistory element's `ctms`
+                // became array<string> from an array_position demand):
+                // revert the leaf to the cast target
+                (src.toUpperCase.contains("ARRAY") &&
+                  identPaths(expr).map(p2 => retypeLeafFields(p2,
+                    _ == ArrayType(StringType), dt)).exists(identity))
+            }
           case (Some(expr), Some(src), Some(tgt))
             if src.toUpperCase.startsWith("\"ARRAY") || src.toUpperCase.startsWith("ARRAY") =>
-            typeFor(tgt).exists(dt => !dt.isInstanceOf[ArrayType]) &&
-              identPaths(expr).map(deArrayifyParent).exists(identity)
+            typeFor(tgt).exists { dt =>
+              !dt.isInstanceOf[ArrayType] &&
+                (identPaths(expr).map(deArrayifyParent).exists(identity) ||
+                  // the FIELD itself was wrongly array-promoted (an
+                  // `array_position(statusHistory.ctms, …)` demand landed on
+                  // the element struct's field instead of relying on the
+                  // array parent): revert the leaf to the cast's target
+                  identPaths(expr).map(p2 => retypeLeafFields(p2,
+                    _ == ArrayType(StringType), dt)).exists(identity))
+            }
           case (Some(expr), Some(src), Some(tgt))
             if src.toUpperCase.contains("STRUCT") =>
             // CAST(struct AS scalar) can't analyze in the reference either.
@@ -1961,7 +2173,27 @@ object CorpusExecute {
           if (required.contains("INTEGRAL") && stripDq(inputSql).matches("[A-Za-z_][\\w.]*"))
             "^([A-Za-z_][\\w.]*)\\[".r.findFirstMatchIn(stripDq(sqlExpr)).map(_.group(1))
           else None
-        if (ordinalMapBase.isDefined) {
+        // (0) `(id - 29)` resolved as timestamp-minus: date arithmetic with
+        //     an integer literal means the ident is a DATE; a stale node
+        //     overlay (an earlier TIMESTAMP guess) must be corrected first
+        //     or applyOverlays re-imposes it on every rebuild
+        val dateArithIdent =
+          if (required.contains("TIMESTAMP") && inputSql.matches("-?\\d+"))
+            "^\\(\\s*([A-Za-z_][\\w.]*)\\s*[-+]".r.findFirstMatchIn(sqlExpr).map(_.group(1))
+          else if (required.contains("TIMESTAMP") && inputSql.matches("[A-Za-z_][\\w.]*") &&
+            sqlExpr.toLowerCase.startsWith("date_trunc"))
+            // date_trunc over a non-temporal guess: DATE satisfies BOTH
+            // date_trunc and any later date arithmetic on the same column
+            // (a TIMESTAMP overlay here breaks `(id - 29)` downstream)
+            Some(inputSql)
+          else None
+        if (dateArithIdent.isDefined) {
+          val path = dateArithIdent.get.split("\\.").toSeq
+          (modelSources ++ closureSources)
+            .filter(k => synth.overlayTypeAt(k, path).exists(_ != DateType))
+            .map(k => synth.overlayPatch(k, path, DateType)).exists(identity) ||
+            retypeByPath(path, DateType) || overlayScalarConflict(path, DateType)
+        } else if (ordinalMapBase.isDefined) {
           val path = ordinalMapBase.get.split("\\.").toSeq
           retypeByPath(path, MapType(StringType, StringType)) ||
             // the base may be a nested array-guessed field (`payload.parsedUtm`)
@@ -2059,7 +2291,21 @@ object CorpusExecute {
               // (already array): the failing occurrence reads a SELECT
               // alias over a different table's column — chase the alias def
               aliasDefPaths(path.mkString(".")).map(p =>
-                retypeByPath(p, ArrayType(StringType))).exists(identity)
+                retypeByPath(p, ArrayType(StringType))).exists(identity) ||
+              // `FILTER(h, …)[0]['merchant_variant_prices'] AS mp` — the
+              // alias is a quoted-FIELD extraction: that field (inside
+              // whatever element struct carries it) must be the array
+              (path.size == 1 && {
+                val fieldRe = ("(?i)\\[\\s*'([A-Za-z_]\\w*)'\\s*\\]\\s+AS\\s+" +
+                  java.util.regex.Pattern.quote(path.head) + "(?![\\w])").r
+                fieldRe.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq.distinct
+                  .map(f => retypeLeafFields(Seq(f), _ == StringType,
+                    ArrayType(emptyStruct)))
+                  .exists(identity)
+              }) ||
+              // the ident EXISTS as a string nested field even when a
+              // top-level lookup resolved something else: retype the leaf
+              retypeLeafFields(path, _ == StringType, ArrayType(StringType))
           }.exists(identity)
         } else {
           typeFor(required).exists { dt =>
@@ -2215,6 +2461,25 @@ object CorpusExecute {
           ArrayType(StructType(Seq(StructField("key", StringType),
             StructField("value", StringType)))))
         if (mapEntries.contains(true)) return true
+        // `(id - 29)` resolved as timestamp-minus because `id` carries a
+        // TIMESTAMP (or was established numeric elsewhere): date arithmetic
+        // with an integer literal means the ident is a DATE — overlay if the
+        // global type is another reader's
+        val dateArith = for {
+          expr <- p.get("sqlExpr").map(stripDq)
+          req <- p.get("requiredType") if req.toUpperCase.contains("TIMESTAMP")
+          in <- p.get("inputSql").map(stripDq) if in.matches("-?\\d+")
+          m <- "^\\(\\s*([A-Za-z_][\\w.]*)\\s*[-+]".r.findFirstMatchIn(expr)
+        } yield {
+          val path = m.group(1).split("\\.").toSeq
+          // a stale node overlay (an earlier TIMESTAMP guess) would be
+          // re-imposed by applyOverlays on every rebuild — correct it first
+          (modelSources ++ closureSources)
+            .filter(k => synth.overlayTypeAt(k, path).exists(_ != DateType))
+            .map(k => synth.overlayPatch(k, path, DateType)).exists(identity) ||
+            retypeByPath(path, DateType) || overlayScalarConflict(path, DateType)
+        }
+        if (dateArith.contains(true)) return true
         // `payload[userId]` where userId is a STRING column: the ordinal-
         // access guess (array) was wrong — the base is really a map
         val mapIndex = for {
@@ -2234,6 +2499,33 @@ object CorpusExecute {
             case _ => false
           }
         }
+      case "MISSING_AGGREGATION" =>
+        // `CASE … END AS app_device_type` + `GROUP BY app_device_type` is a
+        // group-by-alias; it breaks when an earlier unqualified offer
+        // planted a COLUMN with the alias's name on a source — the alias
+        // then resolves to the impostor and the CASE's inputs fall out of
+        // the GROUP BY. Retract impostor columns named like GROUP BY'd
+        // select aliases.
+        val exprName = p.get("expression").map(stripDq)
+          .flatMap("[A-Za-z_][\\w.]*".r.findFirstIn).getOrElse("")
+        val aliasRe = "(?i)\\bAS\\s+([A-Za-z_]\\w*)".r
+        val gbText = "(?is)GROUP\\s+BY\\b(.{0,2000})".r
+          .findAllMatchIn(pc.renderedSql).map(_.group(1)).mkString("\n")
+        val gbAliases = aliasRe.findAllMatchIn(pc.renderedSql).map(_.group(1))
+          .filter(a => ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(a) +
+            "(?![\\w])").r.findFirstIn(gbText).isDefined)
+          .toSeq.distinct
+        gbAliases.map { a =>
+          val planted = (modelSources ++ closureSources).filter(k => synth.has(k, a))
+          val relevant = exprName.isEmpty || {
+            // only retract when the alias's defining text mentions the
+            // failing expression's column (or we can't tell)
+            ("(?is)" + java.util.regex.Pattern.quote(exprName) +
+              ".{0,600}?\\bAS\\s+" + java.util.regex.Pattern.quote(a) +
+              "(?![\\w])").r.findFirstIn(pc.renderedSql).isDefined
+          }
+          relevant && planted.map(k => synth.retract(k, a)).exists(identity)
+        }.exists(identity)
       case "INVALID_EXTRACT_BASE_FIELD_TYPE" =>
         p.get("base").map(stripDq) match {
           case Some(name) if name.matches("[A-Za-z_][\\w.]*") =>
@@ -2525,6 +2817,14 @@ object CorpusExecute {
     }
     order ++= known.diff(order.toSet).toSeq.sorted // cycle members still reported
     val closures = sourceClosures(byName)
+    // alias-def tracing needs TWO dep levels: a pass-through column
+    // (`product_dimensions,` re-selected by the direct dep) is DEFINED
+    // (`info.uDimensions AS product_dimensions`) in the grand-dep
+    def depsSqlOf(n: Node): String = {
+      val d1 = n.deps.flatMap(byName.get)
+      val d2 = d1.flatMap(_.deps).distinct.flatMap(byName.get)
+      (d1 ++ d2).distinct.map(_.rawSql).mkString("\n")
+    }
 
     // fixpoint passes: a later model's retype can change an earlier model's
     // source schema — keep re-running until the executed set stops growing
@@ -2598,7 +2898,7 @@ object CorpusExecute {
         // no nested refreshNode recursion.
         val item = executeNode(ctx, nd, macros, vars, synth, maxIter = 25,
           closures.getOrElse(dep, Nil),
-          depsSql = nd.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"),
+          depsSql = depsSqlOf(nd),
           nodeSchemas = nodeSchemas)
         if (item.status == "executed") {
           lastRunVersion(dep) = synth.version
@@ -2648,7 +2948,7 @@ object CorpusExecute {
           System.err.println(s"[corpus] pass=$passes node=$name")
           val item = executeNode(ctx, node, macros, vars, synth, maxIter,
             closures.getOrElse(name, Nil), refreshUpstreams,
-            depsSql = node.deps.flatMap(byName.get).map(_.rawSql).mkString("\n"),
+            depsSql = depsSqlOf(node),
             nodeSchemas = nodeSchemas, refreshNode = refreshNamed)
           val secs = (System.nanoTime() - t0) / 1e9
           if (secs > 10) System.err.println(f"[corpus]   $name: ${item.status} in $secs%.1f s")
