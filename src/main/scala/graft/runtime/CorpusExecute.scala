@@ -985,12 +985,19 @@ object CorpusExecute {
         // impostor whose retype already happened, while the failing read is
         // of a CTE alias over a nested source field).
         def aliasRungs: Boolean = {
+          // a QUALIFIED path's head is often a CTE alias
+          // (`cal_x_stock.number_of_products_in_stock`): the defining
+          // `stocks.stock AS number_of_products_in_stock` is only findable
+          // by the LEAF name
+          val defs = (aliasDefPaths(path.mkString(".")) ++
+            (if (path.size > 1) aliasDefPaths(path.last) else Nil))
+            .filterNot(_.map(_.toLowerCase) == path.map(_.toLowerCase)).distinct
           if (CorpusExecute.debug)
             println(s"[corpus-debug] retypeByPath(${path.mkString(".")}) rungs: defs=" +
-              aliasDefPaths(path.mkString(".")).map(_.mkString(".")).mkString(",") +
+              defs.map(_.mkString(".")).mkString(",") +
               " stringFields=" + (modelSources ++ closureSources).flatMap(k =>
                 synth.stringFieldPaths(k, path.last).map(p => s"${k._2}:${p.mkString(".")}")).mkString(","))
-          aliasDefPaths(path.mkString(".")).map(retypeByPath(_, dt, depth - 1))
+          defs.map(retypeByPath(_, dt, depth - 1))
             .exists(identity) ||
             (modelSources ++ closureSources).flatMap(k =>
               synth.stringFieldPaths(k, path.last).map(k -> _))
@@ -1248,8 +1255,11 @@ object CorpusExecute {
       // wrapped path (the aggregate doesn't change the negotiated type for
       // min/max/first/last-style passthroughs)
       // also tolerate simple trailing args: `COALESCE(x, 0) AS n`,
-      // `ROUND(t.amount, 3) AS n` define the alias over the first-arg path
-      val reAgg = ("(?i)[A-Za-z_]\\w*\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s*(?:,[^()]*)?\\)\\s+AS\\s+" +
+      // `ROUND(t.amount, 3) AS n` define the alias over the first-arg path.
+      // Aggregating COLLECTORS are excluded — `COLLECT_SET(x) AS xs` makes
+      // xs an ARRAY OF x, not a type-passthrough of x
+      val reAgg = ("(?i)\\b(?!(?:array_agg|collect_list|collect_set)\\s*\\()" +
+        "[A-Za-z_]\\w*\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)\\s*(?:,[^()]*)?\\)\\s+AS\\s+" +
         java.util.regex.Pattern.quote(name) + "(?![\\w])").r
       (re.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq ++
         reAgg.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq).distinct
@@ -1988,11 +1998,36 @@ object CorpusExecute {
         val deNest = for {
           lt <- p.get("leftType").map(_.replaceAll("\"", "").toUpperCase)
           rt <- p.get("rightType").map(_.replaceAll("\"", "").toUpperCase)
-          if lt == s"ARRAY<$rt>"
+          if lt.startsWith("ARRAY<ARRAY<")
           expr <- p.get("sqlExpr").map(stripDq)
           m <- "\\(\\s*([A-Za-z_][\\w.]*)".r.findFirstMatchIn(expr)
-        } yield retypeLeafFields(m.group(1).split("\\.").toSeq,
-          _ == ArrayType(StringType), StringType)
+        } yield {
+          val path = m.group(1).split("\\.").toSeq
+          if (lt == s"ARRAY<$rt>")
+            // `labels.key` through an array-of-structs parent: the FIELD's
+            // array-promotion was the artifact — de-nest it one level
+            retypeLeafFields(path, _ == ArrayType(StringType), StringType)
+          else
+            // `array_except(dangerous_kinds, array(0))` with the FIELD
+            // itself double-arrayified: adopt the right side's full type —
+            // but when the ident is an ARRAY_AGG/COLLECT alias, the
+            // AGGREGATED column adopts the right side's ELEMENT type
+            scala.util.Try((DataType.fromDDL(lt), DataType.fromDDL(rt))).toOption
+              .exists { case (plt, prt) =>
+                val aggDefRe = ("(?i)(?:array_agg|collect_list|collect_set)\\s*\\(\\s*(?:distinct\\s+)?" +
+                  "([A-Za-z_][\\w.]*)\\s*\\)\\s+AS\\s+" +
+                  java.util.regex.Pattern.quote(path.last) + "(?![\\w])").r
+                val viaAgg = prt match {
+                  case ArrayType(elem, _) =>
+                    aggDefRe.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq.distinct
+                      .map(d => retypeByPath(d.split("\\.").toSeq, elem))
+                      .exists(identity)
+                  case _ => false
+                }
+                viaAgg || retypeLeafFields(path, _ == plt, prt) ||
+                  retypeByPath(path, prt)
+              }
+        }
         if (deNest.contains(true)) return true
         // `array_union(coalesce(gradeInfoHistory, array()), array(struct(…)))`
         // — one side's reported type is a real DDL shape: a default-guess
@@ -2029,19 +2064,44 @@ object CorpusExecute {
             fieldSets(t, Nil)
           }
         } yield {
-          // only the SUBJECT ident (first in text order) adopts — retyping
-          // every ident in the expr propagated the shape onto struct fields
-          // that merely appear inside it (gradeInfo.moderatorId)
+          // only the SUBJECT ident (first in text order, not a function
+          // name) adopts — retyping every ident in the expr propagated the
+          // shape onto struct fields that merely appear inside it
+          val exprS = stripDq(expr)
           val subject = identPaths(expr)
-            .map(p2 => p2 -> stripDq(expr).indexOf(p2.mkString(".")))
-            .filter(_._2 >= 0).sortBy(_._2).headOption.map(_._1)
+            .map { p2 =>
+              val ident = p2.mkString(".")
+              val idx = ("(?<![\\w.])" + java.util.regex.Pattern.quote(ident) +
+                "(?![\\w.])").r.findFirstMatchIn(exprS).map(_.start).getOrElse(-1)
+              val isFn = idx >= 0 &&
+                exprS.drop(idx + ident.length).trim.headOption.contains('(')
+              (p2, idx, isFn)
+            }
+            .filter { case (_, idx, isFn) => idx >= 0 && !isFn }
+            .sortBy(_._2).headOption.map(_._1)
           subject.exists { path =>
             val cur = (modelSources ++ closureSources).iterator
               .flatMap(k => synth.typeAt(k, path)).nextOption()
-            (cur.isEmpty || cur.exists(allStringLeaves) ||
-              cur.exists(c => String.valueOf(c.sql).toUpperCase.contains("_GRAFT_STUB"))) &&
-              cur.forall(_ != t) &&
-              retypeByPath(path, t)
+            // the subject may be a COLLECTOR alias (`COLLECT_SET(fo.x) AS
+            // xs`): the collected column adopts the ELEMENT type
+            val viaAgg = t match {
+              case ArrayType(elem, _) =>
+                val aggDefRe = ("(?i)(?:array_agg|collect_list|collect_set)\\s*\\(\\s*(?:distinct\\s+)?" +
+                  "([A-Za-z_][\\w.]*)\\s*\\)\\s+AS\\s+" +
+                  java.util.regex.Pattern.quote(path.last) + "(?![\\w])").r
+                aggDefRe.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq.distinct
+                  .map(d => retypeByPath(d.split("\\.").toSeq, elem))
+                  .exists(identity)
+              case _ => false
+            }
+            if (CorpusExecute.debug)
+              println(s"[corpus-debug] adopt subject=${path.mkString(".")} t=${t.simpleString.take(40)} " +
+                s"cur=${cur.map(_.simpleString.take(40))} viaAgg=$viaAgg")
+            viaAgg ||
+              ((cur.isEmpty || cur.exists(allStringLeaves) ||
+                cur.exists(c => String.valueOf(c.sql).toUpperCase.contains("_GRAFT_STUB"))) &&
+                cur.forall(_ != t) &&
+                retypeByPath(path, t))
           }
         }
         if (adopt.contains(true)) return true
@@ -2057,7 +2117,9 @@ object CorpusExecute {
               typeFor(nonString.head).exists(dt => retypeIdentsIn(expr, dt) ||
                 // the string side may be a SELECT alias over an upstream
                 // column — retypeByPath's alias-def rungs trace it
-                identPaths(expr).map(retypeByPath(_, dt)).exists(identity)))
+                identPaths(expr).map(retypeByPath(_, dt)).exists(identity) ||
+                identPaths(expr).map(p2 => retypeLeafFields(p2,
+                  _ == StringType, dt)).exists(identity)))
           } || {
             // `x IN (A, B, …)` where the list items are unquoted string
             // literals (the analyzer prints them bare) and x was mis-typed
@@ -2723,7 +2785,7 @@ object CorpusExecute {
   def run(spark: SparkSession, modelsDir: Path, macrosDir: Path,
           snapshotsDir: Path, seedsDir: Path,
           vars: Map[String, String] = CorpusSweep.defaultVars ++ Map(
-            "run_ts" -> "2024-01-31 00:00:00", "run_dow" -> "1"),
+            "run_ts" -> "2025-10-01 00:00:00", "run_dow" -> "1"),
           maxIter: Int = 200, maxPasses: Int = 8,
           only: Option[Set[String]] = None): Report = {
     val macros = CorpusSweep.loadMacros(macrosDir)

@@ -89,8 +89,8 @@ object CorpusSweep {
   /** Default var values for a dry render: dates shaped like the scheduler's
     * daily window, identifiers for name-valued vars. Callers override. */
   val defaultVars: Map[String, String] = Map(
-    "start_date_ymd" -> "2024-01-01",
-    "end_date_ymd" -> "2024-01-31",
+    "start_date_ymd" -> "2025-09-30",
+    "end_date_ymd" -> "2025-10-01",
     "table_name" -> "sweep_table")
 
   def sweep(spark: SparkSession, modelsDir: Path, macrosDir: Path,

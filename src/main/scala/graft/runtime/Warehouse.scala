@@ -58,6 +58,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
     views.remove(name)
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) TempDirs.deleteTree(p)
+    // Spark's shared FileStatusCache has no TTL: a reader planning against
+    // this path after a drop+rewrite would otherwise chase deleted part
+    // files (FAILED_READ_FILE on corpus mid-pass upstream refreshes)
+    try spark.catalog.refreshByPath(p.toString)
+    catch { case scala.util.control.NonFatal(_) => }
   }
 
   /** Read a managed table or view. Tables with a `_schema.json` sidecar are
