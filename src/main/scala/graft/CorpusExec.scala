@@ -13,6 +13,11 @@ object CorpusExec {
     val spark = graft.runtime.Dialect(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "4") // 0-row plans: scheduling floor dominates
+      // negotiation drops+rewrites the same table paths hundreds of times;
+      // Spark's shared FileStatusCache has no TTL by default and
+      // refreshByPath does not purge it — a stale listing makes readers
+      // chase deleted part files (FAILED_READ_FILE)
+      .config("spark.sql.metadataCacheTTLSeconds", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false"))

@@ -3121,6 +3121,7 @@ object CorpusExecute {
     var lastCond = ""
     var lastMsg = ""
     var stall = 0
+    var readRetries = 0
     while (it < maxIter) {
       it += 1
       budgetGap().foreach(return _)
@@ -3203,8 +3204,15 @@ object CorpusExecute {
           }
           }
         case scala.util.control.NonFatal(e) =>
-          return Item(node.name, node.kind, s"gap:runtime:${e.getClass.getSimpleName}",
-            String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220), it)
+          // a stale shared file-listing (drop+rewrite race) resolves itself
+          // once the metadata-cache TTL lapses — retry instead of gapping
+          if (String.valueOf(e.getMessage).contains("FAILED_READ_FILE") &&
+            readRetries < 3) {
+            readRetries += 1
+            Thread.sleep(2500)
+          } else
+            return Item(node.name, node.kind, s"gap:runtime:${e.getClass.getSimpleName}",
+              String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220), it)
       }
     }
     Item(node.name, node.kind, "gap:negotiation-limit", lastCond, it)
