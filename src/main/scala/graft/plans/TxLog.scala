@@ -200,8 +200,13 @@ object TxLog {
     val tmp = logDir(table).resolve(f"$next%020d.json.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, actions.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try {
-      // ATOMIC_MOVE to a path that must not exist: the version-number claim
-      try Files.move(tmp, commitFile(table, next), StandardCopyOption.ATOMIC_MOVE)
+      // The version-number claim must be CREATE-NEW: rename(2) (and thus
+      // Files.move, even with ATOMIC_MOVE) silently REPLACES an existing
+      // target on POSIX, which would let a race loser destroy the winner's
+      // commit. link(2) is the true create-new primitive — hard-linking the
+      // staged temp file onto the commit path fails with EEXIST if any
+      // writer already claimed this version.
+      try Files.createLink(commitFile(table, next), tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         throw new TxConflict(s"version $next already committed by a concurrent writer")
       }
@@ -321,21 +326,56 @@ object TxLog {
   def scannedFileName: Column = org.apache.spark.sql.functions
     .regexp_extract(input_file_name(), "[^/]+$", 0)
 
+  /** Above this file count the partition re-attach switches from an inline
+    * literal map to a broadcast manifest join: a 10k–100k-file snapshot (the
+    * 100 TB regime) would otherwise plant an O(files) expression tree in
+    * EVERY reader plan — quadratic driver work across queries, and far past
+    * codegen's method-size limits. 256 keeps small tables on the zero-join
+    * codegen'd path. */
+  private[graft] val inlinePartitionMapThreshold = 256
+
   /** Read an explicit subset of manifest files, re-attaching partition
-    * columns (as strings) from their manifest partition values. */
+    * columns (as strings) from their manifest partition values. Small
+    * snapshots inline the file→value map into the plan (codegen'd, no join);
+    * large ones broadcast-join the manifest — constant-size plans at any
+    * file count, the same shape Delta's own scan uses (partition values ride
+    * the file index, not the plan). */
   def readSubset(spark: SparkSession, table: Path, files: Seq[AddFile],
-                 partitionCols: Seq[String]): DataFrame = {
+                 partitionCols: Seq[String],
+                 inlineThreshold: Int = inlinePartitionMapThreshold): DataFrame = {
     val base = spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*)
     if (partitionCols.isEmpty) base
-    else partitionCols.foldLeft(base) { (df, c) =>
-      val mapping = files.map { f =>
-        (f.path.split('/').last, f.partitionValues.getOrElse(c, "__NULL__"))
+    else if (files.size <= inlineThreshold)
+      partitionCols.foldLeft(base) { (df, c) =>
+        val mapping = files.map { f =>
+          (f.path.split('/').last, f.partitionValues.getOrElse(c, "__NULL__"))
+        }
+        val m = org.apache.spark.sql.functions.map(
+          mapping.flatMap { case (p, v) => Seq(lit(p), lit(v)) }: _*)
+        df.withColumn(c,
+          org.apache.spark.sql.functions.nullif(m(scannedFileName), lit("__NULL__")))
       }
-      val m = org.apache.spark.sql.functions.map(
-        mapping.flatMap { case (p, v) => Seq(lit(p), lit(v)) }: _*)
-      df.withColumn(c,
-        org.apache.spark.sql.functions.nullif(m(scannedFileName), lit("__NULL__")))
-    }
+    else manifestJoin(spark, base, files, partitionCols)
+  }
+
+  /** The large-snapshot partition re-attach: broadcast a (file count)-row
+    * manifest frame and equi-join on the scanned file name. One broadcast of
+    * KBs-per-file metadata, zero shuffle of the data side. */
+  private def manifestJoin(spark: SparkSession, base: DataFrame,
+                           files: Seq[AddFile], partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fileCol = "__txlog_file"
+    val schema = StructType(StructField(fileCol, StringType, nullable = false) +:
+      partitionCols.map(StructField(_, StringType, nullable = true)))
+    val rows: java.util.List[Row] = files.map { f =>
+      Row.fromSeq(f.path.split('/').last +:
+        partitionCols.map(c => f.partitionValues.get(c).orNull))
+    }.asJava
+    val manifest = spark.createDataFrame(rows, schema)
+    base.withColumn(fileCol, scannedFileName)
+      .join(org.apache.spark.sql.functions.broadcast(manifest), Seq(fileCol), "left")
+      .drop(fileCol)
   }
 
   /** File-level replace — the commit shape of a Delta MERGE: tombstone

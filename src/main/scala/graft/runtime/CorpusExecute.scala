@@ -867,13 +867,19 @@ object CorpusExecute {
           // attribution provably missed the failing block (the analyzer
           // would have resolved it there) — a UNION of per-network insight
           // tables where only some declare campaign_id hits exactly this.
+          // prefix check must be case-insensitive: `pre` comes from
+          // parsed-SQL nameParts while `cp` comes from analyzer error
+          // params — a case mismatch would double-plant the head
+          // (payload.Payload.x), an impostor the selfNested guard can't see
+          def underPrefix(cp: Seq[String], pre: Seq[String]): Boolean =
+            cp.map(_.toLowerCase).startsWith(pre.map(_.toLowerCase))
           val scopedHit = scoped.map { case (k, pre) =>
-            val full = if (cp.startsWith(pre)) cp else pre ++ cp
+            val full = if (underPrefix(cp, pre)) cp else pre ++ cp
             synth.addPath(k, full)
           }.exists(identity)
           val local = scopedHit ||
             ((scoped.isEmpty || scoped.forall { case (k, pre) =>
-              val full = if (cp.startsWith(pre)) cp else pre ++ cp
+              val full = if (underPrefix(cp, pre)) cp else pre ++ cp
               synth.typeAt(k, full).isDefined || synth.has(k, cp.head)
             }) &&
               modelSources.filterNot(sealedSet.contains)
@@ -1378,8 +1384,12 @@ object CorpusExecute {
                 // FIELD access by literal name — promote that field
                 synth.typeAt(k, pp :+ key) match {
                   case Some(StringType) | None =>
-                    synth.addPath(k, pp :+ key)
-                    synth.retypePath(k, pp :+ key, promotedT)
+                    // addPath's result must survive even when the retype
+                    // no-ops (flip budget frozen): reporting "no change"
+                    // after a real schema mutation would let the caller's
+                    // stall classifier fire mid-progress
+                    val added = synth.addPath(k, pp :+ key)
+                    synth.retypePath(k, pp :+ key, promotedT) || added
                   case _ => false
                 }
               case _ => false
@@ -2925,18 +2935,35 @@ object CorpusExecute {
       var any = false
       val savedNode = synth.currentNode
       for (d <- need) {
+        // move the current output ASIDE rather than dropping it: a failed
+        // rebuild must leave the previous table readable, or every
+        // downstream node burns iterations on PATH_NOT_FOUND recovery
+        // until refreshNamed happens to succeed
+        val tp = java.nio.file.Paths.get(ctx.warehouse.tablePath(d))
+        val bak = tp.resolveSibling(tp.getFileName.toString + ".refreshbak")
+        var movedAside = false
         try {
           // the dep re-materializes under ITS OWN overlay view — the same
           // one it originally executed with
           synth.currentNode = d
           val m = byName(d).model()
-          ctx.warehouse.drop(d) // schema growth must not merge into narrower files
+          if (Files.exists(bak)) TempDirs.deleteTree(bak)
+          if (Files.exists(tp)) { Files.move(tp, bak); movedAside = true }
+          ctx.warehouse.drop(d) // clears view + listing cache (files already moved);
+                                // schema growth must not merge into narrower files
           new DagRunner(Seq(m)).materialize(ctx, m)
           lastRunVersion(d) = synth.version
           refreshMirror(d)
+          if (movedAside) TempDirs.deleteTree(bak)
           if (debug) println(s"[corpus-debug] refreshUpstream($d) ok")
           any = true
         } catch { case scala.util.control.NonFatal(e) =>
+          if (movedAside && Files.exists(bak)) {
+            if (Files.exists(tp)) TempDirs.deleteTree(tp) // discard partial rebuild
+            Files.move(bak, tp)
+            try ctx.spark.catalog.refreshByPath(tp.toString)
+            catch { case scala.util.control.NonFatal(_) => }
+          }
           if (debug) println(s"[corpus-debug] refreshUpstream($d) FAILED: " +
             s"${condOf(e)} ${String.valueOf(e.getMessage).take(120)}")
         } // next pass retries

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.plans.TxLog
@@ -46,17 +48,67 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.history(t).map(_._1) == Seq(0L, 1L, 2L))
   }
 
-  test("version claim is atomic: a pre-claimed version forces retry, not corruption") {
+  test("version claim is create-new: committing onto an ALREADY-CLAIMED version " +
+       "throws TxConflict and never clobbers the winner's commit") {
     val t = freshTable()
     TxLog.overwrite(t, df((1, "a", 1.0)), Seq("part")) // v0
-    // simulate a concurrent writer that claimed v1 with its own commit:
-    // an empty action list is a valid (no-op) commit
+    // the winner claimed v1 with real content
+    val v1 = t.resolve("_txlog").resolve(f"${1L}%020d.json")
     Files.createDirectories(t.resolve("_txlog"))
-    Files.writeString(t.resolve("_txlog").resolve(f"${1L}%020d.json"), "")
-    // this writer read v0, tries to commit v1, loses, re-reads v1, lands v2
+    val winnerContent = """{"meta":{"partitionCols":["part"]}}"""
+    Files.writeString(v1, winnerContent)
+    // a loser that snapshotted at v0 now tries to claim the SAME v1 —
+    // this is the rename(2)-replaces trap: the claim must FAIL, and the
+    // winner's bytes must be untouched
+    val ex = intercept[TxLog.TxConflict] {
+      TxLog.replaceFiles(t, readVersion = 0L, Nil, df((99, "z", 9.9)), Seq("part"))
+    }
+    assert(ex.getMessage.contains("version 1"))
+    assert(Files.readString(v1) == winnerContent,
+      "the race loser silently destroyed the winner's commit")
+    // the retrying public path re-reads v1 and lands v2
     TxLog.append(t, df((2, "a", 2.0)))
     assert(TxLog.snapshot(t).version == 2L)
     assert(TxLog.read(spark, t).count() == 2)
+  }
+
+  test("two writers racing from the same read version: exactly one lands v1, " +
+       "the loser retries to v2, BOTH action sets survive in history") {
+    val t = freshTable()
+    TxLog.overwrite(t, df((1, "a", 1.0)), Seq("part")) // v0
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    def writer(name: String, id: Int): Thread = new Thread(() => {
+      try {
+        barrier.await() // both snapshot v0 and race for v1 together
+        // replaceFiles commits at readVersion+1 with NO internal retry —
+        // the raw optimistic-concurrency primitive
+        val v = TxLog.replaceFiles(t, readVersion = 0L, Nil,
+          df((id, "a", id.toDouble)), Seq("part"))
+        results.put(name, Right(v))
+      } catch { case e: Throwable => results.put(name, Left(e)) }
+    })
+    val (w1, w2) = (writer("w1", 10), writer("w2", 20))
+    w1.start(); w2.start(); w1.join(120000); w2.join(120000)
+    assert(results.size == 2, s"both writers must finish: $results")
+    val wins = results.values.asScala.collect { case Right(v) => v }.toSeq
+    val losses = results.values.asScala.collect { case Left(e) => e }.toSeq
+    assert(wins == Seq(1L), s"exactly one writer must land v1: $results")
+    assert(losses.size == 1 && losses.head.isInstanceOf[TxLog.TxConflict],
+      s"the other must get TxConflict, not silent success: $results")
+    // the loser retries from the NEW snapshot and lands v2 — and the
+    // winner's v1 actions are still in history (nothing was clobbered)
+    val loserId = results.asScala.collect { case (n, Left(_)) => n }.head
+    val loserRow = if (loserId == "w1") 10 else 20
+    TxLog.append(t, df((loserRow + 1, "a", 0.0)))
+    val hist = TxLog.history(t)
+    assert(hist.map(_._1) == Seq(0L, 1L, 2L), s"v0,v1,v2 must all survive: $hist")
+    assert(hist.forall { case (_, adds, _) => adds >= 1 },
+      s"every commit's add actions must survive: $hist")
+    val ids = TxLog.read(spark, t).select($"id").as[Int].collect().toSet
+    assert(ids.contains(if (loserId == "w1") 20 else 10),
+      "the RACE WINNER's rows must be live — a lost update here means the " +
+      "claim primitive silently replaced the winner's commit file")
   }
 
   test("tombstoned files survive for older-snapshot readers until vacuum") {
@@ -112,6 +164,27 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).select($"id").as[Int].collect().toSet == (0 to 8).toSet)
     // pre-compaction snapshot still readable (tombstones, not deletes)
     assert(TxLog.read(spark, t, asOf = v - 1).count() == 9)
+  }
+
+  test("large-snapshot partition re-attach: broadcast manifest join equals the " +
+       "inline map and never shuffles the data side") {
+    val t = freshTable()
+    TxLog.overwrite(t, df((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)), Seq("part"))
+    TxLog.append(t, df((4, "a", 4.0), (5, "b", 5.0)))
+    val snap = TxLog.snapshot(t)
+    val inline = TxLog.readSubset(spark, t, snap.files, snap.partitionCols)
+    val joined = TxLog.readSubset(spark, t, snap.files, snap.partitionCols,
+      inlineThreshold = 0) // force the manifest-join path
+    assert(joined.columns.toSeq == inline.columns.toSeq,
+      "both re-attach paths must yield the same schema (order included)")
+    val key = Seq($"id", $"part", $"value")
+    assert(joined.select(key: _*).as[(Int, String, Double)].collect().sorted.toSeq ==
+           inline.select(key: _*).as[(Int, String, Double)].collect().sorted.toSeq)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"manifest join must broadcast the manifest side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffleExchange"),
+      s"manifest join must not shuffle the data side:\n$plan")
   }
 
   test("manifest partition pruning reads only the requested partition's files") {
