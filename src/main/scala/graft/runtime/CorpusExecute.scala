@@ -947,6 +947,30 @@ object CorpusExecute {
                 .map { case (k, fp) => synth.retypePath(k, fp, structFor) }
                 .exists(identity)
             }.exists(identity)) || {
+            // a bare column requested through a `col.*` star-expansion of an
+            // UNALIASED explode (`select leadId, col.*, rn from (select
+            // explode(notes) from src)` … outer block reads `text`): only
+            // the exploded ELEMENT struct can surface it — the source's
+            // top level is sealed and spraying closure structs just plants
+            // garbage (tochka's star-expand loop)
+            path.size == 1 && "(?i)(?<![\\w.`])col\\s*\\.\\s*\\*".r
+              .findFirstIn(pc.renderedSql).isDefined && {
+              bareExplodeTargets().map { t =>
+                val resolved: Seq[((String, String), Seq[String])] = t match {
+                  case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                    aliasKeysOf(h).map(_ -> r)
+                  case _ => (modelSources ++ closureSources).map(_ -> t)
+                }
+                resolved.map { case (k, pp) =>
+                  synth.typeAt(k, pp) match {
+                    case Some(_: ArrayType) | Some(_: MapType) =>
+                      synth.addPath(k, pp :+ path.last)
+                    case _ => false
+                  }
+                }.exists(identity)
+              }.exists(identity)
+            }
+          } || {
             val leaf = path.last
             val local = modelSources.filterNot(sealedSet.contains)
               .map(synth.addFieldToAllStructs(_, leaf)).exists(identity)
@@ -1084,6 +1108,12 @@ object CorpusExecute {
             // and the retype must land on the guessed one specifically
             val owners = (modelSources ++ closureSources)
               .filter(k => guess(synth.typeAt(k, path)))
+            if (CorpusExecute.debug)
+              println(s"[corpus-debug] retypeIdentsIn(${path.mkString(".")}, ${dt.simpleString}) " +
+                "owners=" + owners.map(_._2).mkString(",") + " holders=" +
+                (modelSources ++ closureSources).flatMap(k =>
+                  synth.typeAt(k, path).map(t => s"${k._2}:${t.simpleString.take(25)}"))
+                  .mkString(","))
             if (owners.nonEmpty)
               owners.map(k => synth.retypePath(k, path, dt)).exists(identity)
             else {
@@ -1214,6 +1244,28 @@ object CorpusExecute {
       val targets = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
         .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
       targets.map(t => promoteArrayElems(t.split("\\.").toSeq)).exists(identity)
+    }
+
+    /** Explode sites with NO output alias — the only ones that can bind the
+      * analyzer's default `col` name. An aliased `explode(roles) AS r` (or a
+      * LATERAL VIEW, whose grammar forces aliases) never surfaces `col`, so
+      * promoting it for a `col.<field>` error is pure contamination (the
+      * admin_users.roles spray that caused the role=role type war). */
+    def bareExplodeTargets(): Seq[Seq[String]] = {
+      val stop = Set("FROM", "WHERE", "GROUP", "ORDER", "UNION", "JOIN", "LEFT",
+        "RIGHT", "INNER", "CROSS", "FULL", "ON", "HAVING", "LIMIT", "AND", "OR",
+        "WHEN", "THEN", "ELSE", "END")
+      val re = "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+      re.findAllMatchIn(pc.renderedSql).flatMap { m =>
+        val before = pc.renderedSql
+          .substring(math.max(0, m.start - 160), m.start).toUpperCase
+        val after = pc.renderedSql.substring(m.end).dropWhile(_.isWhitespace)
+        val nextTok = "^[A-Za-z_]\\w*".r.findFirstIn(after)
+        val aliased = nextTok.exists(t => t.equalsIgnoreCase("AS") ||
+            !stop.contains(t.toUpperCase)) ||
+          before.lastIndexOf("LATERAL VIEW") > before.lastIndexOf("SELECT")
+        if (aliased) None else Some(m.group(1).split("\\.").toSeq)
+      }.toSeq.distinct
     }
 
     /** First-argument paths of every higher-order function call in the
@@ -1938,12 +1990,46 @@ object CorpusExecute {
           * the other operand's type. */
         def lambdaElemRetype(): Boolean =
           p.get("sqlExpr").exists(_.contains("namedlambdavariable()")) && {
+            // the authoritative side is the one that is neither a plain
+            // STRING guess nor one of our own stub accretions (a struct
+            // carrying _graft_stub compared to a literal means the ELEMENT
+            // was stub-grown into a struct it never was — merchant_order's
+            // `TRANSFORM(srm, method -> CASE WHEN method = 1 …)`)
             val other = Seq(p.get("left"), p.get("right")).flatten
-              .map(_.toUpperCase.replaceAll("\"", "")).filterNot(_ == "STRING")
+              .map(_.toUpperCase.replaceAll("\"", ""))
+              .filterNot(s => s == "STRING" || s.contains("_GRAFT_STUB"))
+            def retypableElem(et: DataType): Boolean = et match {
+              case StringType => true
+              case s: StructType => s.catalogString.contains("_graft_stub")
+              case _ => false
+            }
+            // precise targeting: only arrays whose lambda BODY compares the
+            // BARE variable to a literal can be the failing site — without
+            // this, retyping every lambda target would clobber legitimately
+            // struct-elemented arrays iterated elsewhere in the same model
+            // (`FILTER(st.st, element -> element.s == 1)` next to
+            // `TRANSFORM(srm, method -> CASE WHEN method = 1 …)`)
+            def bareCompareTargets(): Seq[Seq[String]] = {
+              val call = ("(?i)\\b(?:transform|filter|exists|forall)\\s*\\(\\s*" +
+                "([A-Za-z_][\\w.]*)\\s*,\\s*([A-Za-z_]\\w*)\\s*->").r
+              call.findAllMatchIn(pc.renderedSql).flatMap { m =>
+                val body = pc.renderedSql.substring(m.end,
+                  math.min(pc.renderedSql.length, m.end + 600))
+                val cmp = ("(?<![\\w.])" + java.util.regex.Pattern.quote(m.group(2)) +
+                  "\\s*(?:==?|!=|<>)\\s*[\\d']").r
+                if (cmp.findFirstIn(body).isDefined)
+                  Some(m.group(1).split("\\.").toSeq) else None
+              }.toSeq.distinct
+            }
+            val precise = bareCompareTargets()
+            val targets = if (precise.nonEmpty) precise else lambdaTargets()
             other.headOption.flatMap(typeFor).exists { dt =>
-              lambdaTargets().map { t =>
+              targets.map { t =>
                 val owners = (modelSources ++ closureSources)
-                  .filter(k => synth.typeAt(k, t).contains(ArrayType(StringType)))
+                  .filter(k => synth.typeAt(k, t) match {
+                    case Some(ArrayType(et, _)) => retypableElem(et)
+                    case _ => false
+                  })
                 owners.map(k => synth.retypePath(k, t, ArrayType(dt))).exists(identity)
               }.exists(identity)
             }
@@ -2115,6 +2201,44 @@ object CorpusExecute {
           }
         }
         if (adopt.contains(true)) return true
+        // `CASE WHEN cond THEN a ELSE b END` branches disagree
+        // (functionName=casewhen, dataType=["STRING","MAP<…>"]): the
+        // authoritative type is the single non-guess entry and only the
+        // BRANCH identifiers adopt it — falling through would let
+        // typeFromExprShape see the condition's `= true` and brand every
+        // ident BOOLEAN (the order_product_prices/procurement_orders
+        // `variants` type war)
+        val caseAdopt = for {
+          expr <- p.get("sqlExpr").map(stripDq)
+          if p.get("functionName").exists(f => stripDq(f).equalsIgnoreCase("casewhen")) ||
+            "(?i)\\bCASE\\s+WHEN\\b".r.findFirstIn(expr).isDefined
+          listed = (p.get("dataType").toSeq ++ p.get("leftType").toSeq ++
+              p.get("rightType").toSeq)
+            .flatMap(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+              match { case Nil => Seq(stripDq(s).trim); case quoted => quoted })
+          parsed = listed.flatMap(s => scala.util.Try(DataType.fromDDL(s)).toOption)
+          nonStr = parsed.filter(_ != StringType)
+          clean = nonStr.filter(t => !allStringLeaves(t) &&
+            !String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB")).distinct
+          // with no clean side, the richer GUESS (map/struct/array accretion
+          // encoding the model's own access pattern) still beats both the
+          // plain-STRING branch and the fall-through's condition-derived
+          // BOOLEAN
+          auth = if (clean.nonEmpty) clean else nonStr.distinct
+          if auth.size == 1
+        } yield {
+          val branchIdents = "(?i)\\b(?:THEN|ELSE)\\s+([A-Za-z_][\\w.]*)".r
+            .findAllMatchIn(expr).map(_.group(1)).toSeq.distinct
+            .filterNot(s => Set("null", "true", "false").contains(s.toLowerCase))
+          branchIdents.map { ident =>
+            val path = ident.split("\\.").toSeq
+            val cur = (modelSources ++ closureSources).iterator
+              .flatMap(k => synth.typeAt(k, path)).nextOption()
+            (cur.isEmpty || cur.exists(allStringLeaves)) &&
+              cur.forall(_ != auth.head) && retypeByPath(path, auth.head)
+          }.exists(identity)
+        }
+        if (caseAdopt.contains(true)) return true
         p.get("sqlExpr").orElse(p.get("expr")).exists { expr =>
           typeFromExprShape(expr).exists(dt => retypeIdentsIn(expr, dt)) || {
             // the analyzer lists the disagreeing types (`["STRING", "DATE"]`):
@@ -2309,8 +2433,15 @@ object CorpusExecute {
           val paths = (identPaths(inputSql) ++ identPaths(sqlExpr)).distinct
           paths.iterator.flatMap { path =>
             (modelSources ++ closureSources).iterator
-              .filter(k => synth.typeAt(k, path)
-                .exists(t => t == StringType || t == ArrayType(StringType)))
+              .filter(k => synth.typeAt(k, path).exists {
+                case StringType => true
+                case ArrayType(StringType, _) => true
+                // a stub-grown element struct (e.g. from a col-star element
+                // promotion) is still a guess — entries shape wins
+                case ArrayType(s: StructType, _) =>
+                  s.catalogString.contains("_graft_stub")
+                case _ => false
+              })
               .map(k => synth.retypePath(k, path, entries))
           }.find(identity).getOrElse(false)
         } else if (required.contains("ARRAY") && mapIndexBase.isDefined) {
@@ -2516,11 +2647,19 @@ object CorpusExecute {
         // currencies)`" — `payload.currencies.*` needs a struct at that path
         "List\\(([^)]*)\\)".r.findFirstMatchIn(String.valueOf(e.getMessage)).exists { m =>
           val path = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          path.nonEmpty && (retypeByPath(path, emptyStruct) ||
+          path.nonEmpty && {
+            // `col.*` — the default EXPLODE alias star-expanded: the
+            // UNALIASED explode targets' elements must be structs
+            // (fact_psi / tochka `select col.*, _id from (select
+            // explode(payloadNew), _id …)`)
+            (path == Seq("col") &&
+              bareExplodeTargets().map(promoteArrayElems(_)).exists(identity)) ||
+            retypeByPath(path, emptyStruct) ||
             (modelSources ++ closureSources).flatMap(k =>
               synth.stringFieldPaths(k, path.last).map(k -> _))
               .map { case (k, fp) => synth.retypePath(k, fp, emptyStruct) }
-              .exists(identity))
+              .exists(identity)
+          }
         }
       case c if c.startsWith("DATATYPE_MISMATCH") =>
         // `map_from_entries(x)` requires ARRAY<STRUCT<key,value>> — the
@@ -2597,7 +2736,23 @@ object CorpusExecute {
               "(?![\\w])").r.findFirstIn(pc.renderedSql).isDefined
           }
           relevant && planted.map(k => synth.retract(k, a)).exists(identity)
-        }.exists(identity)
+        }.exists(identity) || {
+          // IMPLICIT alias: `SELECT lastContext.requestId … GROUP BY
+          // requestId` — the dotted item's LEAF is its output name; a
+          // planted top-level `requestId` impostor hijacks the GROUP BY
+          // and the struct path falls out of the aggregation
+          val implicitAliases =
+            if (exprName.isEmpty) Nil
+            else ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(exprName) +
+              "\\s*\\.\\s*([A-Za-z_]\\w*)").r
+              .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+              .filter(a => ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(a) +
+                "(?![\\w])").r.findFirstIn(gbText).isDefined)
+          implicitAliases.map { a =>
+            (modelSources ++ closureSources).filter(k => synth.has(k, a))
+              .map(k => synth.retract(k, a)).exists(identity)
+          }.exists(identity)
+        }
       case "INVALID_EXTRACT_BASE_FIELD_TYPE" =>
         p.get("base").map(stripDq) match {
           case Some(name) if name.matches("[A-Za-z_][\\w.]*") =>
@@ -2613,7 +2768,11 @@ object CorpusExecute {
                 .map { case (k, path) => synth.retypePath(k, path, emptyStruct) }
                 .exists(identity) ||
               // `col` = the default EXPLODE output alias: the exploded array's
-              // elements need to be structs, not strings
+              // elements need to be structs, not strings — UNALIASED explode
+              // sites first (the only producers of `col`); the all-targets
+              // spray only as a last resort
+              (name.equalsIgnoreCase("col") &&
+                bareExplodeTargets().map(promoteArrayElems(_)).exists(identity)) ||
               promoteExplodedElements()
           case Some(idx) if idx.matches("[A-Za-z_][\\w.]*\\[\\d+\\]") =>
             // `labels[0]` scalar: labels is array<string>, elements must be structs
@@ -2773,16 +2932,29 @@ object CorpusExecute {
                         model: () => Model) {
     /** Static source() calls of this node's own text. */
     lazy val ownSources: Seq[(String, String)] = SqlTemplater.staticSources(rawSql)
+    /** Raw `FROM db.tbl` / `JOIN db.tbl` catalog reads (no source() call) —
+      * the snapshots' dominant pattern. They become synth raw-catalog keys
+      * at runtime, so they must flow into downstream closures exactly like
+      * source() keys: dim_deal_products retypes `disabled` through
+      * fact_offer_product → scd2_offer_products_snapshot → the snapshot's
+      * raw mongo read, which ownSources alone can't see. */
+    lazy val rawReads: Seq[(String, String)] =
+      "(?i)(?:from|join)\\s+([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)".r
+        .findAllMatchIn(rawSql)
+        .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq.distinct
   }
 
-  /** name → transitive source() closure of the node's ref() subtree. */
+  /** name → transitive source() closure of the node's ref() subtree
+    * (raw catalog reads included; node-named raw reads are dep edges,
+    * not sources). */
   def sourceClosures(byName: Map[String, Node]): Map[String, Seq[(String, String)]] = {
     val memo = mutable.Map.empty[String, Seq[(String, String)]]
     def go(name: String, seen: Set[String]): Seq[(String, String)] =
       if (seen.contains(name)) Nil
       else memo.getOrElseUpdate(name, byName.get(name) match {
         case Some(n) =>
-          (n.ownSources ++ n.deps.flatMap(go(_, seen + name))).distinct
+          val raws = n.rawReads.filterNot { case (_, t) => byName.contains(t) }
+          (n.ownSources ++ raws ++ n.deps.flatMap(go(_, seen + name))).distinct
         case None => Nil
       })
     byName.keys.foreach(go(_, Set.empty))

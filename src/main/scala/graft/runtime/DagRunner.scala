@@ -128,7 +128,9 @@ final class DagRunner(models: Seq[Model]) {
       if (asLog) ctx.warehouse.createTableLog(m.name, m.build(ctx), partitionBy, None, orderBy)
       else ctx.warehouse.createTable(m.name, m.build(ctx), partitionBy, None, orderBy)
     case Materialization.View =>
-      ctx.warehouse.registerView(m.name, m.build(ctx))
+      // builder-backed: the view plan re-derives after upstream table
+      // mutations (a captured DataFrame pins stale file listings)
+      ctx.warehouse.registerView(m.name, () => m.build(ctx))
     case Materialization.IncrementalInsertOverwrite(partitionBy, onSchemaChange, spread) =>
       if (fullRefresh || !ctx.warehouse.tableExists(m.name)) {
         if (asLog) ctx.warehouse.createTableLog(m.name,

@@ -31,7 +31,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
   // runtime chokepoint for the reference's non-ANSI dialect (see [[Dialect]]).
   Dialect.pin(spark)
 
-  private val views = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** A registered view: the lazy plan's BUILDER plus the plan as last
+    * derived. A built DataFrame captures its upstream tables' file listings
+    * (InMemoryFileIndex snapshots at plan-build time), so after ANY table
+    * mutation the cached plan may chase deleted part files — re-derive from
+    * the builder instead (true lazy-view semantics). Builder-less entries
+    * (tests registering a literal frame) keep the frame as-is. */
+  private final class ViewEntry(val build: Option[() => DataFrame],
+                                @volatile var df: DataFrame,
+                                @volatile var epoch: Long)
+  private val views = scala.collection.concurrent.TrieMap.empty[String, ViewEntry]
+  @volatile private var mutationEpoch = 0L
+  private def noteMutation(): Unit = mutationEpoch += 1
 
   /** `namer` is the generate_schema_name / generate_alias_name hook
     * (reference: macros/get_custom_schema.sql:1-22,
@@ -49,13 +60,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def tableExists(name: String): Boolean =
     views.contains(name) || Files.exists(Paths.get(dataDir(name)))
 
-  def registerView(name: String, df: DataFrame): Unit = views.put(name, df)
+  def registerView(name: String, df: DataFrame): Unit =
+    views.put(name, new ViewEntry(None, df, mutationEpoch))
+
+  /** Register a view with its builder so the plan re-derives after table
+    * mutations instead of serving a stale captured file listing. */
+  def registerView(name: String, build: () => DataFrame): Unit =
+    views.put(name, new ViewEntry(Some(build), build(), mutationEpoch))
 
   /** Remove a table or view entirely (e.g. corpus-execute fixpoint passes
     * rebuild every node from scratch so schema growth never has to merge
     * into last pass's files). */
   def drop(name: String): Unit = {
     views.remove(name)
+    noteMutation()
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) TempDirs.deleteTree(p)
     // Spark's shared FileStatusCache has no TTL: a reader planning against
@@ -74,7 +92,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * exactly what the old merge-then-project path computed. Only sidecar-less
     * directories (externally created) fall back to mergeSchema. */
   def read(name: String): DataFrame = views.get(name) match {
-    case Some(df) => df
+    case Some(v) =>
+      if (v.epoch != mutationEpoch) v.build.foreach { b =>
+        v.df = b(); v.epoch = mutationEpoch
+      }
+      v.df
     case None if isLogBacked(name) => readLogCanonical(name)
     case None =>
       canonicalSchema(name) match {
@@ -115,6 +137,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def createTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
                   hashSpread: Option[(String, Int)] = None,
                   orderBy: Seq[String] = Nil): Unit = {
+    noteMutation()
     // persisted docs survive a full rebuild (reference persists comments
     // across runs); SaveMode.Overwrite wipes the directory incl. the sidecar.
     // Restore happens in a finally (a failed write must not lose the docs),
@@ -144,6 +167,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def insertOverwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String],
                                 onSchemaChange: OnSchemaChange,
                                 hashSpread: Option[(String, Int)] = None): Unit = {
+    noteMutation()
     if (partitionBy.isEmpty) {
       // dbt-spark semantics: insert_overwrite without partition_by replaces
       // the whole table (reference: dsa_orders.sql declares exactly this)
@@ -195,6 +219,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
                   partitionBy: Seq[String],
                   onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
                   incrementPartitionsOnly: Boolean = false): Unit = {
+    noteMutation()
     // dbt-spark merge without unique_key is insert-only (WHEN NOT MATCHED
     // INSERT): nothing can match, so it degrades to append (reference
     // archetype: models/spark/junk2/dbt_test.sql — bare incremental config)
@@ -367,6 +392,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   /** Row append (reference: incremental_strategy='append'). */
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    noteMutation()
     val aligned = alignSchema(name, df, OnSchemaChange.Ignore)
     val w = aligned.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dataDir(name))
@@ -405,6 +431,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * catalog table; the data still lives under the warehouse root. */
   def createBucketedTable(name: String, df: DataFrame, bucketCols: Seq[String],
                           numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    noteMutation()
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", dataDir(name))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -421,6 +448,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * swap. (Prod-grade would use Delta/Iceberg commit protocols; parquet +
     * rename is the local-FS equivalent — SURVEY.md §7 "SCD2 without Delta".) */
   def replaceTable(name: String, df: DataFrame): Unit = {
+    noteMutation()
     val tmp = s"$root/.staging_$name"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     // the schema sidecar ships INSIDE the staged directory, so the commit
@@ -464,6 +492,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def createTableLog(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
                      hashSpread: Option[(String, Int)] = None,
                      orderBy: Seq[String] = Nil): Unit = {
+    noteMutation()
     val out =
       if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*)
       else distributeForWrite(df, partitionBy, hashSpread)
@@ -474,15 +503,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def insertOverwritePartitionsLog(name: String, df: DataFrame, partitionBy: Seq[String],
                                    onSchemaChange: OnSchemaChange,
                                    hashSpread: Option[(String, Int)] = None): Unit = {
+    noteMutation()
     if (partitionBy.isEmpty) { createTableLog(name, alignSchema(name, df, onSchemaChange)); return }
     val aligned = alignSchema(name, df, onSchemaChange)
     graft.plans.TxLog.overwritePartitions(logPath(name),
       distributeForWrite(aligned, partitionBy, hashSpread), partitionBy)
   }
 
-  def appendLog(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+  def appendLog(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    noteMutation()
     graft.plans.TxLog.append(logPath(name),
       alignSchema(name, df, OnSchemaChange.Ignore), partitionBy)
+  }
 
   /** Delta-shaped merge: probe which FILES hold matched keys (key columns
     * only — column-pruned), tombstone exactly those, re-add their surviving
@@ -495,6 +527,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
                      partitionBy: Seq[String],
                      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
                      incrementPartitionsOnly: Boolean = false): Unit = {
+    noteMutation()
     import graft.plans.TxLog
     if (uniqueKey.isEmpty) {
       if (tableExists(name)) appendLog(name, df, partitionBy)
