@@ -39,7 +39,7 @@ object Bench {
         .map(_.trim).filter(_.nonEmpty).toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-    val results = selected.map { case (name, fn) =>
+    def sweep(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))
@@ -56,12 +56,30 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    // A/B protocol (round-10 verdict): the full sweep runs TWICE
+    // back-to-back and the artifact records both, plus the box's load
+    // average around each — one contended run can no longer masquerade as a
+    // regression (r10's driver artifact was 3.1× the same-code committed
+    // run). Headline `value` = run A; `value_b`/`queries_b` adjudicate.
+    val loadBefore = loadAvg()
+    val results = sweep()
+    val loadMid = loadAvg()
+    val resultsB = if (only.nonEmpty) Nil else sweep()
+    val loadAfter = loadAvg()
+    def qjson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = qjson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    if (failed > 0) System.err.println(s"[bench] $failed queries FAILED")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalB = resultsB.map(_._2).filter(_ >= 0).sum
+    val failed = (results ++ resultsB).count(_._2 < 0)
+    if (failed > 0) System.err.println(s"[bench] $failed query runs FAILED")
+    val bPart = if (resultsB.nonEmpty)
+      s""","value_b":$totalB,"queries_b":${qjson(resultsB)}""" else ""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$bPart,""" +
+      s""""load":[$loadBefore,$loadMid,$loadAfter],"cpus":"$cpus","sf":"$sfDir"}"""
     println(json)
     // the driver captures only the stdout TAIL (2,000 chars), which truncates
     // this line's head and has made per-query timings unreadable in every

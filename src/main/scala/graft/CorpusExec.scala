@@ -33,8 +33,9 @@ object CorpusExec {
     println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     // persist the full report (all items incl. executed) for offline analysis
     val lines = report.items.map(i => s"${i.status}\t${i.name}\t${i.kind}\t${i.iterations}\t${i.detail}")
-    java.nio.file.Files.writeString(Paths.get("target/corpus_exec_report.tsv"),
-      lines.mkString("\n") + "\n")
+    val out = if (sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1"))
+      "target/corpus_exec_report_logfmt.tsv" else "target/corpus_exec_report.tsv"
+    java.nio.file.Files.writeString(Paths.get(out), lines.mkString("\n") + "\n")
     spark.stop()
   }
 }

@@ -184,6 +184,40 @@ object ScaleProbe {
       txProbe(200)
     }
 
+    // txlog FILE-COUNT probe: the 100 TB regime is 10k–100k LIVE files per
+    // snapshot (not commit count — the checkpoint already bounds that).
+    // Manifest parse is O(files) driver-side metadata (same order as
+    // Spark's own directory listing would be); the partition re-attach must
+    // NOT inline O(files) literals into every reader plan — past
+    // inlinePartitionMapThreshold readSubset broadcast-joins a manifest
+    // frame, keeping reader plans constant-size in file count.
+    locally {
+      import java.nio.file.Paths
+      import graft.plans.TxLog
+      def fileProbe(tasks: Int): Unit = {
+        val t = Paths.get(graft.runtime.TempDirs.create("graft_txfiles")).resolve("t")
+        // 7 partition values × `tasks` writer tasks ≈ 7·tasks files
+        val df = spark.range(tasks * 70L)
+          .select(col("id"), (col("id") % 7).cast("string").as("p"))
+          .repartition(tasks)
+        TxLog.overwrite(t, df, Seq("p"))
+        val n = timed(s"txlog_manifest resolve (~${tasks * 7} files)") {
+          TxLog.snapshot(t).files.size.toLong
+        }
+        timed(s"txlog_read manifest-join + partition prune ($n files)") {
+          TxLog.read(spark, t).filter(col("p") === "3").count()
+        }
+        timed(s"txlog_compact ($n files -> 7)") {
+          TxLog.compact(spark, t, targetFiles = 7)
+        }
+        timed(s"txlog_read post-compact") {
+          TxLog.read(spark, t).count()
+        }
+      }
+      fileProbe(150)  // ~1k files
+      fileProbe(1500) // ~10k files — the per-snapshot count a 100 TB table carries
+    }
+
     spark.stop()
   }
 }

@@ -2208,9 +2208,10 @@ object CorpusExecute {
         // typeFromExprShape see the condition's `= true` and brand every
         // ident BOOLEAN (the order_product_prices/procurement_orders
         // `variants` type war)
+        val fnName = p.get("functionName").map(f => stripDq(f).toLowerCase)
         val caseAdopt = for {
           expr <- p.get("sqlExpr").map(stripDq)
-          if p.get("functionName").exists(f => stripDq(f).equalsIgnoreCase("casewhen")) ||
+          if fnName.exists(Set("casewhen", "coalesce")) ||
             "(?i)\\bCASE\\s+WHEN\\b".r.findFirstIn(expr).isDefined
           listed = (p.get("dataType").toSeq ++ p.get("leftType").toSeq ++
               p.get("rightType").toSeq)
@@ -2220,16 +2221,23 @@ object CorpusExecute {
           nonStr = parsed.filter(_ != StringType)
           clean = nonStr.filter(t => !allStringLeaves(t) &&
             !String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB")).distinct
-          // with no clean side, the richer GUESS (map/struct/array accretion
+          // with no clean side, the richer GUESS (map/array accretion
           // encoding the model's own access pattern) still beats both the
           // plain-STRING branch and the fall-through's condition-derived
-          // BOOLEAN
-          auth = if (clean.nonEmpty) clean else nonStr.distinct
+          // BOOLEAN — but a stub-marked plain STRUCT next to a scalar is the
+          // self-nesting accretion (price.amount → struct<amount>), never
+          // authoritative: revert it to the scalar instead (see below)
+          auth = if (clean.nonEmpty) clean
+            else nonStr.distinct.filterNot(t => t.isInstanceOf[StructType] &&
+              String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB"))
           if auth.size == 1
         } yield {
-          val branchIdents = "(?i)\\b(?:THEN|ELSE)\\s+([A-Za-z_][\\w.]*)".r
-            .findAllMatchIn(expr).map(_.group(1)).toSeq.distinct
-            .filterNot(s => Set("null", "true", "false").contains(s.toLowerCase))
+          val branchIdents =
+            if (fnName.contains("coalesce"))
+              identPaths(expr).map(_.mkString("."))
+            else "(?i)\\b(?:THEN|ELSE)\\s+([A-Za-z_][\\w.]*)".r
+              .findAllMatchIn(expr).map(_.group(1)).toSeq.distinct
+              .filterNot(s => Set("null", "true", "false").contains(s.toLowerCase))
           branchIdents.map { ident =>
             val path = ident.split("\\.").toSeq
             val cur = (modelSources ++ closureSources).iterator
@@ -2239,6 +2247,47 @@ object CorpusExecute {
           }.exists(identity)
         }
         if (caseAdopt.contains(true)) return true
+        // stub-marked STRUCT branch next to a SCALAR branch
+        // (`coalesce(variant.price.amount, price.amount)` where price.amount
+        // self-nested into struct<_graft_stub, amount…>): the struct is our
+        // own accretion — revert the struct-typed ident to the scalar
+        val stubBranchRevert = for {
+          expr <- p.get("sqlExpr").map(stripDq)
+          listed = p.get("dataType").toSeq
+            .flatMap(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
+          parsed = listed.flatMap(s => scala.util.Try(DataType.fromDDL(s)).toOption)
+          scalar <- parsed.find(t => !t.isInstanceOf[StructType] &&
+            !t.isInstanceOf[ArrayType] && !t.isInstanceOf[MapType])
+          if parsed.exists(t => t.isInstanceOf[StructType] &&
+            String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB"))
+        } yield identPaths(expr).map { path =>
+          val owners = (modelSources ++ closureSources).filter(k =>
+            synth.typeAt(k, path).exists(t => t.isInstanceOf[StructType] &&
+              String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB")))
+          owners.map(k => synth.retypePath(k, path, scalar)).exists(identity) ||
+            retypeLeafFields(path, t => t.isInstanceOf[StructType] &&
+              String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB"), scalar)
+        }.exists(identity)
+        if (stubBranchRevert.contains(true)) return true
+        // guessed ARRAY<STRING> branch next to a scalar (`coalesce(
+        // current_grade, 0)` after a leaf spray arrayified the column):
+        // the array-ness is the artifact — revert to the scalar
+        val arrayBranchRevert = for {
+          expr <- p.get("sqlExpr").map(stripDq)
+          listed = p.get("dataType").toSeq
+            .flatMap(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq)
+          parsed = listed.flatMap(s => scala.util.Try(DataType.fromDDL(s)).toOption)
+          if parsed.contains(ArrayType(StringType))
+          scalar <- parsed.filter(t => !t.isInstanceOf[StructType] &&
+            !t.isInstanceOf[ArrayType] && !t.isInstanceOf[MapType] &&
+            t != StringType).distinct match {
+            case Seq(one) => Some(one); case _ => None
+          }
+        } yield identPaths(expr).map { path =>
+          retypeByPath(path, scalar) ||
+            retypeLeafFields(path, _ == ArrayType(StringType), scalar)
+        }.exists(identity)
+        if (arrayBranchRevert.contains(true)) return true
         p.get("sqlExpr").orElse(p.get("expr")).exists { expr =>
           typeFromExprShape(expr).exists(dt => retypeIdentsIn(expr, dt)) || {
             // the analyzer lists the disagreeing types (`["STRING", "DATE"]`):
@@ -2437,9 +2486,15 @@ object CorpusExecute {
                 case StringType => true
                 case ArrayType(StringType, _) => true
                 // a stub-grown element struct (e.g. from a col-star element
-                // promotion) is still a guess — entries shape wins
+                // promotion) is still a guess — entries shape wins; and an
+                // entries struct POLLUTED by a later having-targeted field
+                // plant ({key,value} matched some other map-explode's field
+                // set) gets cleaned back: map_from_entries requires exactly
+                // the pair shape, so the error is authoritative
                 case ArrayType(s: StructType, _) =>
-                  s.catalogString.contains("_graft_stub")
+                  s.catalogString.contains("_graft_stub") ||
+                    (s.fieldNames.exists(_.equalsIgnoreCase("key")) &&
+                      s.fieldNames.exists(_.equalsIgnoreCase("value")))
                 case _ => false
               })
               .map(k => synth.retypePath(k, path, entries))
@@ -2972,7 +3027,13 @@ object CorpusExecute {
           only: Option[Set[String]] = None): Report = {
     val macros = CorpusSweep.loadMacros(macrosDir)
     val synth = new Synth(spark)
-    val wh = new Warehouse(spark, TempDirs.create("graft_corpus_exec"))
+    // GRAFT_CORPUS_LOGFMT=1 runs the whole EXECUTE phase on the
+    // transaction-log warehouse: the corpus's 197 `file_format='delta'`
+    // models (incl. the 54 snapshots' merge patterns) then exercise
+    // log-backed create / dynamic-partition overwrite / append / merge
+    // (reference: macros/spark_adapter_patch/create_table.sql:29-34)
+    val wh = new Warehouse(spark, TempDirs.create("graft_corpus_exec"),
+      logFormatEnabled = sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1"))
     val ctx = Ctx(spark, wh, synth.registry, vars, macros = macros)
     graft.functions.TimeFunctions.register(spark)
 

@@ -164,6 +164,11 @@ final class DagRunner(models: Seq[Model]) {
       else
         ctx.warehouse.append(m.name, m.build(ctx.copy(isIncremental = true)), partitionBy)
     case Materialization.Snapshot(uniqueKey, strategy, invalidateHardDeletes) =>
+      // snapshots write through Scd2's format-agnostic createTable/
+      // replaceTable; route them onto the log when the model is delta
+      // (all 54 reference snapshots are) so SCD2 advances commit atomically
+      // with history, like Delta's snapshot MERGE
+      if (asLog) ctx.warehouse.routeAsLog(m.name)
       Scd2.snapshot(ctx, m.name, m.build(ctx), uniqueKey, strategy,
         invalidateHardDeletes, runTs(ctx))
     }

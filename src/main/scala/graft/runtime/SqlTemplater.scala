@@ -505,6 +505,7 @@ object SqlTemplater {
     Model(name, ctx => runSql(ctx, name, body),
       Materialization.Snapshot(uniqueKey, strategy,
         cfg.get("invalidate_hard_deletes").exists(_.truthy)),
-      deps = extractRefs(body), tags = tagsOf(cfg), meta = metaOf(cfg))
+      deps = extractRefs(body), tags = tagsOf(cfg), meta = metaOf(cfg),
+      fileFormat = str("file_format").getOrElse("parquet"))
   }
 }

@@ -134,9 +134,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * @param orderBy global ORDER BY sink (reference: ~690 cosmetic trailing
     *   `ORDER BY` sites): range-partition + per-partition sort, so part files
     *   hold disjoint ordered ranges in file-name order. */
+  /** Tables routed to the transaction-log format by the caller that knows
+    * the model's file_format but writes through format-agnostic helpers —
+    * the SCD2 snapshot path (all 54 reference snapshots are
+    * `file_format='delta'`). createTable/replaceTable on a routed name
+    * delegate to the log equivalents; reads auto-route via isLogBacked. */
+  private val logRouted = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def routeAsLog(name: String): Unit = logRouted.put(name, ())
+
   def createTable(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
                   hashSpread: Option[(String, Int)] = None,
                   orderBy: Seq[String] = Nil): Unit = {
+    if (logRouted.contains(name)) {
+      createTableLog(name, df, partitionBy, hashSpread, orderBy); return
+    }
     noteMutation()
     // persisted docs survive a full rebuild (reference persists comments
     // across runs); SaveMode.Overwrite wipes the directory incl. the sidecar.
@@ -449,6 +460,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * rename is the local-FS equivalent — SURVEY.md §7 "SCD2 without Delta".) */
   def replaceTable(name: String, df: DataFrame): Unit = {
     noteMutation()
+    if (logRouted.contains(name)) {
+      // TxLog.overwrite IS an atomic full replace (tombstone-all + add-new
+      // in one commit) — the log format's native equivalent of the staged
+      // rename below, with history/time-travel kept
+      createTableLog(name, df); return
+    }
     val tmp = s"$root/.staging_$name"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     // the schema sidecar ships INSIDE the staged directory, so the commit

@@ -113,6 +113,32 @@ class TxLogWarehouseSpec extends SparkSpec {
     assert(lg.warehouse.read("t_sc").columns.contains("extra"))
   }
 
+  test("SCD2 snapshot (the 54 delta snapshots' shape) routes onto the log: " +
+       "identical history table, atomic advance commits, time travel") {
+    val (pq, lg) = ctxPair()
+    def model(cutoff: Int, bump: String) = Model("t_snap",
+      c => c.source("default", "region").filter($"r_regionkey" < cutoff)
+        .select($"r_regionkey".as("rk"),
+          concat($"r_name", lit(bump)).as("payload"),
+          lit(java.sql.Timestamp.valueOf(s"2025-0$cutoff-01 00:00:00")).as("upd")),
+      Materialization.Snapshot("rk", Scd2Strategy.Timestamp("upd"),
+        invalidateHardDeletes = false),
+      fileFormat = "delta")
+    def run(ctx: Ctx, m: Model) = new DagRunner(Seq(m))
+      .materialize(ctx.copy(vars = ctx.vars + ("run_ts" -> "2025-01-01 00:00:00")), m)
+    run(pq, model(3, "")); run(lg, model(3, ""))
+    // second advance: changed payloads close old rows and open new ones
+    run(pq, model(4, "!")); run(lg, model(4, "!"))
+    assertParity(pq, lg, "t_snap")
+    val t = Paths.get(lg.warehouse.tablePath("t_snap"))
+    val hist = TxLog.history(t)
+    assert(hist.size == 2, s"create + one atomic SCD2 advance: $hist")
+    // pre-advance snapshot remains time-travelable (no closed rows yet)
+    val v0 = TxLog.read(spark, t, asOf = 0L)
+    assert(v0.filter($"dbt_valid_to".isNotNull).count() == 0)
+    assert(lg.warehouse.read("t_snap").filter($"dbt_valid_to".isNotNull).count() > 0)
+  }
+
   test("parquet-declared models never touch the log even when enabled") {
     val (_, lg) = ctxPair()
     val m = Model("t_pq",
