@@ -2144,11 +2144,11 @@ object CorpusExecute {
             .flatMap(s => scala.util.Try(DataType.fromDDL(s)).toOption)
             .filter(t => t != ArrayType(StringType) && t != StringType &&
               !String.valueOf(t.sql).toUpperCase.contains("_GRAFT_STUB"))
-          // the authoritative side is the one that is NOT an all-string guess
-          t <- parsed.find(t => !allStringLeaves(t)).orElse(parsed.headOption)
+          if parsed.nonEmpty
+        } yield {
           // a self-similar nested shape (an inner struct repeating its
           // ancestor's field set) is accreted garbage, never authoritative
-          if !{
+          def selfSimilar(t: DataType): Boolean = {
             def fieldSets(d: DataType, anc: List[Set[String]]): Boolean = d match {
               case s: StructType =>
                 val fs = s.fieldNames.map(_.toLowerCase).toSet
@@ -2159,7 +2159,19 @@ object CorpusExecute {
             }
             fieldSets(t, Nil)
           }
-        } yield {
+          // two array-of-struct sides whose field-name sets nest are the
+          // SAME entity with an accreted extra field on one side (the
+          // gradeInfoHistory `l` plant vs array(struct(gradeInfo.*))):
+          // array_union demands exact element equality, so the subject may
+          // adopt the other side even when its current type isn't a pure
+          // all-string guess
+          def structArrayFamily(a: DataType, b: DataType): Boolean = (a, b) match {
+            case (ArrayType(x: StructType, _), ArrayType(y: StructType, _)) =>
+              val xs = x.fieldNames.map(_.toLowerCase).toSet
+              val ys = y.fieldNames.map(_.toLowerCase).toSet
+              xs.subsetOf(ys) || ys.subsetOf(xs)
+            case _ => false
+          }
           // only the SUBJECT ident (first in text order, not a function
           // name) adopts — retyping every ident in the expr propagated the
           // shape onto struct fields that merely appear inside it
@@ -2178,26 +2190,36 @@ object CorpusExecute {
           subject.exists { path =>
             val cur = (modelSources ++ closureSources).iterator
               .flatMap(k => synth.typeAt(k, path)).nextOption()
-            // the subject may be a COLLECTOR alias (`COLLECT_SET(fo.x) AS
-            // xs`): the collected column adopts the ELEMENT type
-            val viaAgg = t match {
-              case ArrayType(elem, _) =>
-                val aggDefRe = ("(?i)(?:array_agg|collect_list|collect_set)\\s*\\(\\s*(?:distinct\\s+)?" +
-                  "([A-Za-z_][\\w.]*)\\s*\\)\\s+AS\\s+" +
-                  java.util.regex.Pattern.quote(path.last) + "(?![\\w])").r
-                aggDefRe.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq.distinct
-                  .map(d => retypeByPath(d.split("\\.").toSeq, elem))
-                  .exists(identity)
-              case _ => false
+            // the authoritative side: never the subject's CURRENT type (an
+            // adoption onto itself is a no-op that lets the fall-through
+            // shape-spray fire — the gradeInfoHistory war), never a
+            // self-similar accretion; prefer a non-all-string side
+            val tOpt = parsed.filterNot(selfSimilar)
+              .filter(t => cur.forall(_ != t))
+              .sortBy(t => if (allStringLeaves(t)) 1 else 0)
+              .headOption
+            tOpt.exists { t =>
+              // the subject may be a COLLECTOR alias (`COLLECT_SET(fo.x) AS
+              // xs`): the collected column adopts the ELEMENT type
+              val viaAgg = t match {
+                case ArrayType(elem, _) =>
+                  val aggDefRe = ("(?i)(?:array_agg|collect_list|collect_set)\\s*\\(\\s*(?:distinct\\s+)?" +
+                    "([A-Za-z_][\\w.]*)\\s*\\)\\s+AS\\s+" +
+                    java.util.regex.Pattern.quote(path.last) + "(?![\\w])").r
+                  aggDefRe.findAllMatchIn(pc.aliasSearchSql).map(_.group(1)).toSeq.distinct
+                    .map(d => retypeByPath(d.split("\\.").toSeq, elem))
+                    .exists(identity)
+                case _ => false
+              }
+              if (CorpusExecute.debug)
+                println(s"[corpus-debug] adopt subject=${path.mkString(".")} t=${t.simpleString.take(40)} " +
+                  s"cur=${cur.map(_.simpleString.take(40))} viaAgg=$viaAgg")
+              viaAgg ||
+                ((cur.isEmpty || cur.exists(allStringLeaves) ||
+                  cur.exists(c => String.valueOf(c.sql).toUpperCase.contains("_GRAFT_STUB")) ||
+                  cur.exists(c => structArrayFamily(c, t))) &&
+                  retypeByPath(path, t))
             }
-            if (CorpusExecute.debug)
-              println(s"[corpus-debug] adopt subject=${path.mkString(".")} t=${t.simpleString.take(40)} " +
-                s"cur=${cur.map(_.simpleString.take(40))} viaAgg=$viaAgg")
-            viaAgg ||
-              ((cur.isEmpty || cur.exists(allStringLeaves) ||
-                cur.exists(c => String.valueOf(c.sql).toUpperCase.contains("_GRAFT_STUB"))) &&
-                cur.forall(_ != t) &&
-                retypeByPath(path, t))
           }
         }
         if (adopt.contains(true)) return true
@@ -2829,6 +2851,16 @@ object CorpusExecute {
               (name.equalsIgnoreCase("col") &&
                 bareExplodeTargets().map(promoteArrayElems(_)).exists(identity)) ||
               promoteExplodedElements()
+          case Some("current_user()") =>
+            // `user['userId']` with no source carrying a `user` column:
+            // Spark resolves the bare identifier to the niladic
+            // current_user() FUNCTION, so the analyzer never reports an
+            // unresolved column and the plant machinery starves. The model
+            // means a column — plant `user`; the next iteration reports
+            // base=`user` and promoteExtractBase struct-promotes it.
+            (modelSources ++ closureSources)
+              .map(k => synth.addPath(k, Seq("user"))).exists(identity) ||
+              promoteExtractBase(Seq("user"), p.get("other"))
           case Some(idx) if idx.matches("[A-Za-z_][\\w.]*\\[\\d+\\]") =>
             // `labels[0]` scalar: labels is array<string>, elements must be structs
             val path = idx.takeWhile(_ != '[').split("\\.").toSeq

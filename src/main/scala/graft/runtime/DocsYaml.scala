@@ -121,6 +121,7 @@ object DocsYaml {
     docs.filter(d => wh.tableExists(d.name)).map { d =>
       wh.setDocs(d.name, d.description.getOrElse(""),
         d.columns.filter(_._2.nonEmpty))
+      wh.persistDocsToCatalog(d.name)
       d.name
     }
 }

@@ -2,6 +2,7 @@ package graft.runtime
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -432,6 +433,76 @@ final class Warehouse(val spark: SparkSession, val root: String,
       re.findAllMatchIn(Files.readString(p)).map(m =>
         m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
           m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")).toMap
+    }
+  }
+
+  /** Partition columns as laid out on disk: the `k=v` directory chain under
+    * the data dir (one name per nesting level). Metadata-only — one
+    * directory entry per level, never a file listing. */
+  private def partitionColsOnDisk(name: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dir = Paths.get(dataDir(name))
+    var continue = true
+    while (continue) {
+      continue = false
+      val s = Files.list(dir)
+      val sub = try s.iterator().asScala
+        .find(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      finally s.close()
+      sub.foreach { p =>
+        out += p.getFileName.toString.takeWhile(_ != '=')
+        dir = p; continue = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** Metastore-visible comments. The reference pushes `persist_docs` into
+    * the Hive metastore as per-column `ALTER TABLE … CHANGE COLUMN … COMMENT`
+    * statements plus a relation-level comment
+    * (macros/spark_adapter_patch/alter_column_comment.sql:1-17); the sidecar
+    * ([[setDocs]]) is this engine's durable store, and this method surfaces
+    * it through Spark's OWN session catalog so `DESCRIBE [EXTENDED]` answers
+    * with the comments:
+    *  - if the name is already a catalog table (bucketed CTAS), issue the
+    *    same CHANGE COLUMN / table-comment statements the reference does;
+    *  - otherwise register an external parquet table over the data dir with
+    *    the commented schema (+ PARTITIONED BY / RECOVER PARTITIONS, so
+    *    `spark.table(name)` reads the same rows as [[read]]).
+    * Views and log-backed tables are skipped — a bare-path catalog entry
+    * over a TxLog dir would resurrect tombstoned files. */
+  def persistDocsToCatalog(name: String): Unit = {
+    val d = docs(name)
+    if (d.isEmpty || views.contains(name) || isLogBacked(name) ||
+        !tableExists(name)) return
+    def lit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val ident = "`" + name.replace("`", "") + "`"
+    val schema = read(name).schema
+    val inCatalog = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    if (inCatalog) {
+      schema.fields.filter(f => d.get(f.name).exists(_.nonEmpty)).foreach { f =>
+        spark.sql(s"ALTER TABLE $ident CHANGE COLUMN `${f.name}` `${f.name}` " +
+          s"${f.dataType.sql} COMMENT ${lit(d(f.name))}")
+      }
+      d.get("__table__").filter(_.nonEmpty).foreach(c =>
+        spark.sql(s"ALTER TABLE $ident SET TBLPROPERTIES ('comment' = ${lit(c)})"))
+    } else {
+      val partCols = partitionColsOnDisk(name)
+      val colsDdl = schema.fields.map { f =>
+        val cm = d.get(f.name).filter(_.nonEmpty)
+          .map(c => s" COMMENT ${lit(c)}").getOrElse("")
+        s"`${f.name}` ${f.dataType.sql}$cm"
+      }.mkString(", ")
+      val tblCm = d.get("__table__").filter(_.nonEmpty)
+        .map(c => s" COMMENT ${lit(c)}").getOrElse("")
+      val partDdl =
+        if (partCols.isEmpty) ""
+        else partCols.map(c => s"`$c`").mkString(" PARTITIONED BY (", ", ", ")")
+      spark.sql(s"DROP TABLE IF EXISTS $ident")
+      spark.sql(s"CREATE TABLE $ident ($colsDdl) USING parquet$tblCm$partDdl " +
+        s"LOCATION ${lit(dataDir(name))}")
+      if (partCols.nonEmpty) spark.sql(s"ALTER TABLE $ident RECOVER PARTITIONS")
     }
   }
 

@@ -1023,6 +1023,40 @@ class RuntimeSpec extends SparkSpec {
     assert(wh.docs("doc_t") == Map("__table__" -> "the table", "v" -> "kept"))
   }
 
+  test("docs are metastore-visible: DESCRIBE surfaces column + table comments") {
+    val ctx = freshCtx()
+    val wh = ctx.warehouse
+    // partitioned plain table -> external catalog entry with commented schema
+    wh.createTable("doc_cat",
+      Seq(("2024-01-01", "d1", 5), ("2024-01-02", "d2", 7))
+        .toDF("date_msk", "device_id", "n"),
+      partitionBy = Seq("date_msk"))
+    wh.setDocs("doc_cat", "it's a \"daily\" rollup",
+      Map("device_id" -> "the device", "n" -> "event count"))
+    wh.persistDocsToCatalog("doc_cat")
+    val desc = spark.sql("DESCRIBE TABLE doc_cat").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc("device_id") == "the device")
+    assert(desc("n") == "event count")
+    val ext = spark.sql("DESCRIBE TABLE EXTENDED doc_cat").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext.get("Comment").exists(_.contains("daily")), ext.toString)
+    // the catalog table reads the same rows as the warehouse read
+    assert(spark.table("doc_cat").count() == 2)
+    assert(spark.table("doc_cat").where($"date_msk" === "2024-01-01")
+      .select($"device_id").as[String].collect().toSeq == Seq("d1"))
+    // an existing catalog table (bucketed CTAS) takes the reference's
+    // ALTER ... CHANGE COLUMN ... COMMENT path in place
+    wh.createBucketedTable("doc_bk", Seq((1, "a")).toDF("k", "v"), Seq("k"), 4)
+    wh.setDocs("doc_bk", "bucketed join side", Map("k" -> "the key"))
+    wh.persistDocsToCatalog("doc_bk")
+    val descBk = spark.sql("DESCRIBE TABLE doc_bk").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(descBk("k") == "the key")
+    spark.sql("DROP TABLE IF EXISTS doc_cat")
+    spark.sql("DROP TABLE IF EXISTS doc_bk")
+  }
+
   test("non-literal sizing args to native text functions raise AnalysisException") {
     graft.functions.TextExpressions.register(spark)
     val df = Seq(("hello world text", 3)).toDF("t", "n")
