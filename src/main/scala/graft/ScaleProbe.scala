@@ -201,8 +201,9 @@ object ScaleProbe {
           .select(col("id"), (col("id") % 7).cast("string").as("p"))
           .repartition(tasks)
         TxLog.overwrite(t, df, Seq("p"))
-        val n = timed(s"txlog_manifest resolve (~${tasks * 7} files)") {
-          TxLog.snapshot(t).files.size.toLong
+        var n = 0L
+        timed(s"txlog_manifest resolve (~${tasks * 7} files)") {
+          n = TxLog.snapshot(t).files.size.toLong; n
         }
         timed(s"txlog_read manifest-join + partition prune ($n files)") {
           TxLog.read(spark, t).filter(col("p") === "3").count()

@@ -1205,13 +1205,30 @@ object CorpusExecute {
       * path's head is an explode alias or lambda variable this scope can't
       * resolve. */
     def retypeLeafFields(path: Seq[String], from: DataType => Boolean,
-                         to: DataType): Boolean =
+                         to: DataType): Boolean = {
+      // leaf-name matching is the last-resort rung, but it must stay
+      // consistent with the WHOLE requested path: matching the bare leaf let
+      // an `exwPerItem.amount` promotion land on the sibling
+      // `ddpPerItem.amount` (every money struct shares the `amount` leaf) —
+      // the accretion that turned fact_customer_requests_variants'
+      // ddpPerItem into a nested struct and poisoned `ddpPerItem / 1000000`
+      // in every fact_deals_with_requests downstream. Drop known alias
+      // heads (table/CTE aliases, generator defaults), then demand the full
+      // remaining suffix.
+      val sfx = {
+        var p = path
+        while (p.size > 1 && (aliases.contains(p.head.toLowerCase) ||
+            Set("col", "key", "value", "pos").contains(p.head.toLowerCase)))
+          p = p.tail
+        p.map(_.toLowerCase)
+      }
       (modelSources ++ closureSources).flatMap(k =>
         synth.fieldPathsByLeaf(k, path.last).collect {
-          case (fp, t) if from(t) => k -> fp
+          case (fp, t) if from(t) && fp.map(_.toLowerCase).endsWith(sfx) => k -> fp
         })
         .map { case (k, fp) => synth.retypePath(k, fp, to) }
         .exists(identity)
+    }
 
     /** array<string> at `path` → array<struct> (field access through an
       * index / lambda / explode element). */
@@ -1401,11 +1418,15 @@ object CorpusExecute {
       // the named base may itself be a SELECT alias over a source path —
       // which can live under a star-expanded struct (`payload.* …
       // currencies.companyRates AS company_rates`), reachable only by the
-      // alias-def path's LEAF name. A multipart base also tries its TAIL's
+      // alias-def path's LEAF name. A TWO-part base also tries its tail's
       // alias-defs (the head may be a CTE alias: `po.procurement_statuses`
       // where the CTE selects `procurementStatuses AS procurement_statuses`)
+      // — but never deeper paths: in `col.prices.exwPerItem` the tail is a
+      // nested FIELD, and a same-named output alias (`….exwPerItem.amount
+      // AS exwPerItem`) is a coincidence whose def-path recursion promoted
+      // the WRONG sibling's `.amount` (the round-11 ddpPerItem accretion)
       val defs = (aliasDefPaths(rawPath.mkString(".")) ++
-        (if (rawPath.size > 1) aliasDefPaths(rawPath.last) else Nil))
+        (if (rawPath.size == 2) aliasDefPaths(rawPath.last) else Nil))
         .filterNot(_ == rawPath)
       // `payload['rejectReasons'] AS reject_reasons … reject_reasons[0]['code']`:
       // the alias is a map VALUE — the map's value side must carry the
@@ -1590,16 +1611,10 @@ object CorpusExecute {
       case c if c.startsWith("UNRESOLVED_COLUMN") =>
         p.get("objectName").exists { n =>
           val path = parts(n)
-          // `value.id` — a field of an exploded MAP's value: the map's value
-          // side must be a struct carrying it (handle BEFORE attribute, which
+          // (mapValueField — `value.id`, a field of an exploded MAP's value —
+          // is defined lazily below, after the retype helpers it needs; it
+          // still leads the rung chain, handled BEFORE attribute, which
           // would plant a top-level `value` impostor)
-          val mapValueField = path.size > 1 &&
-            Set("key", "value").contains(path.head.toLowerCase) && {
-              val side = path.head.equalsIgnoreCase("value")
-              promoteMapSide(valueSide = side) |
-                (modelSources ++ closureSources)
-                  .map(synth.addFieldToAllStructs(_, path.last)).exists(identity)
-            }
           // a model can hold BOTH an array explode (default alias `col`) and
           // a map explode (defaults `key`/`value`): flips must be selective
           // or they ping-pong — bind each default-alias reference to the
@@ -1794,6 +1809,43 @@ object CorpusExecute {
             }.distinct
               .filterNot(_.map(_.toLowerCase) == Seq(refName.toLowerCase))
           }.getOrElse(Nil)
+          // `value.id` — a field of an exploded MAP's value: the map's value
+          // side must be a struct carrying it. The binding generator's
+          // target may ALSO still be an ARRAY guess (its output alias was
+          // `col`, so `key`/`value` never resolved): flip the SCOPED target
+          // to a map carrying the field on the demanded side —
+          // forecast_warehousing's `packaging.* … explode(phases) …
+          // value.l`, where the target hides under a star-expansion (so
+          // explodedArrayToMap's root-path probe misses it) and nothing in
+          // the model references `col`.
+          lazy val mapValueField = path.size > 1 &&
+            Set("key", "value").contains(path.head.toLowerCase) && {
+              val side = path.head.equalsIgnoreCase("value")
+              def scopedArrayToMap(): Boolean = {
+                val colFree = "(?i)(?<![\\w.`])col(?![\\w])".r
+                  .findFirstIn(pc.renderedSql).isEmpty
+                val fix: DataType => Option[DataType] = {
+                  case ArrayType(s: StructType, _) if side =>
+                    Some(MapType(StringType, withField(s, path.last)))
+                  case ArrayType(StringType, _) | StringType if side =>
+                    Some(MapType(StringType, withField(emptyStruct, path.last)))
+                  case ArrayType(elem, _) if !side => Some(MapType(StringType, elem))
+                  case _ => None
+                }
+                // a generator CONSUMING the map output is in the same scope
+                // (`lateral view posexplode(value.l)`): its target path is
+                // rooted at the output alias itself — flipping it sprays
+                // the map shape onto every same-leaf field (the boxes.l
+                // contamination); only PRODUCER targets qualify
+                colFree && scopeGeneratorTargets(path.head.toLowerCase)
+                  .filterNot(t => Set("key", "value", "col")
+                    .contains(t.head.toLowerCase))
+                  .map(retypeTarget(_, fix)).exists(identity)
+              }
+              promoteMapSide(valueSide = side) | scopedArrayToMap() |
+                (modelSources ++ closureSources)
+                  .map(synth.addFieldToAllStructs(_, path.last)).exists(identity)
+            }
           val keyValueFlip =
             Set("key", "value").contains(path.last.toLowerCase) && path.size == 1 && {
               val shg = scopeHasGenerator(path.last)
@@ -2085,6 +2137,68 @@ object CorpusExecute {
         p.get("sqlExpr").exists(expr => retypeIdentsIn(expr, DateType))
       case "DATATYPE_MISMATCH.DATA_DIFF_TYPES" | "DATATYPE_MISMATCH.BINARY_ARRAY_DIFF_TYPES"
          | "INCOMPATIBLE_COLUMN_TYPE" =>
+        // UNION/EXCEPT/INTERSECT branch-ordinal mismatch (`operator=UNION`,
+        // `columnOrdinalNumber=13th`, dataType1/2, no sqlExpr): resolve the
+        // ordinal to the branches' output NAME through the parsed plan —
+        // expanding a leading star through CTE/subquery indirection, the
+        // shape the error actually arises from (`SELECT *, win… FROM
+        // rfq_order UNION ALL … FROM rfq_deal`) — then retype the
+        // string-guessed idents behind that name to the other side's type
+        // (temp_rfq_deals_orders' is_top: BOOLEAN on one rfq snapshot, an
+        // unconstrained STRING on its customer twin).
+        val unionOrdinal = for {
+          op <- p.get("operator")
+          if Set("UNION", "EXCEPT", "INTERSECT").contains(op.toUpperCase)
+          ordStr <- p.get("columnOrdinalNumber")
+          ord <- "\\d+".r.findFirstIn(ordStr).map(_.toInt)
+          t1 <- p.get("dataType1").map(stripDq)
+            .flatMap(s => scala.util.Try(DataType.fromDDL(s)).toOption)
+          t2 <- p.get("dataType2").map(stripDq)
+            .flatMap(s => scala.util.Try(DataType.fromDDL(s)).toOption)
+          want <- (t1, t2) match {
+            case (StringType, t) if t != StringType => Some(t)
+            case (t, StringType) if t != StringType => Some(t)
+            case _ => None
+          }
+          plan <- pc.parsedPlan
+        } yield {
+          import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+          import org.apache.spark.sql.catalyst.expressions.Alias
+          import org.apache.spark.sql.catalyst.plans.logical.{Distinct, LogicalPlan, Project, SubqueryAlias, Union, UnresolvedWith}
+          val nodes = planNodes(plan)
+          val ctes: Map[String, LogicalPlan] = nodes.collect {
+            case w: UnresolvedWith =>
+              w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
+          }.flatten.toMap
+          def outNames(pl: LogicalPlan, depth: Int): Seq[String] = pl match {
+            case _ if depth <= 0 => Nil
+            case Project(items, child) => items.flatMap {
+              case _: UnresolvedStar => outNames(child, depth - 1)
+              case a: Alias => Seq(a.name)
+              case ua: UnresolvedAlias => ua.child match {
+                case u: UnresolvedAttribute => Seq(u.nameParts.last)
+                case a: Alias => Seq(a.name)
+                case _ => Seq("?")
+              }
+              case u: UnresolvedAttribute => Seq(u.nameParts.last)
+              case _ => Seq("?")
+            }
+            case SubqueryAlias(_, c) => outNames(c, depth)
+            case Distinct(c) => outNames(c, depth)
+            case r: UnresolvedRelation =>
+              ctes.get(r.multipartIdentifier.last.toLowerCase)
+                .map(outNames(_, depth - 1)).getOrElse(Nil)
+            case other => other.children match {
+              case Seq(c) => outNames(c, depth) // Filter/Sort/Limit pass-throughs
+              case _ => Nil
+            }
+          }
+          nodes.collect { case u: Union => u }.flatMap(_.children)
+            .flatMap(ch => outNames(ch, 6).drop(ord - 1).headOption)
+            .filter(_ != "?").distinct
+            .map(nm => retypeByPath(Seq(nm), want)).exists(identity)
+        }
+        if (unionOrdinal.contains(true)) return true
         // least/coalesce/union branches disagree: infer the intended type
         // from the expression's literals and retype its string identifiers
         // `arrays_overlap(labels.key, array('…'))` with labels.key typed
