@@ -1834,10 +1834,20 @@ object CorpusExecute {
                 }
                 // a generator CONSUMING the map output is in the same scope
                 // (`lateral view posexplode(value.l)`): its target path is
-                // rooted at the output alias itself — flipping it sprays
-                // the map shape onto every same-leaf field (the boxes.l
-                // contamination); only PRODUCER targets qualify
+                // rooted at the output alias itself — and the scope walk may
+                // RESOLVE that path through alias levels down to a bare leaf
+                // (`l`), whose leaf-fallback retype sprays the map shape onto
+                // every same-leaf field (the boxes.l contamination). Only
+                // PRODUCER targets qualify: the flip target must itself be a
+                // textual explode argument and not be rooted at a
+                // generator-output alias.
+                val textualTargets =
+                  "(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)".r
+                    .findAllMatchIn(pc.renderedSql)
+                    .map(_.group(1).toLowerCase).toSet
                 colFree && scopeGeneratorTargets(path.head.toLowerCase)
+                  .filter(t => textualTargets.contains(
+                    t.map(_.toLowerCase).mkString(".")))
                   .filterNot(t => Set("key", "value", "col")
                     .contains(t.head.toLowerCase))
                   .map(retypeTarget(_, fix)).exists(identity)
@@ -2943,6 +2953,17 @@ object CorpusExecute {
             (modelSources ++ closureSources).filter(k => synth.has(k, a))
               .map(k => synth.retract(k, a)).exists(identity)
           }.exists(identity)
+        } || {
+          // last resort: the failing expression IS a bare name an over-eager
+          // unqualified offer planted where it shadows a grouped alias —
+          // retract the unpinned plants of that name
+          p.get("expression").orElse(p.get("sqlExpr")).map(stripDq) match {
+            case Some(name) if name.matches("[A-Za-z_]\\w*") =>
+              val holders = (modelSources ++ closureSources).filter(k => synth.has(k, name))
+              val unpinned = holders.filterNot(k => synth.pinned.contains((k, name)))
+              unpinned.map(synth.retract(_, name)).exists(identity)
+            case _ => false
+          }
         }
       case "INVALID_EXTRACT_BASE_FIELD_TYPE" =>
         p.get("base").map(stripDq) match {
@@ -3075,18 +3096,6 @@ object CorpusExecute {
           case (Some(n), g) if g > 0 && n < g => flipNamed(toMap = true) || explodedArrayToMap()
           case (Some(n), g) if g > 0 && n > g => flipNamed(toMap = false) || explodedMapToArray()
           case _ => explodedArrayToMap() || explodedMapToArray()
-        }
-      case "MISSING_AGGREGATION" =>
-        // "the non-aggregating expression X is based on columns not in the
-        // GROUP BY": in the reference X resolves to a grouped alias/column;
-        // here an over-eager unqualified offer planted X on a relation where
-        // it shadows that alias — retract the unpinned plants
-        p.get("expression").orElse(p.get("sqlExpr")).map(stripDq) match {
-          case Some(name) if name.matches("[A-Za-z_]\\w*") =>
-            val holders = (modelSources ++ closureSources).filter(k => synth.has(k, name))
-            val unpinned = holders.filterNot(k => synth.pinned.contains((k, name)))
-            unpinned.map(synth.retract(_, name)).exists(identity)
-          case _ => false
         }
       case "TABLE_OR_VIEW_NOT_FOUND" =>
         // a raw `db.table` read with no source() call: if the table names a
