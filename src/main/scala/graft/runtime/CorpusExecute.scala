@@ -1205,30 +1205,22 @@ object CorpusExecute {
       * path's head is an explode alias or lambda variable this scope can't
       * resolve. */
     def retypeLeafFields(path: Seq[String], from: DataType => Boolean,
-                         to: DataType): Boolean = {
-      // leaf-name matching is the last-resort rung, but it must stay
-      // consistent with the WHOLE requested path: matching the bare leaf let
-      // an `exwPerItem.amount` promotion land on the sibling
-      // `ddpPerItem.amount` (every money struct shares the `amount` leaf) —
-      // the accretion that turned fact_customer_requests_variants'
-      // ddpPerItem into a nested struct and poisoned `ddpPerItem / 1000000`
-      // in every fact_deals_with_requests downstream. Drop known alias
-      // heads (table/CTE aliases, generator defaults), then demand the full
-      // remaining suffix.
-      val sfx = {
-        var p = path
-        while (p.size > 1 && (aliases.contains(p.head.toLowerCase) ||
-            Set("col", "key", "value", "pos").contains(p.head.toLowerCase)))
-          p = p.tail
-        p.map(_.toLowerCase)
-      }
+                         to: DataType): Boolean =
+      // deliberately LEAF-ONLY matching: def paths routinely carry subquery
+      // aliases this scope cannot resolve, so demanding a path suffix here
+      // starves legitimate promotions (a round-11 experiment regressed
+      // fact_quotes_variants/fbj_ff_rate/procurement_orders). The sibling-
+      // leaf poison this rung once enabled (an `exwPerItem.amount` def
+      // promoting `ddpPerItem.amount`) is blocked at its ENTRY instead:
+      // promoteExtractBase only recurses into tail alias-defs for two-part
+      // bases, so a 3-part base never reaches this rung with a same-named
+      // output alias's def path.
       (modelSources ++ closureSources).flatMap(k =>
         synth.fieldPathsByLeaf(k, path.last).collect {
-          case (fp, t) if from(t) && fp.map(_.toLowerCase).endsWith(sfx) => k -> fp
+          case (fp, t) if from(t) => k -> fp
         })
         .map { case (k, fp) => synth.retypePath(k, fp, to) }
         .exists(identity)
-    }
 
     /** array<string> at `path` → array<struct> (field access through an
       * index / lambda / explode element). */
@@ -1919,9 +1911,15 @@ object CorpusExecute {
         def retractCol(col: String): Boolean = {
           val holders = (modelSources ++ closureSources).filter(k => synth.has(k, col))
           val own = holders.filter(k => synth.pinned.get((k, col)).contains(pc.nodeName))
-          val foreignPinned = holders.filterNot(own.contains)
-            .filter(k => synth.pinned.contains((k, col)))
-          val unpinned = holders.filterNot(k => synth.pinned.contains((k, col)))
+          // an ambiguity-keep marker pin ("~ambig:<node>", set below) only
+          // binds the node whose war placed it — to every OTHER node the
+          // holder is ordinary (unpinned), so one node's tie-break can never
+          // mislead another node's war
+          def effectivePin(k: (String, String)): Boolean =
+            synth.pinned.get((k, col)).exists(v =>
+              !v.startsWith("~ambig:") || v == "~ambig:" + pc.nodeName)
+          val foreignPinned = holders.filterNot(own.contains).filter(effectivePin)
+          val unpinned = holders.filterNot(k => own.contains(k) || effectivePin(k))
           val toRetract =
             if (own.nonEmpty) foreignPinned ++ unpinned          // keep own claims
             // a SINGLE synth holder ambiguous against a non-synth relation
@@ -1932,6 +1930,20 @@ object CorpusExecute {
               unpinned                                           // keep pinned ones
             else if (unpinned.nonEmpty) unpinned.drop(1)         // keep the first
             else holders.drop(1) // all foreign-pinned: still must break the tie
+          // PIN the kept holders: without a pin the next unqualified plant
+          // wave re-offers the column everywhere, the war re-arises, and a
+          // DIFFERENT holder may win the next retraction — the product_id
+          // plant⇄retract ping-pong that burned product_nf_segment's
+          // 200-iteration budget. A pinned keep makes every later round
+          // keep the SAME holder, so multi-block demands (one block
+          // resolving on star_order_2020, another on
+          // dim_published_product_min) converge instead of oscillating.
+          // The pin carries a MARKER provenance (not pc.nodeName): it must
+          // survive the unpinned-first preference yet stay tie-breakable —
+          // pinning as "own" deadlocked when two keeps of the same name
+          // later collided (own claims are never retracted).
+          holders.filterNot(toRetract.contains)
+            .foreach(k => synth.pinned.getOrElseUpdate((k, col), "~ambig:" + pc.nodeName))
           toRetract.map(synth.retract(_, col)).exists(identity)
         }
         /** The name shadows a RELATION (a source table or a ref'd node): a
