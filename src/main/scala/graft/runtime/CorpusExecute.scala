@@ -1413,12 +1413,17 @@ object CorpusExecute {
       // alias-def path's LEAF name. A TWO-part base also tries its tail's
       // alias-defs (the head may be a CTE alias: `po.procurement_statuses`
       // where the CTE selects `procurementStatuses AS procurement_statuses`)
-      // — but never deeper paths: in `col.prices.exwPerItem` the tail is a
-      // nested FIELD, and a same-named output alias (`….exwPerItem.amount
-      // AS exwPerItem`) is a coincidence whose def-path recursion promoted
-      // the WRONG sibling's `.amount` (the round-11 ddpPerItem accretion)
+      // — but never deeper paths, and never when the head is a
+      // generator-output alias: in `col.prices.exwPerItem` (or
+      // `col.sampleDDPPrice`) the tail is a FIELD of the exploded element,
+      // and a same-named output alias (`col.sampleDDPPrice.amount AS
+      // sampleDDPPrice`) is a coincidence whose def-path recursion promoted
+      // the WRONG sibling's `.amount` (the round-11 ddpPerItem accretion
+      // that poisoned `ddpPerItem / 1000000` downstream)
+      val genAlias = Set("col", "key", "value", "pos")
       val defs = (aliasDefPaths(rawPath.mkString(".")) ++
-        (if (rawPath.size == 2) aliasDefPaths(rawPath.last) else Nil))
+        (if (rawPath.size == 2 && !genAlias.contains(rawPath.head.toLowerCase))
+          aliasDefPaths(rawPath.last) else Nil))
         .filterNot(_ == rawPath)
       // `payload['rejectReasons'] AS reject_reasons … reject_reasons[0]['code']`:
       // the alias is a map VALUE — the map's value side must carry the

@@ -573,9 +573,25 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * does for the parquet path). */
   private def readLogCanonical(
       name: String,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame =
-    canonicalCast(name,
-      graft.plans.TxLog.read(spark, logPath(name), partitionFilter = partitionFilter))
+      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+    // a 0-row materialization legitimately commits ZERO files (a dynamic
+    // overwrite of an empty frame writes no partitions), and a pruning
+    // filter can empty any snapshot — mirror the parquet path and return
+    // an empty frame with the sidecar schema instead of failing the read
+    // (the corpus EXECUTE phase reads 0-row tables constantly)
+    val p = logPath(name)
+    val snap = graft.plans.TxLog.snapshot(p)
+    val live = snap.files.filter(f => partitionFilter(f.partitionValues))
+    val base =
+      if (live.nonEmpty) graft.plans.TxLog.readSubset(spark, p, live, snap.partitionCols)
+      else canonicalSchema(name) match {
+        case Some(schema) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None =>
+          graft.plans.TxLog.read(spark, p, partitionFilter = partitionFilter)
+      }
+    canonicalCast(name, base)
+  }
 
   def createTableLog(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
                      hashSpread: Option[(String, Int)] = None,
