@@ -31,10 +31,13 @@ object CorpusExec {
       only = only)
     println(report.describe)
     println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    // persist the full report (all items incl. executed) for offline analysis
+    // persist the full report (all items incl. executed) for offline analysis;
+    // subset (arg-filtered) runs write to a side file so a debugging rerun
+    // never clobbers the full-corpus artifact CORPUS.md cites
     val lines = report.items.map(i => s"${i.status}\t${i.name}\t${i.kind}\t${i.iterations}\t${i.detail}")
-    val out = if (sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1"))
-      "target/corpus_exec_report_logfmt.tsv" else "target/corpus_exec_report.tsv"
+    val suffix = (if (only.isDefined) "_subset" else "") +
+      (if (sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1")) "_logfmt" else "")
+    val out = s"target/corpus_exec_report$suffix.tsv"
     java.nio.file.Files.writeString(Paths.get(out), lines.mkString("\n") + "\n")
     spark.stop()
   }

@@ -365,7 +365,13 @@ object TxLog {
                            files: Seq[AddFile], partitionCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val fileCol = "__txlog_file"
+    // the working column must not shadow a real data column (withColumn
+    // would overwrite it with the scanned file name and drop() would then
+    // remove the user's data) — suffix until free
+    val fileCol = Iterator.from(0).map {
+      case 0 => "__txlog_file"
+      case i => s"__txlog_file_$i"
+    }.find(n => !base.columns.contains(n)).get
     val schema = StructType(StructField(fileCol, StringType, nullable = false) +:
       partitionCols.map(StructField(_, StringType, nullable = true)))
     val rows: java.util.List[Row] = files.map { f =>
@@ -419,6 +425,24 @@ object TxLog {
             Files.deleteIfExists(p)) deleted += 1
       } finally ls.close()
     }
+    // crash leftovers the commit/stage protocols can strand (a kill between
+    // staging and claim skips every `finally`): serialized-but-unclaimed
+    // commit tmps in _txlog, and abandoned _staging_* spill dirs under the
+    // table root. Both are invisible to readers (listVersions filters
+    // *.tmp; readers never list data dirs) — reclaim past retention.
+    val lsLog = Files.list(logDir(table))
+    try lsLog.iterator().asScala.foreach { p =>
+      if (p.getFileName.toString.endsWith(".tmp") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff &&
+          Files.deleteIfExists(p)) deleted += 1
+    } finally lsLog.close()
+    val lsRoot = Files.list(table)
+    try lsRoot.iterator().asScala.foreach { p =>
+      if (p.getFileName.toString.startsWith("_staging_") && Files.isDirectory(p) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff) {
+        graft.runtime.TempDirs.deleteTree(p); deleted += 1
+      }
+    } finally lsRoot.close()
     deleted
   }
 

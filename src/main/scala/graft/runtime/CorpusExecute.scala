@@ -3165,10 +3165,32 @@ object CorpusExecute {
       * source() keys: dim_deal_products retypes `disabled` through
       * fact_offer_product → scd2_offer_products_snapshot → the snapshot's
       * raw mongo read, which ownSources alone can't see. */
-    lazy val rawReads: Seq[(String, String)] =
-      "(?i)(?:from|join)\\s+([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)".r
-        .findAllMatchIn(rawSql)
-        .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq.distinct
+    lazy val rawReads: Seq[(String, String)] = {
+      val re = "(?i)(from|join)\\s+([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)".r
+      re.findAllMatchIn(rawSql).flatMap { m =>
+        // `EXTRACT(YEAR FROM t.col)` / `trim(both ' ' from t.name)`: a FROM
+        // inside a function call is an expression keyword, not a relation
+        // read — planting `t.col` as a synthetic raw-catalog source feeds
+        // the retype machinery spurious relations. Reject a FROM whose
+        // nearest unclosed '(' (bounded lookbehind) has no SELECT between
+        // it and the keyword; subquery FROMs always do.
+        val kw = m.start
+        val winStart = math.max(0, kw - 200)
+        var i = kw - 1; var depth = 0; var opener = -1
+        while (i >= winStart && opener < 0) {
+          rawSql.charAt(i) match {
+            case ')' => depth += 1
+            case '(' => if (depth == 0) opener = i else depth -= 1
+            case _ =>
+          }
+          i -= 1
+        }
+        val inCall = opener >= 0 &&
+          "(?i)\\bselect\\b".r.findFirstIn(rawSql.substring(opener, kw)).isEmpty
+        if (inCall && m.group(1).equalsIgnoreCase("from")) None
+        else Some((m.group(2).toLowerCase, m.group(3)))
+      }.toSeq.distinct
+    }
   }
 
   /** name → transitive source() closure of the node's ref() subtree

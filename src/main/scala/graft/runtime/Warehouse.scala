@@ -42,8 +42,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
                                 @volatile var df: DataFrame,
                                 @volatile var epoch: Long)
   private val views = scala.collection.concurrent.TrieMap.empty[String, ViewEntry]
-  @volatile private var mutationEpoch = 0L
-  private def noteMutation(): Unit = mutationEpoch += 1
+  // AtomicLong, not a @volatile var: DagRunner materializes models in
+  // parallel, and two concurrent writes collapsing into one increment would
+  // let a racing read observe an already-matching epoch and serve a view
+  // plan still pinning the pre-mutation file listing.
+  private val mutationEpochCtr = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def mutationEpoch: Long = mutationEpochCtr.get()
+  private def noteMutation(): Unit = mutationEpochCtr.incrementAndGet()
 
   /** `namer` is the generate_schema_name / generate_alias_name hook
     * (reference: macros/get_custom_schema.sql:1-22,
@@ -74,6 +79,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * into last pass's files). */
   def drop(name: String): Unit = {
     views.remove(name)
+    // a dropped name must also forget its log routing — a later plain
+    // createTable for the same name (e.g. a materialization change across
+    // corpus fixpoint passes) would otherwise silently write a
+    // transaction-log table instead of parquet
+    logRouted.remove(name)
     noteMutation()
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) TempDirs.deleteTree(p)
@@ -471,15 +481,27 @@ final class Warehouse(val spark: SparkSession, val root: String,
     *    `spark.table(name)` reads the same rows as [[read]]).
     * Views and log-backed tables are skipped — a bare-path catalog entry
     * over a TxLog dir would resurrect tombstoned files. */
-  def persistDocsToCatalog(name: String): Unit = {
+  def persistDocsToCatalog(name: String): Unit = try {
     val d = docs(name)
     if (d.isEmpty || views.contains(name) || isLogBacked(name) ||
         !tableExists(name)) return
     def lit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val ident = "`" + name.replace("`", "") + "`"
     val schema = read(name).schema
-    val inCatalog = spark.sessionState.catalog.tableExists(
-      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val tid = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    val meta = if (spark.sessionState.catalog.tableExists(tid))
+      Some(spark.sessionState.catalog.getTableMetadata(tid)) else None
+    // ALTER can only restate a column's EXISTING type (Spark rejects type
+    // changes and unknown columns); when the on-disk schema has drifted from
+    // the catalog entry, the entry is one of OUR external registrations —
+    // drop and re-create it (re-recovering partitions, which ALTER never
+    // does) instead of ALTERing into an exception. Bucketed CTAS tables keep
+    // the ALTER path: saveAsTable syncs their catalog schema on rewrite, and
+    // re-creating them as bare external entries would lose the bucket spec.
+    val typesMatch = meta.exists(
+      _.schema.map(f => (f.name, f.dataType)).toSet ==
+        schema.map(f => (f.name, f.dataType)).toSet)
+    val inCatalog = meta.exists(_.bucketSpec.isDefined) || typesMatch
     if (inCatalog) {
       schema.fields.filter(f => d.get(f.name).exists(_.nonEmpty)).foreach { f =>
         spark.sql(s"ALTER TABLE $ident CHANGE COLUMN `${f.name}` `${f.name}` " +
@@ -504,6 +526,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
         s"LOCATION ${lit(dataDir(name))}")
       if (partCols.nonEmpty) spark.sql(s"ALTER TABLE $ident RECOVER PARTITIONS")
     }
+  } catch {
+    // docs surfacing is cosmetic — a catalog hiccup (concurrent DDL, a type
+    // ALTER Spark rejects) must never fail the model run that produced the
+    // data. The sidecar remains the durable store either way.
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[warehouse] persistDocsToCatalog($name) skipped: ${e.getMessage}")
   }
 
   /** Bucketed CTAS via the session catalog: both sides of a repeated join

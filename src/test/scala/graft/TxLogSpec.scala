@@ -138,6 +138,91 @@ class TxLogSpec extends SparkSpec {
     assert(!Files.exists(orphan))
   }
 
+  test("crash between staging and claim: next reader/writer sees a clean v-1 " +
+       "snapshot and vacuum reclaims every stranded artifact class") {
+    val t = freshTable()
+    TxLog.overwrite(t, df((1, "a", 1.0)), Seq("part")) // v0
+    // a writer died AFTER serializing its commit tmp and staging data files
+    // but BEFORE the createLink claim — kill -9 skips every `finally`.
+    // Strand all three artifact classes the protocols can leave:
+    val logTmp = t.resolve("_txlog").resolve(f"${1L}%020d.json.dead0000.tmp")
+    Files.writeString(logTmp, """{"add":{"path":"data/dead.parquet","pv":{},"rows":1}}""")
+    val dataOrphan = t.resolve("data").resolve("dead0000-part=a-orphan.parquet")
+    Files.writeString(dataOrphan, "stranded staged bytes")
+    val stagingDir = t.resolve("_staging_dead0000")
+    Files.createDirectories(stagingDir)
+    Files.writeString(stagingDir.resolve("part-00000.parquet"), "mid-stage bytes")
+    // readers: the unclaimed commit is invisible — snapshot is still v0 and
+    // the stranded add-action never becomes live
+    assert(TxLog.snapshot(t).version == 0L)
+    assert(TxLog.read(spark, t).select($"id").as[Int].collect().toSeq == Seq(1))
+    // the next writer claims v1 normally (the tmp does not block the claim)
+    TxLog.append(t, df((2, "a", 2.0)))
+    assert(TxLog.snapshot(t).version == 1L)
+    assert(TxLog.read(spark, t).count() == 2)
+    // retention window open: nothing reclaimed yet
+    assert(TxLog.vacuum(t, retentionMs = 60 * 60 * 1000L) == 0)
+    assert(Files.exists(logTmp) && Files.exists(dataOrphan) && Files.exists(stagingDir))
+    // retention elapsed: all three stranded artifacts reclaimed, table intact
+    assert(TxLog.vacuum(t, retentionMs = -1L) == 3)
+    assert(!Files.exists(logTmp) && !Files.exists(dataOrphan) && !Files.exists(stagingDir))
+    assert(TxLog.read(spark, t).count() == 2)
+  }
+
+  test("crash during checkpoint: the orphan checkpoint tmp never corrupts " +
+       "snapshot resolution and the next interval checkpoints cleanly") {
+    val t = freshTable()
+    TxLog.overwrite(t, df((0, "a", 0.0)), Seq("part")) // v0
+    for (i <- 1 to 5) TxLog.append(t, df((i, "a", i.toDouble))) // v1..v5
+    // a writer died mid-checkpoint: the tmp exists, the real checkpoint
+    // file was never moved into place — and the tmp holds GARBAGE (a crash
+    // can truncate mid-write)
+    val cpTmp = t.resolve("_txlog").resolve(f"${5L}%020d.checkpoint.json.tmp")
+    Files.writeString(cpTmp, """{"add":{"path":"data/ga""")
+    assert(TxLog.snapshot(t).version == 5L)
+    assert(TxLog.read(spark, t).count() == 6, "resolution must ignore the tmp")
+    // commits continue; v10 writes the regular interval checkpoint
+    for (i <- 6 to 10) TxLog.append(t, df((i, "a", i.toDouble)))
+    assert(Files.exists(t.resolve("_txlog").resolve(f"${10L}%020d.checkpoint.json")))
+    assert(TxLog.read(spark, t).count() == 11)
+    assert(TxLog.vacuum(t, retentionMs = -1L) >= 1)
+    assert(!Files.exists(cpTmp))
+    assert(TxLog.read(spark, t).count() == 11)
+  }
+
+  test("retryingCommit under 4-writer contention: every writer lands a distinct " +
+       "version and all rows survive") {
+    val t = freshTable()
+    TxLog.overwrite(t, df((0, "a", 0.0)), Seq("part")) // v0
+    val n = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, Long]]()
+    val threads = (1 to n).map { id =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          // append goes through retryingCommit: conflicts re-snapshot and
+          // re-stage until the claim lands
+          results.put(id, Right(TxLog.append(t, df((id, "a", id.toDouble)))))
+        } catch { case e: Throwable => results.put(id, Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(results.size == n, s"all writers must finish: $results")
+    val versions = (1 to n).map(id => results.get(id) match {
+      case Right(v) => v
+      case Left(e) => fail(s"writer $id failed: $e")
+    })
+    assert(versions.sorted == (1L to n.toLong),
+      s"writers must land the $n consecutive versions exactly once each: $versions")
+    assert(TxLog.read(spark, t).select($"id").as[Int].collect().toSet == (0 to n).toSet,
+      "every contended append's rows must be live")
+    // losers' abandoned re-stage files are unreferenced; vacuum may reclaim
+    // them but must never touch the live set
+    TxLog.vacuum(t, retentionMs = -1L)
+    assert(TxLog.read(spark, t).select($"id").as[Int].collect().toSet == (0 to n).toSet)
+  }
+
   test("checkpoint bounds replay and yields the identical snapshot") {
     val t = freshTable()
     TxLog.overwrite(t, df((0, "a", 0.0)), Seq("part"))
