@@ -95,6 +95,34 @@ object ScaleProbe {
       timed(s"q38_ann sf0.1 (r$r)")(qAnn(src)); timed(s"q38_ann x$factor (r$r)")(qAnn(big))
     }
 
+    // IVF quality/efficiency trade at ×factor vectors: recall@k vs nProbe
+    // against the brute-force ground truth on the SAME corpus — the measured
+    // counterpart of the LSH family's documented recall numbers. Probing
+    // more cells buys recall linearly in scanned candidates; the table this
+    // prints is the knob a 100 TB deployment tunes.
+    locally {
+      import graft.ops.Similarity
+      val emb = spark.read.parquet(s"$big/embeddings.parquet")
+      val qs = emb.filter(col("vec_id") < 10)
+      val k = 10
+      val truth = Similarity.bruteForceTopK(emb, qs, k)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val init = emb.orderBy("vec_id").limit(32)
+      val cents = Similarity.kmeansOnSample(emb, init)
+      for (nProbe <- Seq(1, 2, 4, 8)) {
+        var hits = 0L
+        timed(s"ivf_topk x$factor nProbe=$nProbe") {
+          val res = Similarity.ivfTopK(emb, qs, cents, k, nProbe)
+            .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          hits = res.count(truth.contains).toLong
+          res.length.toLong
+        }
+        println(f"SCALE ivf_recall@$k nProbe=$nProbe: ${hits.toDouble / truth.size}%.3f")
+      }
+    }
+
     // merge probe: cost must track the INCREMENT (one month's partitions),
     // not the table. Build a month-partitioned orders fact at 1× and ×factor,
     // then merge the same single-month increment into each.

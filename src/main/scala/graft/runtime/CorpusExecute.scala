@@ -1604,6 +1604,75 @@ object CorpusExecute {
         })
     }
 
+    /** Resolve a generator-default-alias reference tail (`value.X` → `X`)
+      * to concrete (source, full path) occurrences through the rendered
+      * SQL's TEXTUAL explode targets: `explode(t)`'s `t` resolves via the
+      * alias map, a top-level lookup, or by leaf (star-expanded targets),
+      * and `X` rides through the map value / array element (typeAt and
+      * retypePath walk those transparently). The occurrence-scoped
+      * alternative to the leaf-name spray, which retyped every same-named
+      * scalar corpus-wide (`boxes.l` contamination — the round-11
+      * forecast_warehousing war). */
+    def generatorFieldOccurrences(tail: Seq[String]): Seq[((String, String), Seq[String])] = {
+      // only UNALIASED select-position explodes produce the default
+      // key/value/col names — `explode(boxes) AS boxes` and every LATERAL
+      // VIEW site name their outputs, so their targets must not be touched
+      // (retyping them was this rung's own first contamination: boxes.l)
+      val targets = ("(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)" +
+        "(?!\\s*(?:as\\s+)?(?!from\\b|union\\b|where\\b|group\\b|order\\b|limit\\b|having\\b)[A-Za-z_`(])").r
+        .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+        .filterNot(t => Set("value", "key", "col").contains(t.split("\\.")(0).toLowerCase))
+      targets.flatMap { t =>
+        val tp = t.split("\\.").toSeq
+        val bases: Seq[((String, String), Seq[String])] = tp match {
+          case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty => aliasKeysOf(h).map(_ -> r)
+          case _ => (modelSources ++ closureSources).flatMap { k =>
+            val direct = if (synth.typeAt(k, tp).isDefined) Seq(k -> tp) else Nil
+            val byLeaf = synth.fieldPathsByLeaf(k, tp.last).map { case (fp, _) => k -> fp }
+            direct ++ byLeaf
+          }
+        }
+        bases.map { case (k, bp) => k -> (bp ++ tail) }
+      }.distinct
+    }
+
+    /** The position-output aliases of posexplode sites (`lateral view
+      * posexplode(xs) t AS n, x` → `n`; `posexplode(xs) AS (n, x)` → `n`).
+      * `base[n]` with such an alias is positional ARRAY indexing, never a
+      * struct-field or map-key access. */
+    lazy val posexplodePositionAliases: Set[String] =
+      ("(?i)posexplode(?:_outer)?\\s*\\([^)]*\\)\\s+(?:[A-Za-z_]\\w*\\s+)?as\\s+([A-Za-z_]\\w*)\\s*,".r
+        .findAllMatchIn(pc.renderedSql).map(_.group(1).toLowerCase) ++
+       "(?i)posexplode(?:_outer)?\\s*\\([^)]*\\)\\s+as\\s*\\(\\s*([A-Za-z_]\\w*)\\s*,".r
+        .findAllMatchIn(pc.renderedSql).map(_.group(1).toLowerCase)).toSet
+
+    /** `value.X[n]` / `(value.w)[n]` where `n` is a posexplode position
+      * alias and `value` a generator output: `X` is an ARRAY (the
+      * vectorized field extraction of a map<k, array<struct>> mongo shape,
+      * e.g. forecast_warehousing's `packaging.phases`) — retype the
+      * occurrence inside the binding target, never promote to a struct. */
+    def posIndexedGeneratorField(name: String): Boolean = {
+      val path = name.split("\\.").toSeq
+      if (path.size < 2 || !Set("value", "key", "col").contains(path.head.toLowerCase))
+        return false
+      if (posexplodePositionAliases.isEmpty) return false
+      val idxIdents = ("(?i)" + java.util.regex.Pattern.quote(name) +
+        "\\s*\\)?\\s*\\[\\s*([A-Za-z_]\\w*)\\s*\\]").r
+        .findAllMatchIn(pc.renderedSql).map(_.group(1).toLowerCase).toSet
+      idxIdents.exists(posexplodePositionAliases.contains) &&
+        generatorFieldOccurrences(path.tail)
+          .filter { case (k, fp) =>
+            synth.typeAt(k, fp).exists {
+              case StringType => true
+              // de-promote a stub struct a prior extract-base guess planted
+              case s: StructType => s.catalogString.contains("_graft_stub")
+              case _ => false
+            }
+          }
+          .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(StringType)) }
+          .exists(identity)
+    }
+
     cond match {
       case c if c.startsWith("UNRESOLVED_COLUMN") =>
         p.get("objectName").exists { n =>
@@ -2701,6 +2770,17 @@ object CorpusExecute {
                   retypeByPath(path, ArrayType(elem))
                 case s: StructType => retypeByPath(path, ArrayType(s))
               }.getOrElse(false) ||
+              // `posexplode(value.l)`: the head is a generator output —
+              // retype `l` INSIDE the textual explode target's map-value /
+              // element struct (occurrence-scoped), never by bare leaf: the
+              // leaf-spray fallback below retyped every same-named scalar
+              // corpus-wide (round-11 forecast_warehousing war)
+              (path.size > 1 &&
+                Set("value", "key", "col").contains(path.head.toLowerCase) &&
+                generatorFieldOccurrences(path.tail)
+                  .filter { case (k, fp) => synth.typeAt(k, fp).contains(StringType) }
+                  .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(StringType)) }
+                  .exists(identity)) ||
               // `explode(order_ids)` where order_ids is a SELECT alias
               // (`x.orderIds AS order_ids`) or a field of an exploded
               // element (`explode(col.phones)`): retypeByPath's alias-def
@@ -2767,6 +2847,12 @@ object CorpusExecute {
           val dynBases = ("([A-Za-z_][\\w.]*)\\s*\\[\\s*`?" +
             java.util.regex.Pattern.quote(keyName) + "\\b").r
             .findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct
+          // a posexplode POSITION alias as the key means ARRAY indexing,
+          // not dynamic map access — de-promote the wrongly struct-promoted
+          // generator field back to an array instead of flipping it to a map
+          if (posexplodePositionAliases.contains(keyName.toLowerCase) &&
+              dynBases.map(posIndexedGeneratorField).exists(identity))
+            return true
           dynBases.map { b =>
             val path = b.split("\\.").toSeq
             val resolved: Seq[((String, String), Seq[String])] = path match {
@@ -2985,7 +3071,11 @@ object CorpusExecute {
       case "INVALID_EXTRACT_BASE_FIELD_TYPE" =>
         p.get("base").map(stripDq) match {
           case Some(name) if name.matches("[A-Za-z_][\\w.]*") =>
-            promoteExtractBase(name.split("\\.").toSeq, p.get("other")) ||
+            // position-indexed generator field (`value.X[n]`, n from a
+            // posexplode) FIRST: promoteExtractBase would struct-promote X
+            // and strand the model on INVALID_EXTRACT_FIELD_TYPE "n"
+            posIndexedGeneratorField(name) ||
+              promoteExtractBase(name.split("\\.").toSeq, p.get("other")) ||
               // `value`/`key` = the aliases of an exploded MAP: the map's
               // value (or key) side must be a struct for field extraction
               ((name.equalsIgnoreCase("value") || name.equalsIgnoreCase("key")) &&
