@@ -2781,6 +2781,47 @@ object CorpusExecute {
                   .filter { case (k, fp) => synth.typeAt(k, fp).contains(StringType) }
                   .map { case (k, fp) => synth.retypePath(k, fp, ArrayType(StringType)) }
                   .exists(identity)) ||
+              // `explode(phase_array)` where the ident is the VALUE alias of
+              // an explicit map explode (`explode(packaging.phases) AS
+              // phase_key, phase_array`): the map's value side is an ARRAY —
+              // and a struct-of-arrays guess a VECTORIZED reader negotiated
+              // (forecast_warehousing's value.l) de-vectorizes into
+              // array<struct<scalars>>, the one shape satisfying BOTH the
+              // double-explode reader and field-extraction readers
+              (path.size == 1 && {
+                val mapSites = ("(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s*" +
+                  "(?:[A-Za-z_]\\w*\\s+)?AS\\s+\\(?\\s*(\\w+)\\s*,\\s*(\\w+)").r
+                val targets = mapSites.findAllMatchIn(pc.renderedSql)
+                  .filter(_.group(3).equalsIgnoreCase(path.head))
+                  .map(_.group(1)).toSeq.distinct
+                targets.map { t =>
+                  val tp = t.split("\\.").toSeq
+                  def scalarize(s: StructType): StructType =
+                    StructType(s.fields.map { f => f.dataType match {
+                      case ArrayType(e, _) if !e.isInstanceOf[StructType] =>
+                        f.copy(dataType = e)
+                      case _ => f
+                    }})
+                  def fix(curT: DataType): Option[DataType] = curT match {
+                    case MapType(kt, s: StructType, _) =>
+                      Some(MapType(kt, ArrayType(scalarize(s))))
+                    case MapType(kt, StringType, _) =>
+                      Some(MapType(kt, ArrayType(emptyStruct)))
+                    case _ => None
+                  }
+                  val bases: Seq[((String, String), Seq[String])] = tp match {
+                    case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
+                      aliasKeysOf(h).map(_ -> r)
+                    case _ => (modelSources ++ closureSources).flatMap { k =>
+                      (if (synth.typeAt(k, tp).isDefined) Seq(k -> tp) else Nil) ++
+                        synth.fieldPathsByLeaf(k, tp.last).map { case (fp, _) => k -> fp }
+                    }
+                  }
+                  bases.map { case (k, fp) =>
+                    synth.typeAt(k, fp).flatMap(fix).exists(synth.retypePath(k, fp, _))
+                  }.exists(identity)
+                }.exists(identity)
+              }) ||
               // `explode(order_ids)` where order_ids is a SELECT alias
               // (`x.orderIds AS order_ids`) or a field of an exploded
               // element (`explode(col.phones)`): retypeByPath's alias-def
@@ -3174,14 +3215,25 @@ object CorpusExecute {
         // explode call is wrong — a model holding both an array explode and
         // a map explode would ping-pong under a global flip
         def flipNamed(toMap: Boolean): Boolean = gotNames.nonEmpty && {
+          // `AS a, b` and the parenthesized `AS (a, b)` are both valid
           val tgtRe = ("(?i)(?:pos)?explode(?:_outer)?\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*\\)\\s*" +
-            "(?:[A-Za-z_]\\w*\\s+)?AS\\s+" +
+            "(?:[A-Za-z_]\\w*\\s+)?AS\\s+\\(?\\s*" +
             gotNames.map(java.util.regex.Pattern.quote).mkString("\\s*,\\s*")).r
           tgtRe.findAllMatchIn(pc.renderedSql).map(_.group(1)).toSeq.distinct.map { t =>
             val tp = t.split("\\.").toSeq
             val resolved: Seq[((String, String), Seq[String])] = tp match {
               case h +: r if r.nonEmpty && aliasKeysOf(h).nonEmpty =>
                 aliasKeysOf(h).map(_ -> r)
+              case h +: r if r.nonEmpty =>
+                // the head may be a REF alias (`pr.pgs` over an upstream
+                // model) whose column lives on the closure sources — but
+                // ONLY when the full path (a struct field like
+                // `productRoles.roles`) resolves nowhere: an unconditional
+                // tail try flipped every same-leaf column corpus-wide
+                // (admin_users.roles → map contamination)
+                val full = (modelSources ++ closureSources).map(_ -> tp)
+                if (full.exists { case (k, pp) => synth.typeAt(k, pp).isDefined }) full
+                else full ++ (modelSources ++ closureSources).map(_ -> r)
               case _ => (modelSources ++ closureSources).map(_ -> tp)
             }
             resolved.map { case (k, pp) =>
