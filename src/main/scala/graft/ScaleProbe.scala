@@ -102,24 +102,31 @@ object ScaleProbe {
     // prints is the knob a 100 TB deployment tunes.
     locally {
       import graft.ops.Similarity
-      val emb = spark.read.parquet(s"$big/embeddings.parquet")
-      val qs = emb.filter(col("vec_id") < 10)
-      val k = 10
-      val truth = Similarity.bruteForceTopK(emb, qs, k)
-        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val init = emb.orderBy("vec_id").limit(32)
-      val cents = Similarity.kmeansOnSample(emb, init)
-      for (nProbe <- Seq(1, 2, 4, 8)) {
-        var hits = 0L
-        timed(s"ivf_topk x$factor nProbe=$nProbe") {
-          val res = Similarity.ivfTopK(emb, qs, cents, k, nProbe)
-            .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-          hits = res.count(truth.contains).toLong
-          res.length.toLong
+      // two axes, two corpora: the ×factor run measures TIME at scale (its
+      // recall is trivially 1.0 — a replicated query's true neighbors are
+      // its own replicas, co-located in its cell by construction); the
+      // sf0.1 base run measures the real recall-vs-nProbe QUALITY curve on
+      // genuinely diverse vectors.
+      for ((dir, tag) <- Seq((big, s"x$factor"), (src, "sf0.1"))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val qs = emb.filter(col("vec_id") < 10)
+        val k = 10
+        val truth = Similarity.bruteForceTopK(emb, qs, k)
+          .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val init = emb.orderBy("vec_id").limit(32)
+        val cents = Similarity.kmeansOnSample(emb, init)
+        for (nProbe <- Seq(1, 2, 4, 8)) {
+          var hits = 0L
+          timed(s"ivf_topk $tag nProbe=$nProbe") {
+            val res = Similarity.ivfTopK(emb, qs, cents, k, nProbe)
+              .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            hits = res.count(truth.contains).toLong
+            res.length.toLong
+          }
+          println(f"SCALE ivf_recall@$k $tag nProbe=$nProbe: ${hits.toDouble / truth.size}%.3f")
         }
-        println(f"SCALE ivf_recall@$k nProbe=$nProbe: ${hits.toDouble / truth.size}%.3f")
       }
     }
 
