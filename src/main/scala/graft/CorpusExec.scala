@@ -34,7 +34,8 @@ object CorpusExec {
     // persist the full report (all items incl. executed) for offline analysis;
     // subset (arg-filtered) runs write to a side file so a debugging rerun
     // never clobbers the full-corpus artifact CORPUS.md cites
-    val lines = report.items.map(i => s"${i.status}\t${i.name}\t${i.kind}\t${i.iterations}\t${i.detail}")
+    val lines = report.items.map(i =>
+      f"${i.status}%s\t${i.name}%s\t${i.kind}%s\t${i.iterations}%d\t${i.detail}%s\t${i.secs}%.1f")
     val suffix = (if (only.isDefined) "_subset" else "") +
       (if (sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1")) "_logfmt" else "")
     val out = s"target/corpus_exec_report$suffix.tsv"

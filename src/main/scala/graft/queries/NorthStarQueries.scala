@@ -134,7 +134,13 @@ object NorthStarQueries {
       |        / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)), 6) AS quality
       |FROM t""".stripMargin
 
-  /** Language-ID heuristic + per-language aggregates (no oracle: heuristic). */
+  /** Language-ID heuristic + per-language aggregates. Oracle-gated: the
+    * heuristic is deterministic (stopword-hit argmax, alphabetical
+    * tie-break, CJK override) so DuckDB can replay it exactly — the argmax
+    * + earlier-name tie-break becomes a cascading `>=` CASE over the four
+    * per-language hit counts, and the BPE-ish subword count (alternating
+    * ASCII-alnum / non-alnum runs, space-only runs dropped) becomes two
+    * regexp_extract_all run counts. */
   def q36LangProfile(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     val d = Tables(spark, dir, "documents")
@@ -144,6 +150,39 @@ object NorthStarQueries {
       .groupBy(col("lang_pred"), col("lang_label"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("total_subwords"))
   }
+
+  val q36Oracle: String =
+    """WITH t AS (
+      |  SELECT lang AS lang_label, text,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang_label, text,
+      |    len(list_filter(ws, w -> list_contains(
+      |      ['der','die','das','und','ist','mit','für','auf','ein','zu'], w))) AS s_de,
+      |    len(list_filter(ws, w -> list_contains(
+      |      ['the','a','of','and','to','in','is','for','on','with'], w))) AS s_en,
+      |    len(list_filter(ws, w -> list_contains(
+      |      ['el','los','las','y','es','para','en','un','una','con'], w))) AS s_es,
+      |    len(list_filter(ws, w -> list_contains(
+      |      ['le','la','les','et','est','pour','dans','un','une','sur'], w))) AS s_fr,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |       + len(list_filter(regexp_extract_all(lower(text), '[^a-z0-9]+'),
+      |             x -> regexp_matches(x, '[^ ]'))) AS INT) AS n_subwords
+      |  FROM t),
+      |p AS (
+      |  SELECT lang_label, n_subwords,
+      |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es >= s_fr THEN 'es'
+      |         ELSE 'fr' END AS lang_pred
+      |  FROM s)
+      |SELECT lang_pred, lang_label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_subwords) AS BIGINT) AS total_subwords
+      |FROM p GROUP BY 1, 2""".stripMargin
 
   /** Order-sensitive fingerprint dedup, oracle-gated: grouping documents by
     * the 64-bit rolling-xxhash fingerprint is equivalent to grouping by the

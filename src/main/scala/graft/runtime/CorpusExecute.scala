@@ -39,7 +39,8 @@ import org.apache.spark.sql.types._
 object CorpusExecute {
 
   final case class Item(name: String, kind: String, status: String,
-                        detail: String = "", iterations: Int = 0)
+                        detail: String = "", iterations: Int = 0,
+                        secs: Double = 0.0)
 
   final case class Report(items: Seq[Item], sourceCatalog: Map[(String, String), StructType],
                           passes: Int) {
@@ -3578,6 +3579,9 @@ object CorpusExecute {
     var grew = true
     while (grew && passes < maxPasses) {
       passes += 1
+      val passT0 = System.nanoTime()
+      var attempted = 0
+      var skippedUnchanged = 0
       val versionAtPassStart = synth.version
       val failed = mutable.Set.empty[String]
       val results = mutable.Map.empty[String, Item]
@@ -3594,6 +3598,7 @@ object CorpusExecute {
         if (unchanged) {
           // already executed and no source in its closure changed since —
           // its warehouse output is still current, skip the re-run
+          skippedUnchanged += 1
           results(name) = passResults(name)
         } else if (node.deps.exists(d => failed.contains(d) || skipNames.contains(d))) {
           failed += name
@@ -3609,12 +3614,15 @@ object CorpusExecute {
             depsSql = depsSqlOf(node),
             nodeSchemas = nodeSchemas, refreshNode = refreshNamed)
           val secs = (System.nanoTime() - t0) / 1e9
+          attempted += 1
           if (secs > 10) System.err.println(f"[corpus]   $name: ${item.status} in $secs%.1f s")
           if (item.status != "executed") failed += name
           else { lastRunVersion(name) = synth.version; refreshMirror(name) }
-          results(name) = item
+          results(name) = item.copy(secs = secs)
         }
       }
+      System.err.println(f"[corpus] pass=$passes summary: attempted=$attempted " +
+        f"skipped-unchanged=$skippedUnchanged wall=${(System.nanoTime() - passT0) / 1e9}%.1f s")
       val prevExec = passResults.valuesIterator.count(_.status == "executed")
       val nowExec = results.valuesIterator.count(_.status == "executed")
       // progress = new executions OR new schema knowledge (deferred cross-ref
@@ -3700,6 +3708,29 @@ object CorpusExecute {
     val model = try node.model() catch {
       case scala.util.control.NonFatal(e) =>
         return Item(node.name, node.kind, "gap:model-build", String.valueOf(e.getMessage).take(200))
+    }
+
+    // Snapshot strategy columns are demanded by the SCD2 ADVANCE pass, not
+    // by the SELECT body: a bare `SELECT * FROM source(...)` (e.g.
+    // /root/reference/snapshots/spark/b2b_mart/scd2_merchant_appendixes_snapshot.sql:13)
+    // demands no columns, so error-driven negotiation never plants the
+    // check_cols / updated_at / unique_key into the synthesized source
+    // schema and the second run dies with UNRESOLVED_COLUMN. Seed the
+    // strategy columns up front — only the ones the rendered SQL never
+    // mentions (a snapshot with an explicit column list already demands
+    // its own columns, and a check_col that is a derived SELECT alias
+    // must not be planted onto the source).
+    model.materialization match {
+      case Materialization.Snapshot(uniqueKey, strategy, _) =>
+        val need = uniqueKey +: (strategy match {
+          case Scd2Strategy.Timestamp(updatedAt) => Seq(updatedAt)
+          case Scd2Strategy.Check(checkCols) => checkCols
+        })
+        val lower = renderedSql.toLowerCase
+        for (c <- need if !lower.contains(c.toLowerCase); key <- srcs)
+          synth.addPath(key, Seq(c), force = true, by = s"snapshot-strategy:${node.name}")
+        synth.flushCatalog()
+      case _ =>
     }
 
     // refuse to materialize against a runaway-negotiated schema: the
