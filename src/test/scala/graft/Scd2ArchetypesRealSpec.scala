@@ -118,4 +118,50 @@ class Scd2ArchetypesRealSpec extends SparkSpec {
       ("i2r1200", "b.jpg", 200L, "2024-06-02 00:00:00", Some("2024-06-03 00:00:00")),
       ("i2r1300", "b.jpg", 300L, "2024-06-03 00:00:00", None)), h.toString)
   }
+
+  test("REAL scd2_merchant_appendixes_snapshot.sql: bare SELECT * + " +
+       "check_cols + hard deletes (the r12 corpus-advance failure shape)") {
+    // /root/reference/snapshots/spark/b2b_mart/scd2_merchant_appendixes_snapshot.sql:13
+    // — `SELECT * FROM source(...)` demands no columns; the strategy columns
+    // arrive only via the source's own schema. check_cols=['selectedPaymentMethod'].
+    val snap = SqlTemplater.snapshotModel(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(
+        "/root/reference/snapshots/spark/b2b_mart/scd2_merchant_appendixes_snapshot.sql")))
+    assert(snap.materialization == Materialization.Snapshot("_id",
+      Scd2Strategy.Check(Seq("selectedPaymentMethod")), invalidateHardDeletes = true))
+    assert(snap.fileFormat == "delta")
+
+    val ctx = freshCtx(vars = Map("run_ts" -> "2024-06-02 00:00:00"))
+    def plant(rows: Seq[(String, String, String)]): Unit =
+      ctx.sources.register("mongo", "b2b_core_merchant_appendixes_daily_snapshot")(s =>
+        s.sql(rows.map { case (id, pm, note) =>
+          s"SELECT '$id' AS _id, '$pm' AS selectedPaymentMethod, '$note' AS note"
+        }.mkString("\nUNION ALL\n")))
+    def run(at: String): Unit =
+      new DagRunner(Seq(snap)).run(ctx.copy(vars = Map("run_ts" -> at)))
+        .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    plant(Seq(("m1", "card", "x"), ("m2", "cash", "y")))
+    run("2024-06-02 00:00:00")
+    assert(ctx.ref("scd2_merchant_appendixes_snapshot").count() == 2)
+
+    // run 2: m1 flips the CHECKED column (close at run ts, open new version);
+    // m2 changes only `note` (outside check_cols: NO new version, and the
+    // surviving open row keeps the OLD note); m3 appears
+    plant(Seq(("m1", "wire", "x"), ("m2", "cash", "y2"), ("m3", "card", "z")))
+    run("2024-06-03 00:00:00")
+    // run 3: m3 disappears → invalidate_hard_deletes closes it at run ts
+    plant(Seq(("m1", "wire", "x"), ("m2", "cash", "y2")))
+    run("2024-06-04 00:00:00")
+    val h = ctx.ref("scd2_merchant_appendixes_snapshot")
+      .selectExpr("_id", "selectedPaymentMethod", "note",
+        "CAST(dbt_valid_from AS STRING)", "CAST(dbt_valid_to AS STRING)")
+      .as[(String, String, String, String, Option[String])].collect().toSet
+    assert(h == Set(
+      ("m1", "card", "x", "2024-06-02 00:00:00", Some("2024-06-03 00:00:00")),
+      ("m1", "wire", "x", "2024-06-03 00:00:00", None),
+      ("m2", "cash", "y", "2024-06-02 00:00:00", None),
+      ("m3", "card", "z", "2024-06-03 00:00:00", Some("2024-06-04 00:00:00"))),
+      h.toString)
+  }
 }
