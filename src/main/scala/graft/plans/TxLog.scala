@@ -399,10 +399,23 @@ object TxLog {
   }
 
   /** Physically delete tombstoned files older than `retentionMs`, and prune
-    * fully-covered log history. Never touches live files; a reader holding a
-    * snapshot newer than the retention window is unaffected — this is
-    * Delta's VACUUM contract. Returns the deleted file count. */
+    * fully-covered log history. Never touches COMMITTED live files; a reader
+    * holding a snapshot newer than the retention window is unaffected — this
+    * is Delta's VACUUM contract. Caveat (also Delta's): the crash-artifact
+    * passes below reclaim unclaimed `.tmp` commit files under `_txlog` and
+    * `_staging_*` dirs by mtime, so `retentionMs` MUST exceed the longest
+    * possible in-flight
+    * stage→claim window — a vacuum run with ~0 retention concurrent with a
+    * live writer can delete its not-yet-committed staging output and fail
+    * that commit (never corrupting committed state). The floor below
+    * enforces a conservative minimum for those passes. Returns the deleted
+    * file count. */
   def vacuum(table: Path, retentionMs: Long): Int = {
+    // minimum retention for IN-FLIGHT artifact reclamation (tmp/staging):
+    // tombstoned + orphaned data files honor the caller's retention verbatim
+    // (they are never part of an in-flight write), but a stage→claim window
+    // is bounded by write time, not policy — keep a 15-minute floor
+    val inflightCutoffMs = math.max(retentionMs, 15L * 60 * 1000)
     val (r, _) = replayFull(table)
     val now = System.currentTimeMillis()
     val cutoff = now - retentionMs
@@ -430,16 +443,17 @@ object TxLog {
     // commit tmps in _txlog, and abandoned _staging_* spill dirs under the
     // table root. Both are invisible to readers (listVersions filters
     // *.tmp; readers never list data dirs) — reclaim past retention.
+    val inflightCutoff = now - inflightCutoffMs
     val lsLog = Files.list(logDir(table))
     try lsLog.iterator().asScala.foreach { p =>
       if (p.getFileName.toString.endsWith(".tmp") &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff &&
+          Files.getLastModifiedTime(p).toMillis <= inflightCutoff &&
           Files.deleteIfExists(p)) deleted += 1
     } finally lsLog.close()
     val lsRoot = Files.list(table)
     try lsRoot.iterator().asScala.foreach { p =>
       if (p.getFileName.toString.startsWith("_staging_") && Files.isDirectory(p) &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff) {
+          Files.getLastModifiedTime(p).toMillis <= inflightCutoff) {
         graft.runtime.TempDirs.deleteTree(p); deleted += 1
       }
     } finally lsRoot.close()

@@ -3317,6 +3317,13 @@ object CorpusExecute {
         // the retype machinery spurious relations. Reject a FROM whose
         // nearest unclosed '(' (bounded lookbehind) has no SELECT between
         // it and the keyword; subquery FROMs always do.
+        // KNOWN BOUNDS of this heuristic (acceptable for a 0-row synthetic
+        // catalog — a false positive plants a harmless extra stub table):
+        // the scan looks back at most 200 chars, so a function-keyword FROM
+        // whose first argument exceeds that window is misclassified; and
+        // parens inside STRING LITERALS are not masked, so a quoted '(' can
+        // fake an opener. Neither shape occurs in the corpus today; widen
+        // the window / mask literals first if a future corpus trips this.
         val kw = m.start
         val winStart = math.max(0, kw - 200)
         var i = kw - 1; var depth = 0; var opener = -1

@@ -503,7 +503,16 @@ final class Warehouse(val spark: SparkSession, val root: String,
         schema.map(f => (f.name, f.dataType)).toSet)
     val inCatalog = meta.exists(_.bucketSpec.isDefined) || typesMatch
     if (inCatalog) {
-      schema.fields.filter(f => d.get(f.name).exists(_.nonEmpty)).foreach { f =>
+      // a bucketed entry whose on-disk types drifted from the catalog (a
+      // type-widening rewrite raced the catalog sync): CHANGE COLUMN can
+      // only restate the CATALOG's type, so per-column ALTERs are issued
+      // only where catalog and disk agree — drifted columns keep their
+      // sidecar comment but skip the catalog surface instead of throwing
+      // into the cosmetic catch-all and dropping EVERY column's comment
+      val catalogType = meta.map(_.schema.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+      schema.fields.filter(f => d.get(f.name).exists(_.nonEmpty) &&
+          catalogType.get(f.name).contains(f.dataType)).foreach { f =>
         spark.sql(s"ALTER TABLE $ident CHANGE COLUMN `${f.name}` `${f.name}` " +
           s"${f.dataType.sql} COMMENT ${lit(d(f.name))}")
       }

@@ -152,6 +152,12 @@ class TxLogSpec extends SparkSpec {
     val stagingDir = t.resolve("_staging_dead0000")
     Files.createDirectories(stagingDir)
     Files.writeString(stagingDir.resolve("part-00000.parquet"), "mid-stage bytes")
+    // age the in-flight artifacts past vacuum's 15-minute reclamation floor
+    // (tmp/staging are only reclaimed once they cannot belong to a LIVE
+    // stage→claim window; a freshly-dead writer's artifacts must survive)
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 16L * 60 * 1000)
+    Seq(logTmp, stagingDir).foreach(Files.setLastModifiedTime(_, aged))
     // readers: the unclaimed commit is invisible — snapshot is still v0 and
     // the stranded add-action never becomes live
     assert(TxLog.snapshot(t).version == 0L)
@@ -185,6 +191,9 @@ class TxLogSpec extends SparkSpec {
     for (i <- 6 to 10) TxLog.append(t, df((i, "a", i.toDouble)))
     assert(Files.exists(t.resolve("_txlog").resolve(f"${10L}%020d.checkpoint.json")))
     assert(TxLog.read(spark, t).count() == 11)
+    // age the tmp past the in-flight reclamation floor (see vacuum scaladoc)
+    Files.setLastModifiedTime(cpTmp, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 16L * 60 * 1000))
     assert(TxLog.vacuum(t, retentionMs = -1L) >= 1)
     assert(!Files.exists(cpTmp))
     assert(TxLog.read(spark, t).count() == 11)

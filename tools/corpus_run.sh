@@ -3,8 +3,12 @@
 # logfmt full-corpus runs execute concurrently. Usage:
 #   tools/corpus_run.sh [model names...]
 # Env: GRAFT_CORPUS_LOGFMT, GRAFT_CORPUS_DEBUG, SPARK_GRAFT_CPUS, SPARK_DRIVER_MEM
-set -u
+set -eu
 cd "$(dirname "$0")/.."
+if [ ! -d target/scala-2.13/classes ]; then
+  echo "error: target/scala-2.13/classes missing — run 'sbt compile' first" >&2
+  exit 1
+fi
 # snapshot the classes: a `sbt compile` DURING a long run renumbers anonfun
 # classes and the lazily-loading JVM dies on ClassNotFoundException
 SNAP=$(mktemp -d /tmp/graft_classes_XXXXXX)
