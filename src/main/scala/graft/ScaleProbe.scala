@@ -23,6 +23,39 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val big = "/tmp/graft_scale"
 
+    def timedEarly(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    // `asof` arg: run ONLY the as-of skew probe. The union+window as-of
+    // (ops/AsOfJoin.scala) serializes each key's timeline through one
+    // window partition — this measures the partition-skew envelope at
+    // ×factor events with a hot key holding 30% of ALL rows, against a
+    // uniform twin on the same row count. Generated in-memory (range +
+    // codegen'd exprs), deterministic, no disk.
+    if (args.contains("asof")) {
+      import graft.ops.AsOfJoin
+      def mkEvents(n: Long, skewed: Boolean) = spark.range(n).select(
+        (if (skewed)
+          when(pmod(col("id"), lit(10)) < 3, lit("hot"))
+            .otherwise(concat(lit("k"), pmod(col("id"), lit(100000)).cast("string")))
+        else concat(lit("k"), pmod(col("id"), lit(100000)).cast("string"))).as("k"),
+        col("id").as("t"))
+      for ((n, tag) <- Seq((200000L, "base"), (200000L * factor, s"x$factor"));
+           r <- 1 to 2; skewed <- Seq(false, true)) {
+        val left = mkEvents(n, skewed)
+        val right = mkEvents(n / 50, skewed).withColumn("v", col("t") * 2)
+        // aggregate the MATCHED payload so column pruning cannot drop the
+        // window itself (a bare count() plans without computing the as-of)
+        timedEarly(s"asof_${if (skewed) "skew30" else "uniform"} $tag (r$r)")(
+          AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+            .agg(count(col("r_v"))).head().getLong(0))
+      }
+      spark.stop(); return
+    }
+
     def replicate(name: String, keyCols: Seq[String], keySpan: Long): Unit = {
       val base = Tables(spark, src, name)
       val out = (0 until factor).map { i =>

@@ -213,6 +213,8 @@ object CorpusExecute {
       if (path.isEmpty || selfNested(path)) return false
       if (tombstones.contains((key, path.head))) {
         if (!force) return false
+        if (CorpusExecute.debug)
+          println(s"[synth] un-tombstone($currentNode by=$by) ${key._1}.${key._2} ${path.head}")
         tombstones -= ((key, path.head))
       }
       if (force) pinned.getOrElseUpdate((key, path.head), by)
@@ -450,6 +452,8 @@ object CorpusExecute {
 
     /** Drop `col` from `key` and tombstone it; true if it was present. */
     def retract(key: (String, String), col: String): Boolean = {
+      if (CorpusExecute.debug)
+        println(s"[synth] retract($currentNode) ${key._1}.${key._2} $col")
       tombstones += ((key, col))
       schemas.get(key) match {
         case Some(st) if st.fieldNames.exists(_.equalsIgnoreCase(col)) =>
@@ -523,7 +527,21 @@ object CorpusExecute {
 
   /** Pre-seed: add every alias-qualified column path that literally appears
     * in the rendered SQL (`mi.medicine_id`, `o.payload.order.id`, …). */
-  def preSeed(rendered: String, aliases: Map[String, (String, String)], synth: Synth): Unit =
+  def preSeed(rendered: String, aliases: Map[String, (String, String)], synth: Synth): Unit = {
+    // an alias that ALSO names a subquery or CTE output in this text is
+    // ambiguous evidence: in `(SELECT id AS product_id, ... FROM
+    // pharmacy_landing.medicine) AS medicine` (pzns_out_of_stock.sql:87-91)
+    // the later `medicine.product_id` is a claim about the SUBQUERY's output,
+    // not the raw table. Plant such paths UN-forced: the plant still lands
+    // on first contact (0-row semantics, harmless), but another node's
+    // retraction tombstone then STICKS instead of being force-replanted
+    // every pass — the force/retract tug-of-war was the r13 fixpoint
+    // plateau (101 nodes re-attempted per pass to the maxPasses ceiling).
+    val shadowed = ("(?i)\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)".r
+      .findAllMatchIn(rendered).map(_.group(1)) ++
+      "(?i)(?:\\bWITH|,)\\s+([A-Za-z_]\\w*)\\s+AS\\s*\\(".r
+        .findAllMatchIn(rendered).map(_.group(1)))
+      .map(_.toLowerCase).filterNot(sqlKeywords.contains).toSet
     for ((alias, key) <- aliases) {
       val re = ("(?i)(?<![\\w.`'\"])" + java.util.regex.Pattern.quote(alias) +
         "\\s*\\.\\s*([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)").r
@@ -531,9 +549,12 @@ object CorpusExecute {
         .map(_.split("\\s*\\.\\s*").toSeq.filterNot(p => sqlKeywords.contains(p.toLowerCase)))
         .filter(_.nonEmpty)
       // longest paths first so `a.col.f` builds the struct before `a.col`;
-      // force: a literal alias-qualified occurrence IS a qualified claim
-      for (p <- paths.sortBy(-_.length)) synth.addPath(key, p, force = true)
+      // force: a literal alias-qualified occurrence IS a qualified claim —
+      // unless the alias is shadowed by a subquery/CTE of the same name
+      val force = !shadowed.contains(alias)
+      for (p <- paths.sortBy(-_.length)) synth.addPath(key, p, force = force)
     }
+  }
 
   // ---- analyzer-error patching -------------------------------------------
 
@@ -3590,6 +3611,7 @@ object CorpusExecute {
       var attempted = 0
       var skippedUnchanged = 0
       val versionAtPassStart = synth.version
+      val keyVersionsAtStart = synth.keyVersions.toMap
       val failed = mutable.Set.empty[String]
       val results = mutable.Map.empty[String, Item]
       for (name <- order) {
@@ -3628,8 +3650,17 @@ object CorpusExecute {
           results(name) = item.copy(secs = secs)
         }
       }
+      // NB: iterator first — Map.collect with a tuple-valued result would
+      // rebuild a MAP and silently dedup the (db, table) keys by db
+      val changedKeys = synth.keyVersions.iterator.collect {
+        case (k, v) if keyVersionsAtStart.getOrElse(k, -1L) != v => k
+      }.toVector
       System.err.println(f"[corpus] pass=$passes summary: attempted=$attempted " +
-        f"skipped-unchanged=$skippedUnchanged wall=${(System.nanoTime() - passT0) / 1e9}%.1f s")
+        f"skipped-unchanged=$skippedUnchanged wall=${(System.nanoTime() - passT0) / 1e9}%.1f s " +
+        s"keysChanged=${changedKeys.size}" +
+        (if (changedKeys.size <= 40 && changedKeys.nonEmpty)
+          changedKeys.map { case (d, t) => s"$d.$t" }.sorted.mkString(" [", ",", "]")
+        else ""))
       val prevExec = passResults.valuesIterator.count(_.status == "executed")
       val nowExec = results.valuesIterator.count(_.status == "executed")
       // progress = new executions OR new schema knowledge (deferred cross-ref
