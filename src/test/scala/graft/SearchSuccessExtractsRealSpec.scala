@@ -203,5 +203,65 @@ class SearchSuccessExtractsRealSpec extends SparkSpec {
       "end_date_ymd" -> d1Date.plusDays(4).toString))
     val run2 = snapshot()
     assert(run2 == run1.filterNot(_._1 == "unknown_search"), run2.toString)
+
+    // ---- the rest of the success_by_relevance chain, verbatim ----------
+    // search_success_result.sql: a CTE literally named `join`, markup LEFT
+    // JOIN on 4 keys, COALESCE(text_relevance, category_relevance),
+    // NOW-relative is_last_7_days, DISTRIBUTE BY tail; unclicked rows carry
+    // a NULL partition_date through insert_overwrite.
+    // text_search_success_filter_for_markup.sql: purchase-gated text-search
+    // filter + ORDER BY 1 tail.
+    val resultModel = SqlTemplater.sqlModelAuto("search_success_result",
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/models/spark/search/success_by_relevance/search_success_result.sql")),
+      Map.empty, Map("start_date_ymd" -> d1Date.toString,
+        "end_date_ymd" -> d1Date.plusDays(4).toString))
+    val markupModel = SqlTemplater.sqlModelAuto("text_search_success_filter_for_markup",
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/models/spark/search/success_by_relevance/" +
+          "text_search_success_filter_for_markup.sql")),
+      Map.empty, Map("start_date_ymd" -> d1Date.toString,
+        "end_date_ymd" -> d1Date.plusDays(4).toString))
+    assert(resultModel.deps == Seq("search_success_prepare_extracts") &&
+      markupModel.deps == Seq("search_success_prepare_extracts"))
+    // human markup exists for the purchased 'red shoes'→p2 pair only
+    ctx.sources.register("search", "text_search_success_filter_marked_up")(s =>
+      s.sql(s"""SELECT DATE'${d1Date.plusDays(3)}' AS partition_date,
+               |  DATE'$d1Date' AS search_date, 'p2' AS product_id,
+               |  'red shoes' AS query, 1 AS relevance""".stripMargin))
+    run(Map("start_date_ymd" -> d1Date.toString,
+      "end_date_ymd" -> d1Date.plusDays(4).toString)) // extracts already current
+    new DagRunner(Seq(resultModel, markupModel)).run(ctx.copy(vars =
+      Map("start_date_ymd" -> d1Date.toString,
+        "end_date_ymd" -> d1Date.plusDays(4).toString)))
+      .foreach { case (n, st) => assert(st.isInstanceOf[RunStatus.Success], s"$n: $st") }
+
+    val res = ctx.ref("search_success_result")
+      .selectExpr("textQueryOrCategory", "product_id", "text_relevance",
+        "relevance", "is_last_7_days", "CAST(partition_date AS STRING)")
+      .as[(String, Option[String], Option[Int], Option[Int], Option[Boolean],
+           Option[String])].collect().toSet
+    assert(res == Set(
+      // markup hit: human relevance wins; purchase day = partition
+      ("red shoes", Some("p2"), Some(1), Some(1), Some(true),
+        Some(d1Date.plusDays(3).toString)),
+      ("red shoes", Some("p1"), None, Some(0), Some(true),
+        Some(d1Date.plusDays(2).toString)),
+      // category relevance falls through COALESCE (query NULL → no markup)
+      ("c9", Some("p1"), None, Some(1), Some(true),
+        Some(d1Date.plusDays(2).toString)),
+      ("c9", Some("p2"), None, Some(0), Some(true),
+        Some(d1Date.plusDays(3).toString)),
+      // 20-day-old search: outside the 7-day flag; no click → NULL partition
+      ("old query", None, None, Some(0), Some(false), None),
+      ("popQ1", None, None, Some(0), Some(true), None),
+      ("popQ2", None, None, Some(0), Some(true), None)), res.toString)
+
+    val mk = ctx.ref("text_search_success_filter_for_markup")
+      .selectExpr("CAST(partition_date AS STRING)", "CAST(search_date AS STRING)",
+        "query", "product_id", "searchRequestId")
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(mk == Seq((d1Date.plusDays(3).toString, d1Date.toString,
+      "red shoes", "p2", "sr1")), mk.toString)
   }
 }
