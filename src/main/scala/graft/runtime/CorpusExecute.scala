@@ -537,11 +537,20 @@ object CorpusExecute {
     // retraction tombstone then STICKS instead of being force-replanted
     // every pass — the force/retract tug-of-war was the r13 fixpoint
     // plateau (101 nodes re-attempted per pass to the maxPasses ceiling).
+    val cteNames = "(?i)(?:\\bWITH|,)\\s+([A-Za-z_]\\w*)\\s+AS\\s*\\(".r
+      .findAllMatchIn(rendered).map(_.group(1).toLowerCase)
+      .filterNot(sqlKeywords.contains).toSet
+    // aliases REBOUND to a CTE reference (`FROM promocodes p` after `p`
+    // aliased a raw source inside that CTE — fact_promocodes.sql:24,66):
+    // `p.company_name` then claims the CTE's output, not the source's
+    val cteBound = "(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_]\\w*)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)".r
+      .findAllMatchIn(rendered).collect {
+        case m if cteNames.contains(m.group(1).toLowerCase) &&
+          !sqlKeywords.contains(m.group(2).toLowerCase) => m.group(2).toLowerCase
+      }.toSet
     val shadowed = ("(?i)\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)".r
-      .findAllMatchIn(rendered).map(_.group(1)) ++
-      "(?i)(?:\\bWITH|,)\\s+([A-Za-z_]\\w*)\\s+AS\\s*\\(".r
-        .findAllMatchIn(rendered).map(_.group(1)))
-      .map(_.toLowerCase).filterNot(sqlKeywords.contains).toSet
+      .findAllMatchIn(rendered).map(_.group(1).toLowerCase)
+      .filterNot(sqlKeywords.contains).toSet) ++ cteNames ++ cteBound
     for ((alias, key) <- aliases) {
       val re = ("(?i)(?<![\\w.`'\"])" + java.util.regex.Pattern.quote(alias) +
         "\\s*\\.\\s*([A-Za-z_]\\w*(?:\\s*\\.\\s*[A-Za-z_]\\w*)*)").r
