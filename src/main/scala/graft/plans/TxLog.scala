@@ -401,40 +401,48 @@ object TxLog {
   /** Physically delete tombstoned files older than `retentionMs`, and prune
     * fully-covered log history. Never touches COMMITTED live files; a reader
     * holding a snapshot newer than the retention window is unaffected — this
-    * is Delta's VACUUM contract. Caveat (also Delta's): the crash-artifact
-    * passes below reclaim unclaimed `.tmp` commit files under `_txlog` and
-    * `_staging_*` dirs by mtime, so `retentionMs` MUST exceed the longest
-    * possible in-flight
-    * stage→claim window — a vacuum run with ~0 retention concurrent with a
-    * live writer can delete its not-yet-committed staging output and fail
-    * that commit (never corrupting committed state). The floor below
-    * enforces a conservative minimum for those passes. Returns the deleted
-    * file count. */
+    * is Delta's VACUUM contract. Caveat (also Delta's): every pass that
+    * reclaims possibly-in-flight artifacts — unreferenced files under
+    * `data/` (stage() moves them there BEFORE the commit references them),
+    * unclaimed `.tmp` commit files under `_txlog`, and `_staging_*` dirs —
+    * is bounded by the write's wall-clock, not by retention policy, so a
+    * vacuum run with ~0 retention concurrent with a live writer could
+    * otherwise delete staged-but-not-yet-committed files that the imminent
+    * commit then references, corrupting committed state. The floor below
+    * enforces a conservative minimum for ALL those passes; only tombstoned
+    * (logged-removed) files honor the caller's retention verbatim. Returns
+    * the deleted file count. */
   def vacuum(table: Path, retentionMs: Long): Int = {
-    // minimum retention for IN-FLIGHT artifact reclamation (tmp/staging):
-    // tombstoned + orphaned data files honor the caller's retention verbatim
-    // (they are never part of an in-flight write), but a stage→claim window
-    // is bounded by write time, not policy — keep a 15-minute floor
+    // minimum retention for IN-FLIGHT artifact reclamation (unreferenced
+    // data/ files, tmp commits, staging dirs): tombstoned files honor the
+    // caller's retention verbatim (the log proves they were committed then
+    // removed), but an unreferenced file may belong to a stage→commit window
+    // still in flight — its age is bounded by write time, not policy — so
+    // keep a 15-minute floor
     val inflightCutoffMs = math.max(retentionMs, 15L * 60 * 1000)
     val (r, _) = replayFull(table)
     val now = System.currentTimeMillis()
     val cutoff = now - retentionMs
+    val inflightCutoff = now - inflightCutoffMs
     var deleted = 0
     for ((path, ts) <- r.tombstones if ts <= cutoff) {
       val p = table.resolve(path)
       if (Files.deleteIfExists(p)) deleted += 1
     }
     // orphans: files in data/ referenced by NO log action (a crashed or
-    // race-losing writer's staging leftovers) — delete past retention by
-    // mtime. The one place vacuum lists the data directory; Delta's VACUUM
-    // does the same.
+    // race-losing writer's staging leftovers — OR a live writer's freshly
+    // staged files whose commit has not landed yet: stage() moves parquet
+    // into data/ before commit references it, with mtimes preserved from
+    // write time, so this pass MUST use the in-flight floor, not the raw
+    // retention). The one place vacuum lists the data directory; Delta's
+    // VACUUM does the same.
     val referenced = r.files.keySet ++ r.tombstones.keySet
     if (Files.isDirectory(dataDir(table))) {
       val ls = Files.list(dataDir(table))
       try ls.iterator().asScala.foreach { p =>
         val rel = table.relativize(p).toString
         if (!referenced.contains(rel) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff &&
+            Files.getLastModifiedTime(p).toMillis <= inflightCutoff &&
             Files.deleteIfExists(p)) deleted += 1
       } finally ls.close()
     }
@@ -442,8 +450,7 @@ object TxLog {
     // staging and claim skips every `finally`): serialized-but-unclaimed
     // commit tmps in _txlog, and abandoned _staging_* spill dirs under the
     // table root. Both are invisible to readers (listVersions filters
-    // *.tmp; readers never list data dirs) — reclaim past retention.
-    val inflightCutoff = now - inflightCutoffMs
+    // *.tmp; readers never list data dirs) — reclaim past the same floor.
     val lsLog = Files.list(logDir(table))
     try lsLog.iterator().asScala.foreach { p =>
       if (p.getFileName.toString.endsWith(".tmp") &&

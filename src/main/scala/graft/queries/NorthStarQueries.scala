@@ -154,7 +154,7 @@ object NorthStarQueries {
   val q36Oracle: String =
     """WITH t AS (
       |  SELECT lang AS lang_label, text,
-      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
       |  FROM documents),
       |s AS (
       |  SELECT lang_label, text,

@@ -3393,6 +3393,19 @@ object CorpusExecute {
   /** Set (e.g. via GRAFT_CORPUS_DEBUG=1) to print every negotiation step. */
   private[runtime] val debug: Boolean = sys.env.contains("GRAFT_CORPUS_DEBUG")
 
+  /** Identifier-boundary "does the SQL mention this column" test used by
+    * snapshot strategy-column seeding. NOT a substring test: a check_col
+    * `status` must not be treated as mentioned because an unrelated
+    * `order_status` / `statusHistory` appears somewhere in the body —
+    * substring suppression would skip the seed and silently resurrect the
+    * UNRESOLVED_COLUMN second-run failure the seeding exists to fix.
+    * `sqlLower` must already be lowercased. */
+  private[graft] def mentionsIdentifier(sqlLower: String, col: String): Boolean =
+    java.util.regex.Pattern
+      .compile("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(col.toLowerCase) +
+        "(?![A-Za-z0-9_])")
+      .matcher(sqlLower).find()
+
   def run(spark: SparkSession, modelsDir: Path, macrosDir: Path,
           snapshotsDir: Path, seedsDir: Path,
           vars: Map[String, String] = CorpusSweep.defaultVars ++ Map(
@@ -3774,7 +3787,7 @@ object CorpusExecute {
           case Scd2Strategy.Check(checkCols) => checkCols
         })
         val lower = renderedSql.toLowerCase
-        for (c <- need if !lower.contains(c.toLowerCase); key <- srcs)
+        for (c <- need if !mentionsIdentifier(lower, c); key <- srcs)
           synth.addPath(key, Seq(c), force = true, by = s"snapshot-strategy:${node.name}")
         synth.flushCatalog()
       case _ =>

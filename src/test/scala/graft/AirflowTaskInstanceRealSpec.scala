@@ -25,6 +25,11 @@ class AirflowTaskInstanceRealSpec extends SparkSpec {
     assert(model.materialization == Materialization.View)
     assert(model.deps == Seq("airflow_task_instance_archive"))
 
+    // The verbatim SQL evaluates TO_DATE(NOW()) at execution while the
+    // fixtures pin `today` at build time — a run straddling UTC midnight
+    // shifts the archive/live window and the rollover expectations. Capture
+    // `today` per attempt and retry ONCE if the date rolled mid-attempt.
+    def attempt(): Unit = {
     val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
     def d(off: Long) = today.plusDays(off).toString
     def ts(off: Long, hm: String) = s"${d(off)} $hm:00"
@@ -95,6 +100,14 @@ class AirflowTaskInstanceRealSpec extends SparkSpec {
         ("live", "r6", d(1), 1L, 1L)), out.toString)
     } finally {
       spark.sql("DROP DATABASE IF EXISTS platform CASCADE")
+    }
+    }
+    val dayAtStart = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    try attempt()
+    catch {
+      case e: Throwable
+          if java.time.LocalDate.now(java.time.ZoneOffset.UTC) != dayAtStart =>
+        attempt() // UTC midnight rolled mid-attempt; re-derive fixtures on the new day
     }
   }
 }

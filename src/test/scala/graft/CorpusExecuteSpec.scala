@@ -52,4 +52,48 @@ class CorpusExecuteSpec extends SparkSpec {
     // negotiation must converge INSIDE the pass budget, not exhaust it
     assert(report.passes < 6, s"fixpoint needed ${report.passes} passes — intra-pass refresh regressed")
   }
+
+  test("snapshot strategy-column seeding matches identifier boundaries, not substrings") {
+    // the predicate itself: `status` is NOT mentioned by `statusHistory` /
+    // `order_status`, IS mentioned as a bare/qualified identifier
+    assert(!CorpusExecute.mentionsIdentifier("select statushistory from t", "status"))
+    assert(!CorpusExecute.mentionsIdentifier("select order_status from t", "status"))
+    assert(CorpusExecute.mentionsIdentifier("select status from t", "status"))
+    assert(CorpusExecute.mentionsIdentifier("select t.status, x from t", "status"))
+    assert(CorpusExecute.mentionsIdentifier("where (status) is null", "status"))
+    assert(!CorpusExecute.mentionsIdentifier("select idempotency_key from t", "id"))
+
+    // end-to-end: a synthetic `SELECT *` check snapshot whose check_col
+    // (`status`) is a strict substring of another referenced column
+    // (`statusHistory`). Substring suppression would skip the seed and the
+    // SCD2-advance second run would die with UNRESOLVED_COLUMN `status`;
+    // boundary matching seeds it and both runs execute.
+    val corpus = Paths.get(graft.runtime.TempDirs.create("graft_substr_corpus").toString)
+    val modelsDir = corpus.resolve("models"); java.nio.file.Files.createDirectories(modelsDir)
+    val macrosDir = corpus.resolve("macros"); java.nio.file.Files.createDirectories(macrosDir)
+    val seedsDir = corpus.resolve("seeds"); java.nio.file.Files.createDirectories(seedsDir)
+    val snapsDir = corpus.resolve("snapshots"); java.nio.file.Files.createDirectories(snapsDir)
+    java.nio.file.Files.writeString(snapsDir.resolve("scd2_substr_probe_snapshot.sql"),
+      """{% snapshot scd2_substr_probe_snapshot %}
+        |{{
+        |    config(
+        |      target_schema='probe',
+        |      unique_key='id',
+        |      strategy='check',
+        |      check_cols=['status'],
+        |      file_format='parquet',
+        |      invalidate_hard_deletes=True,
+        |    )
+        |}}
+        |SELECT * FROM {{ source('probe_db', 'probe_items') }}
+        |WHERE statusHistory IS NOT NULL
+        |{% endsnapshot %}
+        |""".stripMargin)
+    val probe = CorpusExecute.run(spark, modelsDir, macrosDir, snapsDir, seedsDir)
+    val item = probe.items.find(_.name == "scd2_substr_probe_snapshot")
+      .getOrElse(fail(s"probe snapshot missing from report: ${probe.items}"))
+    assert(item.status == "executed", s"probe snapshot: ${item.status} ${item.detail}")
+    assert(probe.incrementalExecuted.exists(_.name == "scd2_substr_probe_snapshot"),
+      s"SCD2 advance second run must execute: ${probe.incrementalExecuted}")
+  }
 }

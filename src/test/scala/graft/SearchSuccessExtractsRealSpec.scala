@@ -33,10 +33,23 @@ import graft.runtime._
 class SearchSuccessExtractsRealSpec extends SparkSpec {
   import spark.implicits._
 
-  private val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+  // The verbatim SQL evaluates CURRENT_DATE() at execution while fixtures
+  // pin `today` here — a run straddling UTC midnight shifts the 90-day /
+  // last-7-days windows. `today` is a var so a retry can re-derive it; the
+  // helper below retries the body ONCE iff the date rolled mid-attempt.
+  private var today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
   private def day(off: Long) = today.plusDays(off)
-  private val d1Date = day(-5)   // d1's search day
-  private val dOld = day(-20)    // outside run-2's 14-day lookback
+  private def d1Date = day(-5)   // d1's search day
+  private def dOld = day(-20)    // outside run-2's 14-day lookback
+
+  private def retryIfDateRolled(body: => Unit): Unit =
+    try body
+    catch {
+      case _: Throwable
+          if java.time.LocalDate.now(java.time.ZoneOffset.UTC) != today =>
+        today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+        body
+    }
 
   private def msAt(d: java.time.LocalDate, hour: Int, min: Int = 0): Long =
     d.atTime(hour, min).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
@@ -112,6 +125,7 @@ class SearchSuccessExtractsRealSpec extends SparkSpec {
 
   test("REAL search_success_prepare_extracts.sql: classification, " +
        "clustering, interval clicks, category relevance, partition survival") {
+    retryIfDateRolled {
     val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
       "/root/reference/models/spark/search/success_by_relevance/" +
         "search_success_prepare_extracts.sql"))
@@ -263,5 +277,6 @@ class SearchSuccessExtractsRealSpec extends SparkSpec {
       .as[(String, String, String, String, String)].collect().toSeq
     assert(mk == Seq((d1Date.plusDays(3).toString, d1Date.toString,
       "red shoes", "p2", "sr1")), mk.toString)
+    }
   }
 }

@@ -134,6 +134,14 @@ class TxLogSpec extends SparkSpec {
     val orphan = t.resolve("data").resolve("deadbeef-orphan.parquet")
     Files.writeString(orphan, "not really parquet")
     assert(TxLog.read(spark, t).count() == 1, "orphan must not be visible to readers")
+    // a FRESH unreferenced data/ file may be a live writer's staged-but-not-
+    // yet-committed output (stage() lands files before commit references
+    // them) — even zero retention must not reclaim it inside the floor
+    assert(TxLog.vacuum(t, retentionMs = -1L) == 0,
+      "fresh staged file must survive the in-flight floor")
+    assert(Files.exists(orphan))
+    Files.setLastModifiedTime(orphan, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 16L * 60 * 1000))
     assert(TxLog.vacuum(t, retentionMs = -1L) == 1)
     assert(!Files.exists(orphan))
   }
@@ -153,11 +161,12 @@ class TxLogSpec extends SparkSpec {
     Files.createDirectories(stagingDir)
     Files.writeString(stagingDir.resolve("part-00000.parquet"), "mid-stage bytes")
     // age the in-flight artifacts past vacuum's 15-minute reclamation floor
-    // (tmp/staging are only reclaimed once they cannot belong to a LIVE
-    // stage→claim window; a freshly-dead writer's artifacts must survive)
+    // (unreferenced data/ files, tmps and staging dirs are only reclaimed
+    // once they cannot belong to a LIVE stage→claim window; a freshly-dead
+    // writer's artifacts must survive)
     val aged = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 16L * 60 * 1000)
-    Seq(logTmp, stagingDir).foreach(Files.setLastModifiedTime(_, aged))
+    Seq(logTmp, dataOrphan, stagingDir).foreach(Files.setLastModifiedTime(_, aged))
     // readers: the unclaimed commit is invisible — snapshot is still v0 and
     // the stranded add-action never becomes live
     assert(TxLog.snapshot(t).version == 0L)
