@@ -43,16 +43,36 @@ object ScaleProbe {
             .otherwise(concat(lit("k"), pmod(col("id"), lit(100000)).cast("string")))
         else concat(lit("k"), pmod(col("id"), lit(100000)).cast("string"))).as("k"),
         col("id").as("t"))
+      // best-of-N per configuration: a single local[32] run saturates all
+      // cores, so wall time is hostage to whatever else the box does — the
+      // MIN over warm reps is the schedulable cost the claim is about
+      val best = scala.collection.mutable.Map.empty[String, Double]
+      def timedBest(name: String, r: Int)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        if (r > 1) best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
+        println(f"SCALE $name (r$r): $s%.2f s ($n rows)")
+      }
       for ((n, tag) <- Seq((200000L, "base"), (200000L * factor, s"x$factor"));
-           r <- 1 to 2; skewed <- Seq(false, true)) {
+           r <- 1 to 4; skewed <- Seq(false, true)) {
         val left = mkEvents(n, skewed)
         val right = mkEvents(n / 50, skewed).withColumn("v", col("t") * 2)
         // aggregate the MATCHED payload so column pruning cannot drop the
         // window itself (a bare count() plans without computing the as-of)
-        timedEarly(s"asof_${if (skewed) "skew30" else "uniform"} $tag (r$r)")(
+        timedBest(s"asof_${if (skewed) "skew30" else "uniform"} $tag", r)(
           AsOfJoin.backward(left, right, Seq("k"), "t", "t")
             .agg(count(col("r_v"))).head().getLong(0))
+        // the salted mitigation, timed on the SAME inputs — it must (a) match
+        // backward's matched-row count exactly and (b) on skew30 land within
+        // ~1.3× of the uniform backward time (the hot key's sort now spreads
+        // over `splits` window partitions instead of one thread)
+        if (skewed) timedBest(s"asof_skew30_salted $tag", r)(
+          AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t", splits = 512,
+              hotThreshold = 10000L) // catches the 30% key at both scales
+            .agg(count(col("r_v"))).head().getLong(0))
       }
+      for ((name, s) <- best.toSeq.sortBy(_._1))
+        println(f"SCALE BEST $name: $s%.2f s")
       spark.stop(); return
     }
 

@@ -45,6 +45,26 @@ object OpsProperties extends Properties("graft.ops") {
       got == expected
   }
 
+  property("asOfJoin.backwardSalted == backward for random inputs, splits, thresholds") =
+    forAll(sideGen, sideGen, Gen.choose(2, 6), Gen.oneOf(1L, 3L, 10L)) {
+      (leftRows, rightRowsRaw, splits, hotThreshold) =>
+      import spark.implicits._
+      val rightRows = rightRowsRaw.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+      val leftUnique = leftRows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val left = leftUnique.toDF("k", "t", "lid")
+      val right = rightRows.toDF("k", "t", "rid")
+      val base = graft.ops.AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+        .select($"lid", $"r_rid", $"r_t").as[(Long, Option[Long], Option[Long])]
+        .collect().toSet
+      // hotThreshold=1 chunks EVERY key; 10 usually mixes hot and cold
+      val salted = graft.ops.AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t",
+          splits = splits, hotThreshold = hotThreshold, detectSample = 1.0)
+        .select($"lid", $"r_rid", $"r_t").as[(Long, Option[Long], Option[Long])]
+        .collect().toSet
+      base == salted
+    }
+
   private val evGen = Gen.listOfN(30, for {
     k <- Gen.choose(0, 2)
     t <- Gen.choose(0L, 200L)

@@ -23,6 +23,38 @@ class OpsSpec extends SparkSpec {
       ("l3", None, None)))             // no right rows for u2
   }
 
+  test("as-of backwardSalted is output-identical to backward for every splits " +
+    "(incl. null/no-match rows and equal-time ties)") {
+    val left = Seq(
+      ("u1", 100L, "l1"), ("u1", 205L, "l2"), ("u1", 50L, "l0"),
+      ("u2", 100L, "l3"),
+      // a "hot" key with many rows spanning the right timeline — the shape
+      // salting exists for; includes exact-tie times and pre-history rows
+      ("hot", 1L, "h0"), ("hot", 100L, "h1"), ("hot", 150L, "h2"),
+      ("hot", 200L, "h3"), ("hot", 201L, "h4"), ("hot", 999L, "h5"),
+      ("hot", 100L, "h1b"), ("hot", 2L, "h0b")).toDF("k", "t", "lv")
+    val right = Seq(
+      ("u1", 100L, "r@100"), ("u1", 200L, "r@200"),
+      ("hot", 100L, "H@100"), ("hot", 200L, "H@200"), ("hot", 300L, "H@300"),
+      ("u3", 1L, "r-other")).toDF("k", "t", "rv")
+    val expected = AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+      .select($"lv", $"r_rv", $"r_t").as[(String, Option[String], Option[Long])]
+      .collect().toSet
+    assert(expected.contains(("h0", None, None)), "fixture must exercise no-match rows")
+    assert(expected.contains(("h1", Some("H@100"), Some(100L))), "fixture must exercise ties")
+    // hotThreshold=2 forces BOTH fixture keys through the chunked path;
+    // hotThreshold=1000 exercises the no-hot-keys fallback; splits sweeps
+    // chunk granularities incl. more chunks than rows
+    for (splits <- Seq(1, 2, 3, 8, 32); thr <- Seq(2L, 6L, 1000L)) {
+      val got = AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t",
+          splits = splits, hotThreshold = thr, detectSample = 1.0)
+        .select($"lv", $"r_rv", $"r_t").as[(String, Option[String], Option[Long])]
+        .collect().toSet
+      assert(got == expected, s"splits=$splits thr=$thr diverged from backward: " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("sessionize splits on strict gap > threshold") {
     val e = Seq(
       ("u1", 0L), ("u1", 1700L), ("u1", 3500L), // gaps 1700,1800 -> same session
