@@ -548,8 +548,33 @@ object CorpusExecute {
         case m if cteNames.contains(m.group(1).toLowerCase) &&
           !sqlKeywords.contains(m.group(2).toLowerCase) => m.group(2).toLowerCase
       }.toSet
+    // `) AS alias` shadows only when the paren closes a SUBQUERY (its
+    // matching '(' is followed by SELECT): an ordinary expression alias —
+    // `COUNT(x) AS total` — must not demote an unrelated table alias named
+    // `total` from forced planting (the over-approximation silently weakened
+    // un-tombstoning for that alias's columns)
+    val openOf: Map[Int, Int] = {
+      val stack = mutable.ArrayBuffer.empty[Int]
+      val m = mutable.Map.empty[Int, Int]
+      var i = 0
+      while (i < rendered.length) {
+        rendered.charAt(i) match {
+          case '(' => stack += i
+          case ')' => if (stack.nonEmpty) { m(i) = stack.last; stack.remove(stack.length - 1) }
+          case _ =>
+        }
+        i += 1
+      }
+      m.toMap
+    }
+    def opensSelect(closeIdx: Int): Boolean = openOf.get(closeIdx).exists { o =>
+      var j = o + 1
+      while (j < rendered.length && rendered.charAt(j).isWhitespace) j += 1
+      rendered.regionMatches(true, j, "select", 0, 6)
+    }
     val shadowed = ("(?i)\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)".r
-      .findAllMatchIn(rendered).map(_.group(1).toLowerCase)
+      .findAllMatchIn(rendered).filter(m => opensSelect(m.start))
+      .map(_.group(1).toLowerCase)
       .filterNot(sqlKeywords.contains).toSet) ++ cteNames ++ cteBound
     for ((alias, key) <- aliases) {
       val re = ("(?i)(?<![\\w.`'\"])" + java.util.regex.Pattern.quote(alias) +

@@ -53,6 +53,29 @@ class CorpusExecuteSpec extends SparkSpec {
     assert(report.passes < 6, s"fixpoint needed ${report.passes} passes — intra-pass refresh regressed")
   }
 
+  test("expression aliases do not shadow table aliases; only subquery closers demote") {
+    // `COUNT(x) AS total` must NOT demote table alias `total` from forced
+    // planting: its alias-qualified claim still un-tombstones. A true
+    // subquery closer `(SELECT ...) AS sub` MUST demote: the unforced plant
+    // cannot override a standing tombstone.
+    val synth = new CorpusExecute.Synth(spark)
+    val key = ("probe_db", "probe_tbl")
+    synth.tombstones += ((key, "amount"))
+    CorpusExecute.preSeed(
+      "SELECT COUNT(x) AS total FROM probe_db.probe_tbl AS total WHERE total.amount > 0",
+      Map("total" -> key), synth)
+    assert(!synth.tombstones.contains((key, "amount")),
+      "forced plant via expression-aliased name failed to un-tombstone")
+
+    val synth2 = new CorpusExecute.Synth(spark)
+    synth2.tombstones += ((key, "amount"))
+    CorpusExecute.preSeed(
+      "SELECT * FROM (SELECT y AS amount FROM probe_db.probe_tbl) AS sub WHERE sub.amount > 0",
+      Map("sub" -> key), synth2)
+    assert(synth2.tombstones.contains((key, "amount")),
+      "subquery-shadowed alias must stay unforced (tombstone sticks)")
+  }
+
   test("snapshot strategy-column seeding matches identifier boundaries, not substrings") {
     // the predicate itself: `status` is NOT mentioned by `statusHistory` /
     // `order_status`, IS mentioned as a bare/qualified identifier
