@@ -17,6 +17,9 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
+    // bench runs must not clobber the verify run's oracle stage (q34 writes
+    // its signatures there for the DuckDB band replay)
+    sys.props("graft.bench") = "1"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.runtime.Dialect(SparkSession.builder()

@@ -149,6 +149,7 @@ object SparkEntry {
     "q31_dedup_exact" -> NorthStarQueries.q31Oracle,
     "q32_ngram_jaccard" -> NorthStarQueries.q32Oracle,
     "q35_text_stats" -> NorthStarQueries.q35Oracle,
+    "q34_simhash_neardup" -> NorthStarQueries.q34Oracle,
     "q36_lang_profile" -> NorthStarQueries.q36Oracle,
     "q37_fingerprint" -> NorthStarQueries.q37Oracle,
     "q38_ann_brute_topk" -> NorthStarQueries.q38Oracle,

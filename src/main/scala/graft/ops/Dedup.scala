@@ -311,13 +311,22 @@ object Dedup {
     *   of the native one-pass expression (dual-formulation gate; slower). */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, composableSig: Boolean = false): DataFrame = {
+    val sig =
+      if (composableSig) simhashComposable(docs, idCol, textCol)
+      else simhash(docs, idCol, textCol)
+    simhashNearDupFromSigs(sig, maxHamming)
+  }
+
+  /** Chunk-band + popcount-verify over PRECOMPUTED signatures (`id`,
+    * `simhash`) — split out so q34 can stage the signatures as parquet and
+    * have the DuckDB oracle replay this entire stage (band join, xor,
+    * bit_count, radius filter) independently: everything but the hash
+    * function itself is then hash-gated. */
+  def simhashNearDupFromSigs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val nChunks = maxHamming + 1
     // chunk k covers bits [offsets(k), offsets(k+1)); widths differ by <=1 bit
     val offsets = (0 to nChunks).map(k => k * 64 / nChunks)
-    val sig =
-      if (composableSig) simhashComposable(docs, idCol, textCol)
-      else simhash(docs, idCol, textCol)
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { k =>
         val width = offsets(k + 1) - offsets(k)

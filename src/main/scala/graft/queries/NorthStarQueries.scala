@@ -101,10 +101,46 @@ object NorthStarQueries {
     Dedup.minhashLsh(Tables(spark, dir, "documents"), "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
 
-  /** SimHash signatures + chunk-banded near-dup pairs (no oracle). */
-  def q34SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDup(Tables(spark, dir, "documents"), "doc_id", "text",
-      maxHamming = 6)
+  /** SimHash chunk-banded near-dup pairs, ORACLE-GATED: the Spark-side
+    * signatures are staged as parquet and [[q34Oracle]] replays the whole
+    * band→join→xor→popcount→radius stage in DuckDB over them — everything
+    * but the signature hash itself is hash-compared. Bench sets
+    * `graft.bench` to skip the staging write (it would otherwise clobber
+    * the verify-run stage with another scale factor's signatures). */
+  def q34SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+    val staged =
+      if (sys.props.get("graft.bench").contains("1")) sig
+      else {
+        val stage = "/tmp/graft_oracle_stage/q34_simhash.parquet"
+        sig.write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage)
+      }
+    Dedup.simhashNearDupFromSigs(staged, maxHamming = 6)
+  }
+
+  /** DuckDB replay of the banding from the STAGED Spark signatures. The
+    * chunk extraction ((simhash >> o) & m) is shift-flavor-proof: the mask
+    * never reaches the sign-extended bits, so DuckDB's arithmetic shift and
+    * Spark's shiftrightunsigned agree. Offsets/masks = maxHamming 6 →
+    * 7 chunks of widths 9×6+10 (k*64/7 boundaries). The documents join
+    * guards against a stale stage from another scale factor. */
+  val q34Oracle: String =
+    """WITH sig AS (
+      |  SELECT s.id, s.simhash
+      |  FROM read_parquet('/tmp/graft_oracle_stage/q34_simhash.parquet/*.parquet') AS s
+      |  JOIN documents AS d ON s.id = d.doc_id),
+      |chunks AS (
+      |  SELECT sig.id, sig.simhash, c.k AS chunk_id,
+      |    ((sig.simhash >> c.o) & c.m) AS chunk
+      |  FROM sig, (VALUES (0, 0, 511), (1, 9, 511), (2, 18, 511), (3, 27, 511),
+      |                    (4, 36, 511), (5, 45, 511), (6, 54, 1023)) AS c(k, o, m))
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM chunks AS a
+      |  JOIN chunks AS b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.id < b.id)
+      |WHERE hamming <= 6""".stripMargin
 
   /** Text quality statistics: token/punct/stopword counts + composite score. */
   def q35TextStats(spark: SparkSession, dir: String): DataFrame = {
