@@ -3552,14 +3552,14 @@ object CorpusExecute {
       node.ownSources ++ closures.getOrElse(name, Nil) ++
         synth.nodeRawKeys.getOrElse(name, Nil)
     }
-    def refreshMirror(name: String): Unit = for (db <- synth.mirrorTargets.get(name)) {
+    def refreshMirror(name: String): Unit = Prof.timed("mirror")(for (db <- synth.mirrorTargets.get(name)) {
       // a later node reads this one by raw `db.name`: keep the catalog
       // mirror current with the freshly materialized output
       try {
         synth.ensureDb(db)
         ctx.warehouse.read(name).write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
       } catch { case scala.util.control.NonFatal(_) => () }
-    }
+    })
     /** Intra-pass upstream propagation: while negotiating `name`, a schema
       * patch often lands on a source table feeding an already-materialized
       * UPSTREAM node, whose warehouse output is then stale — without this,
@@ -3567,7 +3567,7 @@ object CorpusExecute {
       * ref() chains exhaust maxPasses). Re-materialize, in topo order, every
       * transitive dep whose source closure changed since its last run;
       * returns true if anything was refreshed. */
-    def refreshUpstreams(name: String): Boolean = {
+    def refreshUpstreams(name: String): Boolean = Prof.timed("refresh") {
       val need = mutable.LinkedHashSet.empty[String]
       val seen = mutable.Set.empty[String]
       def visit(n: String): Unit = if (seen.add(n)) byName.get(n).foreach { nd =>
@@ -3592,6 +3592,20 @@ object CorpusExecute {
           // one it originally executed with
           synth.currentNode = d
           val m = byName(d).model()
+          // SCHEMA-NO-OP FAST PATH (the measured refresh hog: one node's
+          // negotiation makes the same upstreams stale after every patch,
+          // and most patches plant columns an upstream never selects): if
+          // the re-analyzed output schema equals the on-disk table's, the
+          // 0-row rebuild would be byte-identical — advance the version
+          // bookkeeping and skip the move-aside/drop/write entirely.
+          val schemaNoOp = ctx.warehouse.tableExists(d) &&
+            (try normSchema(m.build(ctx.copy(isIncremental = false)).schema) ==
+              normSchema(ctx.warehouse.read(d).schema)
+             catch { case scala.util.control.NonFatal(_) => false })
+          if (schemaNoOp) {
+            lastRunVersion(d) = synth.version
+            if (debug) println(s"[corpus-debug] refreshUpstream($d) schema-no-op")
+          } else {
           if (Files.exists(bak)) TempDirs.deleteTree(bak)
           if (Files.exists(tp)) { Files.move(tp, bak); movedAside = true }
           ctx.warehouse.drop(d) // clears view + listing cache (files already moved);
@@ -3602,6 +3616,7 @@ object CorpusExecute {
           if (movedAside) TempDirs.deleteTree(bak)
           if (debug) println(s"[corpus-debug] refreshUpstream($d) ok")
           any = true
+          }
         } catch { case scala.util.control.NonFatal(e) =>
           if (movedAside && Files.exists(bak)) {
             if (Files.exists(tp)) TempDirs.deleteTree(tp) // discard partial rebuild
@@ -3685,10 +3700,11 @@ object CorpusExecute {
           // otherwise unattributable across 477 nodes × passes
           val t0 = System.nanoTime()
           System.err.println(s"[corpus] pass=$passes node=$name")
-          val item = executeNode(ctx, node, macros, vars, synth, maxIter,
+          val item = Prof.timed("exec_total")(executeNode(ctx, node, macros, vars, synth, maxIter,
             closures.getOrElse(name, Nil), refreshUpstreams,
             depsSql = depsSqlOf(node),
-            nodeSchemas = nodeSchemas, refreshNode = refreshNamed)
+            nodeSchemas = nodeSchemas, refreshNode = refreshNamed,
+            previouslyExecuted = passResults.get(name).exists(_.status == "executed")))
           val secs = (System.nanoTime() - t0) / 1e9
           attempted += 1
           if (secs > 10) System.err.println(f"[corpus]   $name: ${item.status} in $secs%.1f s")
@@ -3702,6 +3718,7 @@ object CorpusExecute {
       val changedKeys = synth.keyVersions.iterator.collect {
         case (k, v) if keyVersionsAtStart.getOrElse(k, -1L) != v => k
       }.toVector
+      System.err.println(s"[corpus] pass=$passes prof(cum): " + Prof.summary)
       System.err.println(f"[corpus] pass=$passes summary: attempted=$attempted " +
         f"skipped-unchanged=$skippedUnchanged wall=${(System.nanoTime() - passT0) / 1e9}%.1f s " +
         s"keysChanged=${changedKeys.size}" +
@@ -3721,6 +3738,37 @@ object CorpusExecute {
     Report(items, synth.schemas.toMap, passes)
   }
 
+  /** Output-schema equivalence for the fast path: lowercase names, ignore
+    * nullability at every nesting level (parquet round-trips flip both). */
+  private def normSchema(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name.toLowerCase, normSchema(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(normSchema(a.elementType), containsNull = true)
+    case m: MapType => MapType(normSchema(m.keyType), normSchema(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Coarse wall-time attribution across the fixpoint (printed per pass):
+    * which phase of executeNode the 30-min corpus loop actually spends its
+    * wall in — the measurement behind any wall-time optimization claim.
+    * Keys overlap where phases nest (refresh re-enters executeNode); this
+    * is attribution, not accounting. */
+  private[runtime] object Prof {
+    private val acc = mutable.Map.empty[String, Double]
+    private val cnt = mutable.Map.empty[String, Long]
+    def add(k: String, secs: Double): Unit = synchronized {
+      acc(k) = acc.getOrElse(k, 0.0) + secs; cnt(k) = cnt.getOrElse(k, 0L) + 1
+    }
+    def timed[A](k: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      try f finally add(k, (System.nanoTime() - t0) / 1e9)
+    }
+    def summary: String = synchronized {
+      acc.toSeq.sortBy(-_._2).map { case (k, s) =>
+        f"$k=$s%.0fs/${cnt(k)}" }.mkString(" ")
+    }
+  }
+
   private def executeNode(ctx: Ctx, node: Node,
                           macros: Map[String, SqlTemplater.MacroDef],
                           vars: Map[String, String], synth: Synth,
@@ -3728,15 +3776,16 @@ object CorpusExecute {
                           refreshUpstreams: String => Boolean = _ => false,
                           depsSql: String = "",
                           nodeSchemas: Map[String, String] = Map.empty,
-                          refreshNode: String => Boolean = _ => false): Item = {
+                          refreshNode: String => Boolean = _ => false,
+                          previouslyExecuted: Boolean = false): Item = {
     synth.currentNode = node.name // selects the overlay view the registry serves
     // body for rendering introspection: snapshots negotiate over their block
     val body = if (node.kind == "snapshot")
       "(?s)\\{%-?\\s*snapshot\\s+\\w+\\s*-?%\\}(.*?)\\{%-?\\s*endsnapshot\\s*-?%\\}".r
         .findFirstMatchIn(node.rawSql).map(_.group(1)).getOrElse(node.rawSql)
     else node.rawSql
-    val rendered = scala.util.Try(SqlTemplater.renderText(node.name, body, macros, vars,
-      k => vars.getOrElse(k, ""), isIncremental = false))
+    val rendered = Prof.timed("render")(scala.util.Try(SqlTemplater.renderText(node.name, body, macros, vars,
+      k => vars.getOrElse(k, ""), isIncremental = false)))
     val (aliases, srcs, renderedSql) = rendered match {
       case scala.util.Success(r) =>
         (mutable.Map(aliasMap(r.text, r.sources).toSeq: _*), r.sources, r.text)
@@ -3744,8 +3793,8 @@ object CorpusExecute {
     }
     // raw `db.tbl` catalog tables discovered in earlier passes/nodes: if this
     // node's text references one, alias + pre-seed + attribute through it
-    val rawHere = synth.rawCatalogKeys.toSeq.filter { case (db, tbl) =>
-      renderedSql.toLowerCase.contains(s"$db.$tbl".toLowerCase) }
+    val rawHere = Prof.timed("rawscan")(synth.rawCatalogKeys.toSeq.filter { case (db, tbl) =>
+      renderedSql.toLowerCase.contains(s"$db.$tbl".toLowerCase) })
     synth.nodeRawKeys(node.name) = rawHere
     // an alias letter reused for SEVERAL relations (`… AS t` for two source
     // views, or a source view + a raw catalog table): aliasMap drops such
@@ -3753,10 +3802,12 @@ object CorpusExecute {
     // every relation the alias names (0-row semantics: planting the column
     // on all of them is harmless) — collect all targets here
     val aliasAlts = mutable.Map.empty[String, Seq[(String, String)]]
+    Prof.timed("aliasalts") {
     for ((a, es) <- srcs.flatMap(st =>
            aliasEntries(renderedSql, viewNameOf(st._1, st._2), st)).groupBy(_._1)
          if es.map(_._2).distinct.size > 1)
       aliasAlts(a) = es.map(_._2).distinct
+    }
     for (key @ (db, tbl) <- rawHere;
          e <- aliasEntries(renderedSql, s"$db.$tbl", key)) {
       if (aliases.get(e._1).exists(_ != e._2) || aliasAlts.contains(e._1))
@@ -3767,13 +3818,13 @@ object CorpusExecute {
       println(s"[corpus-debug] ${node.name} rawHere=" +
         rawHere.map { case (d, t) => s"$d.$t" }.mkString(",") +
         " aliasKeys=" + aliases.keys.mkString(","))
-    rendered.foreach(r => preSeed(r.text, aliases.toMap, synth))
+    rendered.foreach(r => Prof.timed("preSeed")(preSeed(r.text, aliases.toMap, synth)))
     // preSeed can widen raw-catalog schemas (e.g. a raw `db.tbl AS alias`
     // whose columns appear qualified in the text): the on-disk stub must
     // reflect that BEFORE the first build, or the patcher sees an addPath
     // no-op against an already-widened in-memory schema and classifies a
     // gap the catalog table itself caused
-    synth.flushCatalog()
+    Prof.timed("flush")(synth.flushCatalog())
     // un-renderable Jinja left in the body (e.g. the reference's committed
     // unclosed-paren source() call) can never parse as SQL for any engine —
     // classify as a corpus defect rather than burning negotiation iterations
@@ -3785,10 +3836,6 @@ object CorpusExecute {
       aliases, renderedSql, synth, Some(ctx.warehouse), depsSql = depsSql,
       nodeSchemas = nodeSchemas, aliasAlts = aliasAlts.toMap,
       depFed = closure.filter(srcs.contains))
-
-    // fixpoint passes rebuild from scratch: schema growth must never merge
-    // into (or SCD2-advance against) last pass's narrower files
-    ctx.warehouse.drop(node.name)
 
     val model = try node.model() catch {
       case scala.util.control.NonFatal(e) =>
@@ -3821,13 +3868,48 @@ object CorpusExecute {
     // refuse to materialize against a runaway-negotiated schema: the
     // serialized plan/schema would exhaust the shared local-mode heap and
     // kill the whole phase — classify instead (see Synth.schemaOverBudget)
-    def budgetGap(): Option[Item] = {
+    def budgetGap(): Option[Item] = Prof.timed("budget") {
       val over = (srcs ++ rawHere ++ closure).distinct.filter(synth.schemaOverBudget)
       if (over.isEmpty) None
       else Some(Item(node.name, node.kind, "gap:schema-budget",
         over.map { case (d, t) => s"$d.$t" }.mkString(",").take(200)))
     }
     budgetGap().foreach(return _)
+
+    // FAST PATH for re-attempts: a node that EXECUTED in a previous pass is
+    // re-run only because a closure key's schema changed — but with 0-row
+    // outputs the materialization carries nothing except its SCHEMA, so if
+    // the re-analyzed output schema equals the on-disk table's (names
+    // case-insensitive, nullability ignored), rewriting it is a byte-level
+    // no-op. Skip the first write; STILL run the incremental second pass so
+    // the advance/overwrite path is re-validated against the grown sources.
+    // Any analysis error falls through to the full drop-and-negotiate loop.
+    // Snapshots never match (the on-disk table carries dbt meta columns) and
+    // views never match (no on-disk table) — both fall through by design.
+    if (previouslyExecuted && ctx.warehouse.tableExists(node.name)) {
+      val hit = try {
+        val fresh = normSchema(model.build(ctx.copy(isIncremental = false)).schema)
+        fresh == normSchema(ctx.warehouse.read(node.name).schema)
+      } catch { case scala.util.control.NonFatal(_) => false }
+      if (hit) {
+        val incRun = model.materialization match {
+          case _: Materialization.IncrementalInsertOverwrite
+             | _: Materialization.IncrementalMerge
+             | _: Materialization.IncrementalAppend =>
+            try { Prof.timed("incremental")(new DagRunner(Seq(model)).materialize(ctx, model)); "incremental-run=ok" }
+            catch { case scala.util.control.NonFatal(e) =>
+              s"incremental-run=FAIL:${condOf(e)}" }
+          case _ => ""
+        }
+        if (!incRun.startsWith("incremental-run=FAIL"))
+          return Item(node.name, node.kind, "executed", incRun, 0)
+        // a failing advance means the fast path misjudged — full rebuild
+      }
+    }
+
+    // fixpoint passes rebuild from scratch: schema growth must never merge
+    // into (or SCD2-advance against) last pass's narrower files
+    Prof.timed("drop")(ctx.warehouse.drop(node.name))
 
     var it = 0
     var lastCond = ""
@@ -3838,7 +3920,7 @@ object CorpusExecute {
       it += 1
       budgetGap().foreach(return _)
       try {
-        new DagRunner(Seq(model)).materialize(ctx, model)
+        Prof.timed("materialize")(new DagRunner(Seq(model)).materialize(ctx, model))
         // incremental/snapshot second run: the table now exists, so the
         // insert_overwrite / merge / append / SCD2-advance path executes
         val incRun = model.materialization match {
@@ -3846,7 +3928,7 @@ object CorpusExecute {
              | _: Materialization.IncrementalMerge
              | _: Materialization.IncrementalAppend
              | _: Materialization.Snapshot =>
-            try { new DagRunner(Seq(model)).materialize(ctx, model); "incremental-run=ok" }
+            try { Prof.timed("incremental")(new DagRunner(Seq(model)).materialize(ctx, model)); "incremental-run=ok" }
             catch { case scala.util.control.NonFatal(e) =>
               s"incremental-run=FAIL:${condOf(e)}" }
           case _ => ""
@@ -3871,7 +3953,7 @@ object CorpusExecute {
             lastMsg = ""; stall = 0
           } else {
           // a throw inside the patcher must classify, not kill the phase
-          val changed = try patch(e, pc) catch {
+          val changed = try Prof.timed("patch")(patch(e, pc)) catch {
             case scala.util.control.NonFatal(pe) =>
               return Item(node.name, node.kind, s"gap:patch-error:${condOf(e)}",
                 String.valueOf(pe.getMessage).take(200), it)
@@ -3892,13 +3974,13 @@ object CorpusExecute {
             else return Item(node.name, node.kind, s"gap:${condOf(e)}",
               String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(220), it)
           } else {
-            synth.flushCatalog() // raw catalog tables must reflect new columns
+            Prof.timed("flush")(synth.flushCatalog()) // raw catalog tables must reflect new columns
             // an identical error despite schema changes means the patch landed
             // outside this model's own scope (a closure source feeding an
             // upstream ref) — re-materialize the stale upstreams inline and
             // keep negotiating; only defer to the next fixpoint pass if even
             // that leaves the error byte-identical
-            val msg = String.valueOf(e.getMessage).take(300)
+            val msg = Prof.timed("exmsg")(String.valueOf(e.getMessage).take(300))
             if (msg == lastMsg) {
               stall += 1
               // a byte-identical error despite a schema change can be fed by
