@@ -53,23 +53,36 @@ object ScaleProbe {
         if (r > 1) best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
         println(f"SCALE $name (r$r): $s%.2f s ($n rows)")
       }
+      val backwardCount = scala.collection.mutable.Map.empty[String, Long]
       for ((n, tag) <- Seq((200000L, "base"), (200000L * factor, s"x$factor"));
            r <- 1 to 4; skewed <- Seq(false, true)) {
         val left = mkEvents(n, skewed)
         val right = mkEvents(n / 50, skewed).withColumn("v", col("t") * 2)
         // aggregate the MATCHED payload so column pruning cannot drop the
         // window itself (a bare count() plans without computing the as-of)
-        timedBest(s"asof_${if (skewed) "skew30" else "uniform"} $tag", r)(
-          AsOfJoin.backward(left, right, Seq("k"), "t", "t")
-            .agg(count(col("r_v"))).head().getLong(0))
-        // the salted mitigation, timed on the SAME inputs — it must (a) match
-        // backward's matched-row count exactly and (b) on skew30 land within
-        // ~1.3× of the uniform backward time (the hot key's sort now spreads
+        timedBest(s"asof_${if (skewed) "skew30" else "uniform"} $tag", r) {
+          val c = AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+            .agg(count(col("r_v"))).head().getLong(0)
+          if (skewed) backwardCount(tag) = c
+          c
+        }
+        // the salted mitigation, timed on the SAME inputs — (a) its matched-
+        // row count is ASSERTED equal to backward's (a divergence aborts the
+        // probe loudly, not just a perf read) and (b) on skew30 it should
+        // land near the uniform backward time (the hot key's sort spreads
         // over `splits` window partitions instead of one thread)
-        if (skewed) timedBest(s"asof_skew30_salted $tag", r)(
-          AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t", splits = 512,
+        if (skewed) timedBest(s"asof_skew30_salted $tag", r) {
+          val c = AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t",
+              splits = 512,
               hotThreshold = 10000L) // catches the 30% key at both scales
-            .agg(count(col("r_v"))).head().getLong(0))
+            .agg(count(col("r_v"))).head().getLong(0)
+          if (c != backwardCount(tag)) {
+            println(s"SCALE DIVERGED asof_skew30_salted $tag: salted=$c " +
+              s"backward=${backwardCount(tag)}")
+            sys.error(s"salted as-of diverged from backward at $tag")
+          }
+          c
+        }
       }
       for ((name, s) <- best.toSeq.sortBy(_._1))
         println(f"SCALE BEST $name: $s%.2f s")

@@ -55,6 +55,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("as-of backwardSalted >64-hot-key broadcast branch is output-identical " +
+    "to backward (incl. cold keys exercising the null __span left-join path)") {
+    // 70 hot keys (>= 2 rows each) push hotRows.length past the 64-key
+    // inline-CASE cutoff (AsOfJoin inlineHot), so the broadcast-join chunk
+    // assignment and its null __tmin/__span handling run for real; 5 cold
+    // keys (1 row, below threshold) take the otherwise(0) branch, and
+    // no-match keys pin the null-payload rows through the same plan.
+    val left = (
+      (0 until 70).flatMap(i => Seq(
+        (s"h$i", 10L + i, s"h$i-a"), (s"h$i", 500L + i, s"h$i-b"),
+        (s"h$i", 5L, s"h$i-pre"))) ++              // pre-history => no match
+      (0 until 5).map(i => (s"c$i", 100L, s"c$i-only")) ++
+      Seq(("nomatch", 50L, "nm"))
+    ).toDF("k", "t", "lv")
+    val right = (
+      (0 until 70).flatMap(i => Seq(
+        (s"h$i", 10L + i, s"R$i@early"), (s"h$i", 400L, s"R$i@400"))) ++
+      (0 until 5).map(i => (s"c$i", 90L, s"Rc$i"))
+    ).toDF("k", "t", "rv")
+    val expected = AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+      .select($"lv", $"r_rv", $"r_t").as[(String, Option[String], Option[Long])]
+      .collect().toSet
+    assert(expected.exists(_._2.isEmpty), "fixture must exercise no-match rows")
+    for (splits <- Seq(2, 8)) {
+      val got = AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t",
+          splits = splits, hotThreshold = 2L, detectSample = 1.0)
+        .select($"lv", $"r_rv", $"r_t").as[(String, Option[String], Option[Long])]
+        .collect().toSet
+      assert(got == expected, s"splits=$splits (broadcast branch) diverged: " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
+  test("as-of auto dispatches by size stats and session knob, output-identical") {
+    val left = Seq(("u1", 100L, "l1"), ("u1", 50L, "l0"), ("u2", 7L, "l2"))
+      .toDF("k", "t", "lv")
+    val right = Seq(("u1", 90L, "r@90"), ("u1", 100L, "r@100")).toDF("k", "t", "rv")
+    val expected = AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+      .select($"lv", $"r_rv").as[(String, Option[String])].collect().toSet
+    // tiny inputs under the default 1 GiB floor => auto takes the plain path;
+    // forcing "on"/"off" and a 0-byte floor must all agree bit-for-bit
+    val configs = Seq(
+      ("auto", 1L << 30), ("auto", 0L), ("on", 1L << 30), ("off", 0L))
+    for ((mode, floor) <- configs) {
+      spark.conf.set("graft.asof.salted", mode)
+      try {
+        val got = AsOfJoin.auto(left, right, Seq("k"), "t", "t",
+            hotThreshold = 2L, detectSample = 1.0, minBytesForDetect = floor)
+          .select($"lv", $"r_rv").as[(String, Option[String])].collect().toSet
+        assert(got == expected, s"mode=$mode floor=$floor diverged")
+      } finally spark.conf.unset("graft.asof.salted")
+    }
+  }
+
   test("sessionize splits on strict gap > threshold") {
     val e = Seq(
       ("u1", 0L), ("u1", 1700L), ("u1", 3500L), // gaps 1700,1800 -> same session
