@@ -17,9 +17,8 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
-    // bench runs must not clobber the verify run's oracle stage (q34 writes
-    // its signatures there for the DuckDB band replay)
-    sys.props("graft.bench") = "1"
+    // q34's oracle stage is keyed by data dir, so a bench run at sf0.1 can
+    // never clobber a verify run's sf0.01 stage — no skip plumbing needed
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.runtime.Dialect(SparkSession.builder()

@@ -104,31 +104,37 @@ object NorthStarQueries {
   /** SimHash chunk-banded near-dup pairs, ORACLE-GATED: the Spark-side
     * signatures are staged as parquet and [[q34Oracle]] replays the whole
     * band→join→xor→popcount→radius stage in DuckDB over them — everything
-    * but the signature hash itself is hash-compared. Bench sets
-    * `graft.bench` to skip the staging write (it would otherwise clobber
-    * the verify-run stage with another scale factor's signatures). */
+    * but the signature hash itself is hash-compared. The stage path is
+    * keyed by the DATA DIR, so runs at different scale factors never race
+    * on the stage, and the oracle (dumped by Verify AFTER the query ran,
+    * same JVM) names exactly the stage this run wrote via a sys prop —
+    * a stale or clobbered stage cannot be silently verified. */
+  def q34StagePath(dir: String): String =
+    "/tmp/graft_oracle_stage/q34_simhash_" +
+      dir.replaceAll("[^A-Za-z0-9]+", "_") + ".parquet"
+
   def q34SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
-    val staged =
-      if (sys.props.get("graft.bench").contains("1")) sig
-      else {
-        val stage = "/tmp/graft_oracle_stage/q34_simhash.parquet"
-        sig.write.mode("overwrite").parquet(stage)
-        spark.read.parquet(stage)
-      }
-    Dedup.simhashNearDupFromSigs(staged, maxHamming = 6)
+    val stage = q34StagePath(dir)
+    sys.props("graft.q34.stage") = stage
+    sig.write.mode("overwrite").parquet(stage)
+    Dedup.simhashNearDupFromSigs(spark.read.parquet(stage), maxHamming = 6)
   }
 
   /** DuckDB replay of the banding from the STAGED Spark signatures. The
     * chunk extraction ((simhash >> o) & m) is shift-flavor-proof: the mask
     * never reaches the sign-extended bits, so DuckDB's arithmetic shift and
     * Spark's shiftrightunsigned agree. Offsets/masks = maxHamming 6 →
-    * 7 chunks of widths 9×6+10 (k*64/7 boundaries). The documents join
-    * guards against a stale stage from another scale factor. */
-  val q34Oracle: String =
-    """WITH sig AS (
+    * 7 chunks of widths 9×6+10 (k*64/7 boundaries). The stage path is the
+    * one [[q34SimhashNearDup]] recorded when IT ran (per-data-dir, threaded
+    * through a sys prop): a concurrent run at another scale factor writes a
+    * different path, and the documents join additionally pins the id set. */
+  def q34Oracle: String = {
+    val stage = sys.props.getOrElse("graft.q34.stage",
+      q34StagePath("/root/testdata/sf0.01"))
+    s"""WITH sig AS (
       |  SELECT s.id, s.simhash
-      |  FROM read_parquet('/tmp/graft_oracle_stage/q34_simhash.parquet/*.parquet') AS s
+      |  FROM read_parquet('$stage/*.parquet') AS s
       |  JOIN documents AS d ON s.id = d.doc_id),
       |chunks AS (
       |  SELECT sig.id, sig.simhash, c.k AS chunk_id,
@@ -141,6 +147,7 @@ object NorthStarQueries {
       |  FROM chunks AS a
       |  JOIN chunks AS b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.id < b.id)
       |WHERE hamming <= 6""".stripMargin
+  }
 
   /** Text quality statistics: token/punct/stopword counts + composite score. */
   def q35TextStats(spark: SparkSession, dir: String): DataFrame = {
