@@ -553,24 +553,60 @@ object CorpusExecute {
     // `COUNT(x) AS total` — must not demote an unrelated table alias named
     // `total` from forced planting (the over-approximation silently weakened
     // un-tombstoning for that alias's columns)
+    // paren matcher skips string literals ('' escape), double-quoted and
+    // backticked identifiers, and -- / block comments: a paren inside a
+    // literal would otherwise misalign openOf and misclassify shadowing
     val openOf: Map[Int, Int] = {
       val stack = mutable.ArrayBuffer.empty[Int]
       val m = mutable.Map.empty[Int, Int]
       var i = 0
-      while (i < rendered.length) {
+      val n = rendered.length
+      def skipTo(end: String, from: Int): Int = {
+        val k = rendered.indexOf(end, from)
+        if (k < 0) n else k + end.length
+      }
+      while (i < n) {
         rendered.charAt(i) match {
-          case '(' => stack += i
-          case ')' => if (stack.nonEmpty) { m(i) = stack.last; stack.remove(stack.length - 1) }
-          case _ =>
+          case '\'' =>
+            i += 1
+            while (i < n && !(rendered.charAt(i) == '\'' &&
+              (i + 1 >= n || rendered.charAt(i + 1) != '\''))) {
+              if (rendered.charAt(i) == '\'' ) i += 2 else i += 1 // '' escape
+            }
+            i += 1
+          case '"'  => i = skipTo("\"", i + 1)
+          case '`'  => i = skipTo("`", i + 1)
+          case '-' if i + 1 < n && rendered.charAt(i + 1) == '-' =>
+            i = skipTo("\n", i + 2)
+          case '/' if i + 1 < n && rendered.charAt(i + 1) == '*' =>
+            i = skipTo("*/", i + 2)
+          case '(' => stack += i; i += 1
+          case ')' =>
+            if (stack.nonEmpty) { m(i) = stack.last; stack.remove(stack.length - 1) }
+            i += 1
+          case _ => i += 1
         }
-        i += 1
       }
       m.toMap
     }
+    // a paren "opens a subquery" when the first token after it (skipping
+    // whitespace AND comments) is SELECT or WITH — derived tables like
+    // `( /* hint */ WITH x AS (...) SELECT ... ) AS a` shadow their alias too
     def opensSelect(closeIdx: Int): Boolean = openOf.get(closeIdx).exists { o =>
       var j = o + 1
-      while (j < rendered.length && rendered.charAt(j).isWhitespace) j += 1
-      rendered.regionMatches(true, j, "select", 0, 6)
+      var moved = true
+      while (moved) {
+        moved = false
+        while (j < rendered.length && rendered.charAt(j).isWhitespace) { j += 1; moved = true }
+        if (j + 1 < rendered.length && rendered.charAt(j) == '-' && rendered.charAt(j + 1) == '-') {
+          val k = rendered.indexOf('\n', j + 2); j = if (k < 0) rendered.length else k + 1; moved = true
+        }
+        if (j + 1 < rendered.length && rendered.charAt(j) == '/' && rendered.charAt(j + 1) == '*') {
+          val k = rendered.indexOf("*/", j + 2); j = if (k < 0) rendered.length else k + 2; moved = true
+        }
+      }
+      rendered.regionMatches(true, j, "select", 0, 6) ||
+        rendered.regionMatches(true, j, "with", 0, 4)
     }
     val shadowed = ("(?i)\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)".r
       .findAllMatchIn(rendered).filter(m => opensSelect(m.start))
@@ -3884,9 +3920,17 @@ object CorpusExecute {
     // no-op. Skip the first write; STILL run the incremental second pass so
     // the advance/overwrite path is re-validated against the grown sources.
     // Any analysis error falls through to the full drop-and-negotiate loop.
-    // Snapshots never match (the on-disk table carries dbt meta columns) and
-    // views never match (no on-disk table) — both fall through by design.
-    if (previouslyExecuted && ctx.warehouse.tableExists(node.name)) {
+    // Snapshots are EXCLUDED explicitly (their SCD2-advance pass must always
+    // re-run; schema inequality via dbt meta columns would also exclude them,
+    // but that's incidental — don't depend on it) and views never match (no
+    // on-disk table). For plain tables the skip validates analysis only, not
+    // the write — flagged `write=skipped-schema-noop` in the Item detail so
+    // the report distinguishes validated writes from skipped ones.
+    val fastPathEligible = model.materialization match {
+      case _: Materialization.Snapshot => false
+      case _ => true
+    }
+    if (fastPathEligible && previouslyExecuted && ctx.warehouse.tableExists(node.name)) {
       val hit = try {
         val fresh = normSchema(model.build(ctx.copy(isIncremental = false)).schema)
         fresh == normSchema(ctx.warehouse.read(node.name).schema)
@@ -3899,7 +3943,7 @@ object CorpusExecute {
             try { Prof.timed("incremental")(new DagRunner(Seq(model)).materialize(ctx, model)); "incremental-run=ok" }
             catch { case scala.util.control.NonFatal(e) =>
               s"incremental-run=FAIL:${condOf(e)}" }
-          case _ => ""
+          case _ => "write=skipped-schema-noop"
         }
         if (!incRun.startsWith("incremental-run=FAIL"))
           return Item(node.name, node.kind, "executed", incRun, 0)

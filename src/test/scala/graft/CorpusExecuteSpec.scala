@@ -76,6 +76,40 @@ class CorpusExecuteSpec extends SparkSpec {
       "subquery-shadowed alias must stay unforced (tombstone sticks)")
   }
 
+  test("shadow detection: WITH-opening derived tables, comments after '(', " +
+    "and parens inside string literals") {
+    val key = ("probe_db", "probe_tbl")
+    // `(WITH ... SELECT ...) AS sub` is a derived table — demotes like SELECT
+    val s1 = new CorpusExecute.Synth(spark)
+    s1.tombstones += ((key, "amount"))
+    CorpusExecute.preSeed(
+      "SELECT * FROM (WITH w AS (SELECT 1 AS one) SELECT y AS amount FROM probe_db.probe_tbl) AS sub WHERE sub.amount > 0",
+      Map("sub" -> key), s1)
+    assert(s1.tombstones.contains((key, "amount")),
+      "WITH-opening derived table must shadow its alias (stay unforced)")
+
+    // `( /* hint */ SELECT ...) AS sub` — comment between '(' and SELECT
+    val s2 = new CorpusExecute.Synth(spark)
+    s2.tombstones += ((key, "amount"))
+    CorpusExecute.preSeed(
+      "SELECT * FROM ( /* broadcast */ SELECT y AS amount FROM probe_db.probe_tbl) AS sub WHERE sub.amount > 0",
+      Map("sub" -> key), s2)
+    assert(s2.tombstones.contains((key, "amount")),
+      "comment after '(' must not hide a subquery closer")
+
+    // an unbalanced paren inside a string literal must not misalign the
+    // matcher: the `) AS total` here closes COUNT(x), not a subquery, so
+    // table alias `total` keeps its forced planting
+    val s3 = new CorpusExecute.Synth(spark)
+    s3.tombstones += ((key, "amount"))
+    CorpusExecute.preSeed(
+      "SELECT ')(', COUNT(x) AS total, '(select' AS lit -- (select\n" +
+        "FROM probe_db.probe_tbl AS total WHERE total.amount > 0",
+      Map("total" -> key), s3)
+    assert(!s3.tombstones.contains((key, "amount")),
+      "paren/SELECT text inside literals+comments misaligned the matcher")
+  }
+
   test("snapshot strategy-column seeding matches identifier boundaries, not substrings") {
     // the predicate itself: `status` is NOT mentioned by `statusHistory` /
     // `order_status`, IS mentioned as a bare/qualified identifier
