@@ -485,6 +485,91 @@ object CorpusExecute {
     }
   }
 
+  // ---- warm-start schema cache --------------------------------------------
+
+  /** Content hash of the corpus inputs (every model/macro/snapshot/seed file
+    * plus the run vars): the warm-start cache key. An unchanged corpus
+    * negotiates deterministic source schemas, so a previous run's converged
+    * catalog is a valid pass-1 seed; ANY file or var change produces a new
+    * key and a cold run. */
+  def corpusHash(dirs: Seq[Path], vars: Map[String, String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    for (dir <- dirs if Files.isDirectory(dir)) {
+      val walk = Files.walk(dir)
+      val files =
+        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
+        finally walk.close()
+      for (p <- files) {
+        feed(dir.relativize(p).toString); feed("\u0000")
+        md.update(Files.readAllBytes(p)); feed("\u0000")
+      }
+    }
+    for ((k, v) <- vars.toSeq.sorted) { feed(k); feed("="); feed(v); feed("\u0000") }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  def cachePath(hash: String): Path =
+    java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_CORPUS_CACHE_DIR", "/tmp/graft_corpus_cache"))
+      .resolve(s"synth_$hash.parquet")
+
+  private val overlaySep = "\u0001" // a control char never present in identifiers
+
+  /** Persist the converged negotiation state: source schemas, tombstones,
+    * pin owners, raw-catalog keys, node-scoped overlays. Stored as parquet
+    * (Spark round-trips StructType.json exactly); `seq` pins row order so
+    * overlay insertion order — which applyOverlays relies on — survives. */
+  def saveCache(synth: Synth, path: Path): Unit = {
+    val spark = synth.spark
+    import spark.implicits._
+    val rows: Seq[(String, String, String, String, String, String)] =
+      synth.schemas.toSeq.map { case ((db, t), st) => ("schema", "", db, t, "", st.json) } ++
+      synth.tombstones.toSeq.map { case ((db, t), c) => ("tombstone", "", db, t, c, "") } ++
+      synth.pinned.toSeq.map { case (((db, t), c), node) => ("pinned", node, db, t, c, "") } ++
+      synth.rawCatalogKeys.toSeq.map { case (db, t) => ("rawkey", "", db, t, "", "") } ++
+      synth.overlays.toSeq.flatMap { case ((node, (db, t)), m) =>
+        m.toSeq.map { case (segs, dt) =>
+          ("overlay", node, db, t, segs.mkString(overlaySep), dt.json) } }
+    Files.createDirectories(path.getParent)
+    rows.zipWithIndex.map { case ((k, n, d, t, c, j), i) => (i.toLong, k, n, d, t, c, j) }
+      .toDF("seq", "kind", "node", "db", "tbl", "name", "dt")
+      .coalesce(1).write.mode("overwrite").parquet(path.toString)
+  }
+
+  /** Seed a fresh Synth from a saved cache; returns false (and leaves the
+    * Synth cold) on any read problem. The cache is a HEAD START, never a
+    * correctness input: a stale or partial seed is simply re-negotiated by
+    * the same error-driven loop that built it. */
+  def loadCache(synth: Synth, path: Path): Boolean = try {
+    val rows = synth.spark.read.parquet(path.toString)
+      .collect().sortBy(_.getAs[Long]("seq"))
+    for (r <- rows) {
+      val key = (r.getAs[String]("db"), r.getAs[String]("tbl"))
+      val name = r.getAs[String]("name")
+      r.getAs[String]("kind") match {
+        case "schema" => DataType.fromJson(r.getAs[String]("dt")) match {
+          case st: StructType => synth.schemas(key) = st
+          case _ =>
+        }
+        case "tombstone" => synth.tombstones += ((key, name))
+        case "pinned" => synth.pinned((key, name)) = r.getAs[String]("node")
+        case "rawkey" => synth.rawCatalogKeys += key; synth.dirtyCatalog += key
+        case "overlay" =>
+          val m = synth.overlays.getOrElseUpdate(
+            (r.getAs[String]("node"), key), mutable.LinkedHashMap.empty)
+          m(name.split(overlaySep).toSeq) = DataType.fromJson(r.getAs[String]("dt"))
+        case _ =>
+      }
+    }
+    synth.flushCatalog() // raw-catalog tables exist before the first analysis
+    true
+  } catch { case scala.util.control.NonFatal(e) =>
+    System.err.println(s"[corpus] warm-start load failed (running cold): " +
+      String.valueOf(e.getMessage).take(160))
+    false
+  }
+
   // ---- rendered-SQL introspection ----------------------------------------
 
   private val sqlKeywords = Set(
@@ -3701,6 +3786,24 @@ object CorpusExecute {
       }
       finally synth.currentNode = savedNode
     }
+    // WARM START: full-corpus runs persist the converged negotiation state
+    // keyed by a content hash of the corpus + vars; a rerun on an unchanged
+    // corpus seeds pass 1 from it and skips the error-driven discovery cost
+    // (the measured floor was pass-1 negotiation of the mongo subtree at
+    // ~13 s/node). Correctness-neutral by construction: a stale/partial/
+    // missing cache only changes how many analyzer errors the same loop
+    // pays, never what it converges to. Subset (`only`) runs neither read
+    // nor write (partial knowledge must not poison full runs); opt out with
+    // GRAFT_CORPUS_COLD=1.
+    val cacheFile: Option[Path] =
+      if (only.isDefined || sys.env.get("GRAFT_CORPUS_COLD").contains("1")) None
+      else Some(cachePath(corpusHash(
+        Seq(modelsDir, macrosDir, snapshotsDir, seedsDir), vars)))
+    for (p <- cacheFile if Files.exists(p))
+      if (loadCache(synth, p))
+        System.err.println(s"[corpus] warm start: ${synth.schemas.size} source schemas, " +
+          s"${synth.overlays.size} overlay sets, ${synth.tombstones.size} tombstones from $p")
+
     var passes = 0
     var grew = true
     while (grew && passes < maxPasses) {
@@ -3767,6 +3870,15 @@ object CorpusExecute {
       // patches change schemas in a pass whose executed count is flat)
       grew = nowExec > prevExec || synth.version != versionAtPassStart
       passResults = results.toMap
+    }
+
+    for (p <- cacheFile) try {
+      saveCache(synth, p)
+      System.err.println(s"[corpus] saved warm-start cache: ${synth.schemas.size} " +
+        s"source schemas -> $p")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[corpus] cache save failed (harmless): " +
+        String.valueOf(e.getMessage).take(160))
     }
 
     val items = sweep.failed.map(f => Item(f.name, "model", s"sweep:${f.phase}",

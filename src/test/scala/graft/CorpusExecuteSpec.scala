@@ -76,6 +76,46 @@ class CorpusExecuteSpec extends SparkSpec {
       "subquery-shadowed alias must stay unforced (tombstone sticks)")
   }
 
+  test("warm-start cache round-trips the full negotiation state") {
+    import org.apache.spark.sql.types._
+    val a = new CorpusExecute.Synth(spark)
+    val k1 = ("mongo_db", "orders_raw")
+    val k2 = ("platform", "events")
+    a.schemas(k1) = StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("payload", StructType(Seq(
+        StructField("amount", StructType(Seq(StructField("value", DoubleType)))),
+        StructField("tags", ArrayType(StringType)))))))
+    a.schemas(k2) = StructType(Seq(StructField("ts", TimestampType)))
+    a.tombstones += ((k1, "ambiguous_col"))
+    a.pinned((k2, "ts")) = "some_model"
+    a.rawCatalogKeys += k2
+    a.overlayPatch(k1, Seq("payload", "amount"), DecimalType(18, 2)) // no currentNode -> ignored
+    a.currentNode = "node_x"
+    assert(a.overlayPatch(k1, Seq("payload", "amount"), DecimalType(18, 2)))
+    assert(a.overlayPatch(k1, Seq("payload"), StringType)) // order matters
+    val p = java.nio.file.Paths.get("/tmp/graft_cache_spec/synth_test.parquet")
+    CorpusExecute.saveCache(a, p)
+
+    val b = new CorpusExecute.Synth(spark)
+    assert(CorpusExecute.loadCache(b, p))
+    assert(b.schemas.toMap == a.schemas.toMap, "schemas diverged")
+    assert(b.tombstones == a.tombstones, "tombstones diverged")
+    assert(b.pinned.toMap == a.pinned.toMap, "pinned diverged")
+    assert(b.rawCatalogKeys == a.rawCatalogKeys, "rawCatalogKeys diverged")
+    assert(b.overlays.keySet == a.overlays.keySet, "overlay keys diverged")
+    assert(b.overlays(("node_x", k1)).toSeq == a.overlays(("node_x", k1)).toSeq,
+      "overlay entries or their ORDER diverged")
+    // the raw-catalog table must exist after load (flushCatalog ran)
+    assert(spark.catalog.tableExists("`platform`.`events`"),
+      "raw-catalog table not re-created on warm load")
+    // corrupted cache => cold start, not a crash
+    val c = new CorpusExecute.Synth(spark)
+    assert(!CorpusExecute.loadCache(c,
+      java.nio.file.Paths.get("/tmp/graft_cache_spec/nope.parquet")))
+    assert(c.schemas.isEmpty)
+  }
+
   test("shadow detection: WITH-opening derived tables, comments after '(', " +
     "and parens inside string literals") {
     val key = ("probe_db", "probe_tbl")
