@@ -69,6 +69,16 @@ object TxLog {
 
   private val checkpointInterval = 10
 
+  /** Optional wall-time sink `(key, seconds)` — the corpus runner plugs its
+    * profiler in to attribute the log-format tax; null (default) costs one
+    * volatile read per call. */
+  @volatile var profiler: (String, Double) => Unit = null
+  private def prof[A](k: String)(f: => A): A = {
+    val p = profiler
+    if (p == null) f
+    else { val t0 = System.nanoTime(); try f finally p(k, (System.nanoTime() - t0) / 1e9) }
+  }
+
   private def logDir(table: Path): Path = table.resolve("_txlog")
   private def dataDir(table: Path): Path = table.resolve("data")
   private def commitFile(table: Path, v: Long): Path =
@@ -144,7 +154,7 @@ object TxLog {
     case other => throw new IllegalStateException(s"unparseable txlog action: $other")
   }
 
-  private def listVersions(table: Path): (Seq[Long], Seq[Long]) = {
+  private def listVersions(table: Path): (Seq[Long], Seq[Long]) = prof("txlog.listVersions") {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return (Nil, Nil)
     val ls = Files.list(dir)
@@ -160,7 +170,7 @@ object TxLog {
 
   /** Resolve the table state at `asOf` (default: latest committed version).
     * Reads the newest checkpoint ≤ target plus the commits after it. */
-  def snapshot(table: Path, asOf: Long = Long.MaxValue): Snapshot = {
+  def snapshot(table: Path, asOf: Long = Long.MaxValue): Snapshot = prof("txlog.snapshot") {
     val (commits, checkpoints) = listVersions(table)
     val upto = commits.filter(_ <= asOf)
     require(upto.nonEmpty, s"no committed version <= $asOf in ${logDir(table)}")
@@ -179,7 +189,7 @@ object TxLog {
   }
 
   /** Replay INCLUDING tombstones — vacuum needs the remove timestamps. */
-  private def replayFull(table: Path): (Replay, Long) = {
+  private def replayFull(table: Path): (Replay, Long) = prof("txlog.replayFull") {
     val (commits, _) = listVersions(table)
     val r = Replay(scala.collection.mutable.LinkedHashMap.empty,
       scala.collection.mutable.LinkedHashMap.empty, Nil)
@@ -194,7 +204,7 @@ object TxLog {
     * was read — the caller re-reads and retries (optimistic concurrency).
     * The claim itself is create-new on the commit file: two writers racing
     * for the same version number cannot both win. */
-  private def commit(table: Path, readVersion: Long, actions: Seq[String]): Long = {
+  private def commit(table: Path, readVersion: Long, actions: Seq[String]): Long = prof("txlog.commit") {
     Files.createDirectories(logDir(table))
     val next = readVersion + 1
     val tmp = logDir(table).resolve(f"$next%020d.json.${java.util.UUID.randomUUID()}.tmp")
@@ -216,7 +226,7 @@ object TxLog {
   }
 
   private def maybeCheckpoint(table: Path, version: Long): Unit =
-    if (version > 0 && version % checkpointInterval == 0) {
+    if (version > 0 && version % checkpointInterval == 0) prof("txlog.checkpoint") {
       val snap = snapshot(table, version)
       val lines = metaJson(snap.partitionCols) +: snap.files.map(addJson)
       val tmp = checkpointFile(table, version).resolveSibling(
@@ -233,7 +243,7 @@ object TxLog {
     * their add-actions. Uses a private staging dir + move so a crashed
     * writer leaves only unreferenced garbage, never a half-visible file. */
   private def stage(table: Path, df: DataFrame,
-                    partitionBy: Seq[String]): Seq[AddFile] = {
+                    partitionBy: Seq[String]): Seq[AddFile] = prof("txlog.stage") {
     val stagingId = java.util.UUID.randomUUID().toString.take(8)
     val staging = table.resolve(s"_staging_$stagingId")
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write

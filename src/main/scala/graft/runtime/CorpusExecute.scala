@@ -3560,6 +3560,9 @@ object CorpusExecute {
           only: Option[Set[String]] = None): Report = {
     val macros = CorpusSweep.loadMacros(macrosDir)
     val synth = new Synth(spark)
+    // attribute the log-format tax: TxLog wall time shows up in Prof.summary
+    // alongside materialize/incremental (parquet runs record ~nothing here)
+    graft.plans.TxLog.profiler = (k, s) => Prof.add(k, s)
     // GRAFT_CORPUS_LOGFMT=1 runs the whole EXECUTE phase on the
     // transaction-log warehouse: the corpus's 197 `file_format='delta'`
     // models (incl. the 54 snapshots' merge patterns) then exercise
