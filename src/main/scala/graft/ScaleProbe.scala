@@ -63,7 +63,22 @@ object ScaleProbe {
         timedBest(s"asof_${if (skewed) "skew30" else "uniform"} $tag", r) {
           val c = AsOfJoin.backward(left, right, Seq("k"), "t", "t")
             .agg(count(col("r_v"))).head().getLong(0)
-          if (skewed) backwardCount(tag) = c
+          backwardCount(tag + skewed) = c
+          c
+        }
+        // the cost of DISPATCHING salted on inputs that don't need it: the
+        // detect pass finds no hot key (threshold unreachable at uniform)
+        // and falls back to plain backward — the delta vs asof_uniform IS
+        // the auto-dispatch overhead SCALE.md records
+        if (!skewed) timedBest(s"asof_uniform_saltedpath $tag", r) {
+          val c = AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t",
+              splits = 512, hotThreshold = 10000L)
+            .agg(count(col("r_v"))).head().getLong(0)
+          if (c != backwardCount(tag + false)) {
+            println(s"SCALE DIVERGED asof_uniform_saltedpath $tag: salted=$c " +
+              s"backward=${backwardCount(tag + false)}")
+            sys.error(s"salted as-of diverged from backward at uniform $tag")
+          }
           c
         }
         // the salted mitigation, timed on the SAME inputs — (a) its matched-
@@ -76,9 +91,9 @@ object ScaleProbe {
               splits = 512,
               hotThreshold = 10000L) // catches the 30% key at both scales
             .agg(count(col("r_v"))).head().getLong(0)
-          if (c != backwardCount(tag)) {
+          if (c != backwardCount(tag + true)) {
             println(s"SCALE DIVERGED asof_skew30_salted $tag: salted=$c " +
-              s"backward=${backwardCount(tag)}")
+              s"backward=${backwardCount(tag + true)}")
             sys.error(s"salted as-of diverged from backward at $tag")
           }
           c
