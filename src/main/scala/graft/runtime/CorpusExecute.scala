@@ -3557,7 +3557,8 @@ object CorpusExecute {
           vars: Map[String, String] = CorpusSweep.defaultVars ++ Map(
             "run_ts" -> "2025-10-01 00:00:00", "run_dow" -> "1"),
           maxIter: Int = 200, maxPasses: Int = 8,
-          only: Option[Set[String]] = None): Report = {
+          only: Option[Set[String]] = None,
+          cacheOverride: Option[Path] = None): Report = {
     val macros = CorpusSweep.loadMacros(macrosDir)
     val synth = new Synth(spark)
     // attribute the log-format tax: TxLog wall time shows up in Prof.summary
@@ -3797,11 +3798,14 @@ object CorpusExecute {
     // missing cache only changes how many analyzer errors the same loop
     // pays, never what it converges to. Subset (`only`) runs neither read
     // nor write (partial knowledge must not poison full runs); opt out with
-    // GRAFT_CORPUS_COLD=1.
-    val cacheFile: Option[Path] =
+    // GRAFT_CORPUS_COLD=1. `cacheOverride` forces an explicit path (and
+    // bypasses the subset guard) — the sbt-gated warm-start test uses it
+    // to pin the cold→warm protocol end-to-end on a small closure.
+    val cacheFile: Option[Path] = cacheOverride.orElse {
       if (only.isDefined || sys.env.get("GRAFT_CORPUS_COLD").contains("1")) None
       else Some(cachePath(corpusHash(
         Seq(modelsDir, macrosDir, snapshotsDir, seedsDir), vars)))
+    }
     for (p <- cacheFile if Files.exists(p))
       if (loadCache(synth, p))
         System.err.println(s"[corpus] warm start: ${synth.schemas.size} source schemas, " +

@@ -76,6 +76,29 @@ class CorpusExecuteSpec extends SparkSpec {
       "subquery-shadowed alias must stay unforced (tombstone sticks)")
   }
 
+  test("warm start END-TO-END: a cached subtree rerun converges in fewer " +
+    "passes with an identical executed set") {
+    val cache = java.nio.file.Paths.get(
+      graft.runtime.TempDirs.create("graft_warm_e2e").toString, "synth.parquet")
+    def go(): CorpusExecute.Report = CorpusExecute.run(spark,
+      Paths.get("/root/reference/models"), Paths.get("/root/reference/macros"),
+      Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds"),
+      only = Some(Set("dim_store")), cacheOverride = Some(cache))
+    val cold = go()
+    assert(java.nio.file.Files.exists(cache), "cold run must write the cache")
+    val warm = go()
+    def execed(r: CorpusExecute.Report) = r.executed.map(_.name).sorted
+    assert(execed(cold).nonEmpty && execed(cold) == execed(warm),
+      s"executed sets diverged: cold=${execed(cold)} warm=${execed(warm)}")
+    assert(warm.passes <= cold.passes,
+      s"warm needed MORE passes (${warm.passes}) than cold (${cold.passes})")
+    // the warm run must spend strictly fewer error-driven iterations — the
+    // whole point of seeding pass 1 from the converged catalog
+    def iters(r: CorpusExecute.Report) = r.items.map(_.iterations).sum
+    assert(iters(warm) < iters(cold),
+      s"warm iterations ${iters(warm)} !< cold ${iters(cold)}")
+  }
+
   test("warm-start cache round-trips the full negotiation state") {
     import org.apache.spark.sql.types._
     val a = new CorpusExecute.Synth(spark)
