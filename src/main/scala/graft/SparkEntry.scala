@@ -148,6 +148,9 @@ object SparkEntry {
     "q30_gold_orders_pipeline" -> PipelineQueries.q30Oracle,
     "q31_dedup_exact" -> NorthStarQueries.q31Oracle,
     "q32_ngram_jaccard" -> NorthStarQueries.q32Oracle,
+    "q33_minhash_lsh" -> NorthStarQueries.q33Oracle,
+    "q39_ann_ivf" -> NorthStarQueries.q39Oracle,
+    "q56_ann_lsh_neardup" -> NorthStarQueries.q56Oracle,
     "q35_text_stats" -> NorthStarQueries.q35Oracle,
     "q34_simhash_neardup" -> NorthStarQueries.q34Oracle,
     "q36_lang_profile" -> NorthStarQueries.q36Oracle,

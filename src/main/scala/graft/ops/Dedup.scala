@@ -97,10 +97,6 @@ object Dedup {
                  shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxBucketSize: Int = 1000,
                  composableSig: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
-    val sh = shingleSet(docs, idCol, textCol, shingleSize)
-
     // one-pass native signature per doc (element i == the composable
     // min(xxhash64(lit(i), sh)) over exploded distinct shingles) — no k-hash
     // evals per exploded shingle row, no 32-column aggregate
@@ -109,6 +105,25 @@ object Dedup {
       if (composableSig) minhashSigComposable(docs, idCol, textCol, shingleSize, numHashes)
       else docs.select(col(idCol).as("id"),
         graft.functions.TextExpressions.minhashSig(col(textCol), shingleSize, numHashes).as("sig"))
+    minhashLshFromSigs(docs, sig, idCol, textCol, shingleSize, numHashes, bands,
+      threshold, maxBucketSize)
+  }
+
+  /** The banding + verification stage of [[minhashLsh]] over an ALREADY
+    * COMPUTED signature relation `(id, sig: array<long>)` — split out so the
+    * q33 oracle can stage Spark's signatures as parquet and have DuckDB
+    * replay the entire downstream pipeline (band slice self-join, bucket
+    * skew cap, exact-Jaccard verify) hash-exact; only the signature hash
+    * itself stays un-oracled (mirrors the q34 simhash gate). Banding joins
+    * on xxhash64 of the band slice; grouping by the slice VALUES (what the
+    * oracle does) is the same partition modulo 64-bit collisions. */
+  def minhashLshFromSigs(docs: DataFrame, sig: DataFrame, idCol: String,
+                         textCol: String, shingleSize: Int = 3,
+                         numHashes: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sh = shingleSet(docs, idCol, textCol, shingleSize)
 
     val bandHashes = (0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rows).map(r => col("sig").getItem(b * rows + r))): _*)

@@ -333,7 +333,15 @@ object Similarity {
     * pair pays the dot product once regardless of how many tables found it. */
   def signBucketNearDup(vecs: DataFrame, threshold: Double, nBits: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        tables: Int = 1): DataFrame = {
+                        tables: Int = 1): DataFrame =
+    signBucketNearDupFromBuckets(vecs,
+      signBuckets(vecs, nBits, idCol, vecCol, tables), threshold, idCol, vecCol)
+
+  /** The sign-bucket signature relation `(id, t, b)` of [[signBucketNearDup]]
+    * — split out so the q56 oracle can stage it as parquet. */
+  def signBuckets(vecs: DataFrame, nBits: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  tables: Int = 1): DataFrame = {
     registered(vecs)
     // deterministic "random" plane component: hash(bit, dim) mapped to
     // [-1, 1) — evaluated ONCE on the driver through the very same xxhash64
@@ -362,18 +370,36 @@ object Similarity {
       }
       struct(lit(t).as("t"), sigBits.reduce(_ bitwiseOR _).as("b"))
     }
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), explode(array(tableBuckets: _*)).as("bucket"))
+      .select(col("id"), col("bucket").getField("t").as("t"),
+        col("bucket").getField("b").as("b"))
+  }
+
+  /** The candidate-join + cosine-verify stage of [[signBucketNearDup]] over
+    * an ALREADY COMPUTED bucket relation `(id, t, b)` — split out so the q56
+    * oracle can stage Spark's sign buckets as parquet and have DuckDB replay
+    * the entire downstream pipeline (bucket self-join, pair dedup, cosine
+    * threshold) hash-exact; only the hyperplane projection itself stays
+    * un-oracled (it keeps the composable-dot dual-formulation gate).
+    *
+    * Candidate generation and dedup run over (id, t, b) ONLY — the vectors
+    * re-attach after the pair-key dedup, so the bucket self-join and the
+    * dropDuplicates shuffle move 16-byte id pairs, not 2·d-element arrays
+    * per candidate. At 100 TB candidates ≫ corpus, so this is the
+    * difference between shuffling terabytes of vectors and gigabytes of
+    * ids; the two re-attach joins are plain equi-joins on id (broadcast
+    * when the corpus side is small). */
+  def signBucketNearDupFromBuckets(vecs: DataFrame, sigs: DataFrame,
+                                   threshold: Double,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    registered(vecs)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    // candidate generation and dedup run over (id, bucket) ONLY — the
-    // vectors re-attach after the pair-key dedup, so the bucket self-join and
-    // the dropDuplicates shuffle move 16-byte id pairs, not 2·d-element
-    // arrays per candidate. At 100 TB candidates ≫ corpus, so this is the
-    // difference between shuffling terabytes of vectors and gigabytes of ids;
-    // the two re-attach joins are plain equi-joins on id (broadcast when the
-    // corpus side is small).
-    val sigs = base.select(col("id"), explode(array(tableBuckets: _*)).as("bucket"))
-    val pairs = sigs.toDF("id_a", "bucket")
-      .join(sigs.toDF("id_b", "bucket"), Seq("bucket"))
+    val s = sigs.select(col("id"), col("t"), col("b"))
+    val pairs = s.toDF("id_a", "t", "b")
+      .join(s.toDF("id_b", "t", "b"), Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")

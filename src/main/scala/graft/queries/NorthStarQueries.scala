@@ -96,10 +96,68 @@ object NorthStarQueries {
       |  SELECT wk.id, e.dst FROM walk wk JOIN edges e ON wk.reach = e.src)
       |SELECT id AS doc_id, MIN(reach) AS group_id FROM walk GROUP BY id""".stripMargin
 
-  /** MinHash+LSH near-dup pairs (no oracle: xxhash sketches). */
-  def q33MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(Tables(spark, dir, "documents"), "doc_id", "text",
+  /** MinHash+LSH near-dup pairs, ORACLE-GATED like q34: Spark's minhash
+    * signatures are staged as parquet (per-data-dir path) and [[q33Oracle]]
+    * replays the whole downstream stage in DuckDB — band-slice self-join
+    * (list equality replaces the xxhash64 band key: same partition modulo
+    * 64-bit collisions), the >maxBucketSize skew cap, candidate dedup, and
+    * the exact-Jaccard verification recomputed from raw text. Only the
+    * signature hash itself stays un-oracled (it keeps the dual-formulation
+    * gate: AltFormulations runs the composable aggregate signature). */
+  def q33StagePath(dir: String): String =
+    "/tmp/graft_oracle_stage/q33_minhash_" +
+      dir.replaceAll("[^A-Za-z0-9]+", "_") + ".parquet"
+
+  def q33MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    graft.functions.TextExpressions.register(spark)
+    val sig = docs.select(col("doc_id").as("id"),
+      graft.functions.TextExpressions.minhashSig(col("text"), 3, 32).as("sig"))
+    val stage = q33StagePath(dir)
+    sys.props("graft.q33.stage") = stage
+    sig.write.mode("overwrite").parquet(stage)
+    Dedup.minhashLshFromSigs(docs, spark.read.parquet(stage), "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+  }
+
+  /** DuckDB replay of banding + verify over the STAGED signatures. Bands =
+    * 8 slices of 4 (1-based list slice [b*4+1 : b*4+4]); the bucket-size cap
+    * groups by the slice values; verification recomputes exact Jaccard from
+    * raw text with the q32 oracle's shingle CTEs. */
+  def q33Oracle: String = {
+    val stage = sys.props.getOrElse("graft.q33.stage",
+      q33StagePath("/root/testdata/sf0.01"))
+    s"""WITH sig AS (
+      |  SELECT s.id, s.sig
+      |  FROM read_parquet('$stage/*.parquet') AS s
+      |  JOIN documents AS d ON s.id = d.doc_id),
+      |bands AS (
+      |  SELECT sig.id, bn.b AS band_id, sig.sig[bn.b*4+1 : bn.b*4+4] AS bk
+      |  FROM sig, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS bn(b)),
+      |safe AS (
+      |  SELECT band_id, bk FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+      |sb AS (SELECT bands.* FROM bands JOIN safe USING (band_id, bk)),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM sb AS a JOIN sb AS b
+      |    ON a.band_id = b.band_id AND a.bk = b.bk AND a.id < b.id),
+      |t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |w AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+      |  WHERE ws[i] <> '' AND ws[i+1] <> '' AND ws[i+2] <> ''),
+      |s2 AS (SELECT DISTINCT doc_id, sh FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM s2 GROUP BY 1),
+      |shared AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS ns
+      |  FROM cand AS c
+      |  JOIN s2 AS a ON a.doc_id = c.id_a
+      |  JOIN s2 AS b ON b.doc_id = c.id_b AND b.sh = a.sh
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(ns::DOUBLE / (x.n + y.n - ns), 6) AS jaccard
+      |FROM shared JOIN sizes AS x ON id_a = x.doc_id JOIN sizes AS y ON id_b = y.doc_id
+      |WHERE ns::DOUBLE / (x.n + y.n - ns) >= 0.5""".stripMargin
+  }
 
   /** SimHash chunk-banded near-dup pairs, ORACLE-GATED: the Spark-side
     * signatures are staged as parquet and [[q34Oracle]] replays the whole
@@ -273,13 +331,66 @@ object NorthStarQueries {
 
   /** IVF ANN: 16 coarse cells refined by Lloyd-to-convergence k-means over a
     * bounded uniform sample (the FAISS index-build convention — constant-size
-    * training work at any corpus scale), 2 probes (no oracle: approximate;
-    * recall vs brute force asserted in NorthStarSpec). */
+    * training work at any corpus scale), 2 probes. ORACLE-GATED like
+    * q33/q34/q56: the trained CENTROIDS are staged (per-data-dir path) and
+    * [[q39Oracle]] replays the entire index USE in DuckDB — nearest-cell
+    * assignment (ties to the lowest centroid id, exactly nearestCents'
+    * sort), 2-probe query assignment, cell-join scoring, and the
+    * (cos DESC, neighbor_id) top-k — so only the k-means TRAINING stays
+    * un-oracled (it keeps the composable-dot dual gate + recall floors). */
+  def q39StagePath(dir: String): String =
+    "/tmp/graft_oracle_stage/q39_centroids_" +
+      dir.replaceAll("[^A-Za-z0-9]+", "_") + ".parquet"
+
   def q39AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val cents = Similarity.kmeansOnSample(e,
       e.filter(col("vec_id") % 31 === 0).limit(16), sampleSize = 1024, iters = 25)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents, k = 5, nProbe = 2)
+    val stage = q39StagePath(dir)
+    sys.props("graft.q39.stage") = stage
+    cents.write.mode("overwrite").parquet(stage)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+      spark.read.parquet(stage), k = 5, nProbe = 2)
+  }
+
+  def q39Oracle: String = {
+    val stage = sys.props.getOrElse("graft.q39.stage",
+      q39StagePath("/root/testdata/sf0.01"))
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cv
+      |  FROM read_parquet('$stage/*.parquet')),
+      |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      |corp_assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT c.vec_id, k.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.v, k.cv) DESC, k.cent_id) AS rn
+      |    FROM corpus AS c CROSS JOIN cents AS k)
+      |  WHERE rn = 1),
+      |q_assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT q.vec_id, k.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, k.cv) DESC, k.cent_id) AS rn
+      |    FROM qs AS q CROSS JOIN cents AS k)
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+      |    MAX(list_cosine_similarity(q.v, c.v)) AS cos
+      |  FROM q_assign AS qa
+      |  JOIN corp_assign AS ca ON qa.cent_id = ca.cent_id
+      |  JOIN qs AS q ON q.vec_id = qa.vec_id
+      |  JOIN corpus AS c ON c.vec_id = ca.vec_id
+      |  WHERE qa.vec_id <> ca.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine_sim
+      |FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
   }
 
   /** Exact embedding near-dup pairs at cosine >= 0.4. */
@@ -294,9 +405,40 @@ object NorthStarQueries {
 
   /** Sign-bucket (random-hyperplane) LSH near-dup — the 100TB path whose
     * candidates come from an equi-join on the sign pattern; always a subset
-    * of the exact pairs (spec-checked), no oracle (approximate). */
-  def q56AnnLshNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.signBucketNearDup(Tables(spark, dir, "embeddings"), 0.35, nBits = 4, tables = 8)
+    * of the exact pairs (spec-checked). ORACLE-GATED like q33/q34: Spark's
+    * sign buckets are staged (per-data-dir path) and [[q56Oracle]] replays
+    * the bucket self-join, pair dedup, and cosine verify in DuckDB — only
+    * the hyperplane projection stays un-oracled (composable-dot dual gate). */
+  def q56StagePath(dir: String): String =
+    "/tmp/graft_oracle_stage/q56_signbuckets_" +
+      dir.replaceAll("[^A-Za-z0-9]+", "_") + ".parquet"
+
+  def q56AnnLshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val sigs = Similarity.signBuckets(e, nBits = 4, tables = 8)
+    val stage = q56StagePath(dir)
+    sys.props("graft.q56.stage") = stage
+    sigs.write.mode("overwrite").parquet(stage)
+    Similarity.signBucketNearDupFromBuckets(e, spark.read.parquet(stage), 0.35)
+  }
+
+  def q56Oracle: String = {
+    val stage = sys.props.getOrElse("graft.q56.stage",
+      q56StagePath("/root/testdata/sf0.01"))
+    s"""WITH bk AS (
+      |  SELECT s.id, s.t, s.b
+      |  FROM read_parquet('$stage/*.parquet') AS s
+      |  JOIN embeddings AS e ON s.id = e.vec_id),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bk AS a JOIN bk AS b ON a.t = b.t AND a.b = b.b AND a.id < b.id)
+      |SELECT c.id_a, c.id_b,
+      |  ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine_sim
+      |FROM cand AS c
+      |JOIN embeddings AS x ON c.id_a = x.vec_id
+      |JOIN embeddings AS y ON c.id_b = y.vec_id
+      |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.35""".stripMargin
+  }
 
   /** Multimodal plumbing: pack text→binary media, stub-decode features,
     * frame-sample, aggregate per source. Decode is a deterministic fake
