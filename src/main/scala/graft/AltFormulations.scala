@@ -6,16 +6,18 @@ import graft.functions.TextFunctions
 import graft.ops.{Dedup, Similarity}
 
 /** Dual formulations for the five queries whose primary implementation rides
-  * a native Catalyst expression (or approximate sketch) that no DuckDB SQL
-  * can replay — q33/q34/q36/q39/q56, the `no_oracle` rows in CORRECTNESS.
+  * a native Catalyst expression (or trained sketch) — q33/q34/q36/q39/q56.
+  * Since r15 ALL five are ALSO DuckDB-oracled (each stages its hash/training
+  * artifact and the oracle replays the downstream pipeline hash-exact), so
+  * these alts now specifically gate the part the oracle can't see: the
+  * signature/centroid computation itself.
   *
   * Each entry recomputes the SAME query through the definitional, composable
   * built-in-functions formulation (aggregate minhash, 64-vote simhash,
   * lambda-filter langId, zip_with dot product). [[Verify]] runs both, writes
   * the alt result to `<name>__alt.parquet`, and on ANY divergence deletes the
-  * primary output so the driver's check fails deterministically — turning the
-  * former rows-only queries into a machine-checkable gate. tools/parity.py
-  * performs the same comparison locally.
+  * primary output so the driver's check fails deterministically.
+  * tools/parity.py performs the same comparison locally.
   */
 object AltFormulations {
 
