@@ -5,8 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import graft.runtime._
 
-/** The DATA-BEARING multi-model domain slice: the gold chain — 20 verbatim
-  * reference nodes (2 seeds + 18 models, every file read from
+/** The DATA-BEARING multi-model domain slice: the gold chain — 21 verbatim
+  * reference nodes (2 seeds + 19 models, every file read from
   * /root/reference at test runtime) composed into ONE DagRunner DAG and run
   * twice (full + incremental) over hand-planted NON-EMPTY fixtures, with
   * row-count / key-aggregate assertions at every node and hand-pinned cells
@@ -20,7 +20,9 @@ import graft.runtime._
   *           (raw-catalog ads.referral_bloggers join) → bloggers
   *   dims:  gold_merchant_categories, gold_merchants, user_segments,
   *          joom_babylone_tickets, gold_logistics_orders
-  *   facts: gold_orders (695-LoC flagship)
+  *   facts: gold_orders (695-LoC flagship); base/orders (350-LoC core
+  *          base fact: fraud filter, double-keyed ticket attach, refund
+  *          dictionary, rating roll-up, is_new_user via active_devices)
   *   tail:  gold_active_devices_with_ephemeral (the 405-line macro) →
   *          gold_active_devices → gold_active_real_users
   *
@@ -90,6 +92,9 @@ class GoldChainSliceRealSpec extends SparkSpec {
       "'adyen' AS psp",
       "o_totalprice * 0.02 AS psp_initial",
       "o_totalprice * 0.018 AS psp_final",
+      "o_totalprice * 0.001 AS psp_refund_fee",
+      "0D AS psp_chargeback_fee",
+      "o_totalprice * 0.04 AS extra_charge",
       "o_totalprice * 0.05 AS jl_cost_final_estimated",
       "o_totalprice * 0.2 AS order_gross_profit_final",
       "o_totalprice * 0.21 AS order_gross_profit_final_estimated",
@@ -161,7 +166,7 @@ class GoldChainSliceRealSpec extends SparkSpec {
        |  0 AS index, $p AS pending""".stripMargin
   }
 
-  test("REAL gold chain: 20 verbatim nodes run data-bearing, full + incremental") {
+  test("REAL gold chain: 21 verbatim nodes run data-bearing, full + incremental") {
     val macros = CorpusSweep.loadMacros(Paths.get(s"$ref/macros"))
     val ctx0 = freshCtx(vars = Map("start_date_ymd" -> "2024-07-02"))
     val ctx = ctx0.copy(macros = macros)
@@ -329,11 +334,12 @@ class GoldChainSliceRealSpec extends SparkSpec {
         auto("joom_babylone_tickets", "models/spark/core/support/joom_babylone_tickets.sql"),
         auto("gold_logistics_orders", "models/spark/gold/gold_logistics_orders.sql"),
         auto("gold_orders", "models/spark/gold/gold_orders.sql"),
+        auto("orders", "models/spark/base/orders.sql"),
         SqlTemplater.sqlModelAuto("gold_active_devices_with_ephemeral",
           ephemeralExpanded, macros, ctx.vars),
         auto("gold_active_devices", "models/spark/gold/gold_active_devices.sql"),
         auto("gold_active_real_users", "models/spark/gold/gold_active_real_users.sql"))
-      assert(nodes.size == 20)
+      assert(nodes.size == 21)
 
       // the reference ran on a non-ANSI Spark 3 Thrift Server (see
       // GoldOrdersRealSpec): FILTER(...)[0] on empty arrays must yield NULL
@@ -428,6 +434,47 @@ class GoldChainSliceRealSpec extends SparkSpec {
         assert(go.agg(org.apache.spark.sql.functions.sum($"gmv_initial"))
           .head().getDouble(0) == 540.0) // 550 planted - 10 fraud
 
+        // base/orders (350 LoC, the CORE base fact): fraud filtered, ticket
+        // attach via BOTH key shapes, dictionary decode, rating roll-up,
+        // is_new_user from the REAL active_devices chain
+        val bo = ctx.ref("orders").cache()
+        assert(bo.count() == 9) // fraud order 13 is gone
+        def boCell(id: String, c: String): Any =
+          bo.where($"order_id" === id).select(c).head().get(0)
+        // support_ticket_id: order '5' matches by order_id, order '3' only
+        // via friendly_order_id ('F3') — the COALESCE(b, c) double join
+        assert(boCell("5", "support_ticket_id") == 500L)
+        assert(boCell("3", "support_ticket_id") == 300L)
+        // customer reason 4 -> badQuality; a MERCHANT refund has no customer
+        // reason -> 'none' (unlike gold_orders' merchant-note decode)
+        assert(boCell("7", "detailed_refund_reason") == "badQuality")
+        assert(boCell("11", "detailed_refund_reason") == "none")
+        assert(boCell("7", "is_quality_refund") == true)
+        assert(boCell("11", "is_quality_refund") == false)
+        // rating_counts struct roll-up: 15 reviews, mean 55/15 -> 3.7
+        assert(boCell("1", "number_of_reviews") == 15L)
+        assert(boCell("1", "product_rating") == 3.7)
+        assert(boCell("1", "is_product_with_stable_rating") == true)
+        // join-month flag: June orders yes, the July order no
+        assert(boCell("1", "is_join_month_order") == true)
+        assert(boCell("8", "is_join_month_order") == false)
+        // is_new_user comes from the REAL active_devices output: d7 joined
+        // 2024-06-01, so its 06-01 order is new and its 06-02 order is not
+        assert(boCell("1", "is_new_user") == true)
+        assert(boCell("2", "is_new_user") == false)
+        // per-item money + shipping-type coalesce (k odd -> null -> offline)
+        assert(boCell("1", "item_gmv") == 50.0) // gmv 100 / qty 2
+        assert(boCell("1", "shipping_type") == "offline")
+        assert(boCell("2", "shipping_type") == "online")
+        assert(boCell("1", "ecgp_in_gmv") == 0.15)
+        // delivered order finalized via the logistics tracking override
+        assert(boCell("5", "is_finalized") == true)
+        // refund_date_msk: created 06-01 + 10d, +3h MSK -> 2024-06-11
+        assert(String.valueOf(boCell("7", "refund_date_msk")) == "2024-06-11")
+        // every product_id is distinct in the cast -> first purchase each
+        assert(bo.selectExpr("max(product_order_number)").head().getInt(0) == 1)
+        bo.unpersist()
+
         // segments exist for each user with the canonical labels only
         val segs = ctx.ref("user_segments")
         assert(segs.select("real_user_id").distinct().count() == 3)
@@ -480,6 +527,7 @@ class GoldChainSliceRealSpec extends SparkSpec {
         // ---- INCREMENTAL second run: insert_overwrite lookbacks replay ----
         runAll()
         assert(ctx.ref("gold_orders").count() == 9)
+        assert(ctx.ref("orders").count() == 9)
         assert(ctx.ref("gold_active_real_users").count() == 9)
         assert(ctx.ref("gold_active_real_users").where($"real_user_id" === 7)
           .agg(org.apache.spark.sql.functions.sum($"gmv_per_day_initial"))
