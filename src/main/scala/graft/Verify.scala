@@ -71,7 +71,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // the `__alt` dual-formulation outputs ARE machine-checkable: Verify has
+    // already enforced alt == primary (exceptAll, primary deleted on any
+    // divergence), so the DuckDB oracle for an alt row is simply the primary
+    // parquet itself — the driver's hash compare then re-proves the
+    // equivalence and the CORRECTNESS artifact carries zero `no_oracle` rows
+    val altOracles: Map[String, String] =
+      AltFormulations.alt.keys.filter(selected).map { name =>
+        s"${name}__alt" ->
+          s"SELECT * FROM read_parquet('$outDir/$name/*.parquet')"
+      }.toMap
+    // subset runs (`only` non-empty) emit oracle SQL ONLY for the selected
+    // queries: unselected q33/q34/q39/q56 entries would otherwise point the
+    // driver at a default-sf stage path never written this JVM while their
+    // parquet outputs from a prior full run still exist
+    val json = (SparkEntry.oracleSql.filter(q => selected(q._1)) ++ altOracles)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -353,6 +353,14 @@ object NorthStarQueries {
       spark.read.parquet(stage), k = 5, nProbe = 2)
   }
 
+  /** MARGIN ASSUMPTION: this replay recomputes cosines with DuckDB's
+    * `list_cosine_similarity` while Spark used VecDot's left-to-right
+    * folds — hash-exactness therefore requires every assignment/probe/rank
+    * tie boundary (and every ROUND(,6) half-way boundary) to sit far above
+    * ~1e-13 cross-engine float noise. That assumption is MACHINE-CHECKED:
+    * AnnMarginSpec measures all four minimum gaps on the sf0.01 data and
+    * fails below 1e-9, so a testdata regeneration that created a near-tie
+    * turns up as a named spec failure, not an oracle flake. */
   def q39Oracle: String = {
     val stage = sys.props.getOrElse("graft.q39.stage",
       q39StagePath("/root/testdata/sf0.01"))

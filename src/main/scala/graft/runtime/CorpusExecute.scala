@@ -690,8 +690,16 @@ object CorpusExecute {
           val k = rendered.indexOf("*/", j + 2); j = if (k < 0) rendered.length else k + 2; moved = true
         }
       }
-      rendered.regionMatches(true, j, "select", 0, 6) ||
-        rendered.regionMatches(true, j, "with", 0, 4)
+      // word-boundary guard: `(within_range ...` or `(selected_flag ...` are
+      // expressions, not subqueries — SELECT/WITH must end at a non-word char
+      def kw(w: String): Boolean =
+        rendered.regionMatches(true, j, w, 0, w.length) && {
+          val e = j + w.length
+          e >= rendered.length || {
+            val c = rendered.charAt(e); !(c.isLetterOrDigit || c == '_')
+          }
+        }
+      kw("select") || kw("with")
     }
     val shadowed = ("(?i)\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)".r
       .findAllMatchIn(rendered).filter(m => opensSelect(m.start))
@@ -3804,7 +3812,13 @@ object CorpusExecute {
     val cacheFile: Option[Path] = cacheOverride.orElse {
       if (only.isDefined || sys.env.get("GRAFT_CORPUS_COLD").contains("1")) None
       else Some(cachePath(corpusHash(
-        Seq(modelsDir, macrosDir, snapshotsDir, seedsDir), vars)))
+        Seq(modelsDir, macrosDir, snapshotsDir, seedsDir),
+        // execution mode is part of the key: a TxLog run and a parquet run
+        // negotiate the same schemas but must not share (and overwrite) one
+        // cache file — tombstones stick by design, so cross-mode seeding
+        // would silently warm-start the second mode measured from the
+        // first mode's state and bias every cold/warm comparison
+        vars + ("__graft_mode_logfmt" -> wh.logFormatEnabled.toString))))
     }
     for (p <- cacheFile if Files.exists(p))
       if (loadCache(synth, p))

@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
-/** Determinism pins for the three stochastic-ANN queries (q33/q39/q56) —
-  * the only queries with no DuckDB oracle. Their banding/centroid logic is
-  * seeded, so on FIXED input (sf0.01) the output is a fixed row set: pinning
+/** Determinism pins for the three stochastic-ANN queries (q33/q39/q56).
+  * Since r15 these ARE oracle-gated (staged signatures/centroids/buckets
+  * replayed in DuckDB); the pins remain to cover the one surface the
+  * staging oracles cannot — the hash/projection/training kernels that
+  * PRODUCE the staged values. That logic is seeded, so on FIXED input
+  * (sf0.01) the output is a fixed row set: pinning
   * a content hash makes any silent change to shingling, banding, hyperplane
   * generation, k-means seeding, or probe selection fail loudly, alongside
   * the existing dual-formulation + ground-truth recall gates (which bound
@@ -32,7 +35,8 @@ class AnnDeterminismSpec extends SparkSpec {
             else BigDecimal(r.get(i).toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
           case _ => String.valueOf(r.get(i))
         }
-      }.mkString("")
+      }.mkString("") //  separator: adjacent-field aliasing
+                           // ("ab","c" vs "a","bc") must hash differently
     }.sorted
     val md = java.security.MessageDigest.getInstance("SHA-256")
     rows.foreach(s => md.update((s + "\n").getBytes("UTF-8")))
