@@ -74,6 +74,11 @@ object CorpusExecute {
     val keyVersions = mutable.Map.empty[(String, String), Long]
     /** columns retracted for a table after an ambiguity — never re-added */
     val tombstones = mutable.Set.empty[((String, String), String)]
+    /** which node's analysis retracted each tombstone — the provenance the
+      * incremental warm start uses: a tombstone whose owner sits in the
+      * changed-file closure is dropped from the seed (tombstones stick by
+      * design, so an unowned stale one would bias re-negotiation) */
+    val tombstoneOwner = mutable.Map.empty[((String, String), String), String]
     /** raw-catalog keys whose backing table needs a re-save */
     val dirtyCatalog = mutable.Set.empty[(String, String)]
     val rawCatalogKeys = mutable.Set.empty[(String, String)]
@@ -216,6 +221,7 @@ object CorpusExecute {
         if (CorpusExecute.debug)
           println(s"[synth] un-tombstone($currentNode by=$by) ${key._1}.${key._2} ${path.head}")
         tombstones -= ((key, path.head))
+        tombstoneOwner -= ((key, path.head))
       }
       if (force) pinned.getOrElseUpdate((key, path.head), by)
       val st = schemas.getOrElseUpdate(key, StructType(Nil))
@@ -455,6 +461,7 @@ object CorpusExecute {
       if (CorpusExecute.debug)
         println(s"[synth] retract($currentNode) ${key._1}.${key._2} $col")
       tombstones += ((key, col))
+      if (currentNode.nonEmpty) tombstoneOwner((key, col)) = currentNode
       schemas.get(key) match {
         case Some(st) if st.fieldNames.exists(_.equalsIgnoreCase(col)) =>
           schemas(key) = StructType(st.fields.filterNot(_.name.equalsIgnoreCase(col)))
@@ -514,23 +521,64 @@ object CorpusExecute {
       sys.env.getOrElse("GRAFT_CORPUS_CACHE_DIR", "/tmp/graft_corpus_cache"))
       .resolve(s"synth_$hash.parquet")
 
+  private def sha16(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(s.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** STABLE cache key for the incremental warm start: the corpus LOCATION
+    * (dir paths) + vars, NOT file contents. Content changes no longer miss
+    * the cache — [[loadCacheIncremental]] diffs per-node content hashes
+    * stored inside it and invalidates only the changed closure. */
+  def stableCacheKey(dirs: Seq[Path], vars: Map[String, String]): String =
+    sha16(dirs.map(_.toAbsolutePath.toString).mkString(" ") + " " +
+      vars.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
+
+  /** Hash of everything that affects EVERY node's rendering/negotiation but
+    * is not any single node's file: macro + seed file contents, vars, mode.
+    * A change here makes the whole cache unusable (full cold run). */
+  def envHashOf(macrosDir: Path, seedsDir: Path, vars: Map[String, String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    for (dir <- Seq(macrosDir, seedsDir) if Files.isDirectory(dir)) {
+      val walk = Files.walk(dir)
+      val files =
+        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
+        finally walk.close()
+      for (p <- files) {
+        feed(dir.relativize(p).toString); feed(" ")
+        md.update(Files.readAllBytes(p)); feed(" ")
+      }
+    }
+    for ((k, v) <- vars.toSeq.sorted) { feed(k); feed("="); feed(v); feed(" ") }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   private val overlaySep = "\u0001" // a control char never present in identifiers
 
   /** Persist the converged negotiation state: source schemas, tombstones,
     * pin owners, raw-catalog keys, node-scoped overlays. Stored as parquet
     * (Spark round-trips StructType.json exactly); `seq` pins row order so
     * overlay insertion order — which applyOverlays relies on — survives. */
-  def saveCache(synth: Synth, path: Path): Unit = {
+  def saveCache(synth: Synth, path: Path,
+                nodeHashes: Map[String, String] = Map.empty,
+                envHash: String = ""): Unit = {
     val spark = synth.spark
     import spark.implicits._
     val rows: Seq[(String, String, String, String, String, String)] =
       synth.schemas.toSeq.map { case ((db, t), st) => ("schema", "", db, t, "", st.json) } ++
-      synth.tombstones.toSeq.map { case ((db, t), c) => ("tombstone", "", db, t, c, "") } ++
+      synth.tombstones.toSeq.map { case ((db, t), c) =>
+        ("tombstone", synth.tombstoneOwner.getOrElse(((db, t), c), ""), db, t, c, "") } ++
       synth.pinned.toSeq.map { case (((db, t), c), node) => ("pinned", node, db, t, c, "") } ++
       synth.rawCatalogKeys.toSeq.map { case (db, t) => ("rawkey", "", db, t, "", "") } ++
       synth.overlays.toSeq.flatMap { case ((node, (db, t)), m) =>
         m.toSeq.map { case (segs, dt) =>
-          ("overlay", node, db, t, segs.mkString(overlaySep), dt.json) } }
+          ("overlay", node, db, t, segs.mkString(overlaySep), dt.json) } } ++
+      // per-node content hashes + the env hash: what loadCacheIncremental
+      // diffs to decide which nodes' negotiation state is still valid
+      nodeHashes.toSeq.map { case (n, h) => ("nodehash", n, "", "", "", h) } ++
+      (if (envHash.nonEmpty) Seq(("envhash", "", "", "", "", envHash)) else Nil)
     Files.createDirectories(path.getParent)
     rows.zipWithIndex.map { case ((k, n, d, t, c, j), i) => (i.toLong, k, n, d, t, c, j) }
       .toDF("seq", "kind", "node", "db", "tbl", "name", "dt")
@@ -552,7 +600,10 @@ object CorpusExecute {
           case st: StructType => synth.schemas(key) = st
           case _ =>
         }
-        case "tombstone" => synth.tombstones += ((key, name))
+        case "tombstone" =>
+          synth.tombstones += ((key, name))
+          val owner = r.getAs[String]("node")
+          if (owner != null && owner.nonEmpty) synth.tombstoneOwner((key, name)) = owner
         case "pinned" => synth.pinned((key, name)) = r.getAs[String]("node")
         case "rawkey" => synth.rawCatalogKeys += key; synth.dirtyCatalog += key
         case "overlay" =>
@@ -568,6 +619,104 @@ object CorpusExecute {
     System.err.println(s"[corpus] warm-start load failed (running cold): " +
       String.valueOf(e.getMessage).take(160))
     false
+  }
+
+  /** Incremental warm start: seed `synth` from a cache written for a PRIOR
+    * VERSION of the corpus, invalidating only the negotiation state owned by
+    * changed nodes and their downstream closure. This is the reference's own
+    * changed-only dev loop (`run.sh --changed-only`,
+    * `infra/dbtjoom/find.py:9-46`): editing one mid-DAG model must not pay
+    * the full-corpus cold renegotiation.
+    *
+    * What invalidation means, per state kind (provenance-guided):
+    *  - overlays: node-scoped by construction — drop sets owned by closure
+    *    nodes (the edited SQL may need entirely different patches);
+    *  - pins: drop pins owned by closure nodes (incl. `~ambig:` tie-break
+    *    keeps) AND remove the pinned top-level column from the seeded global
+    *    schema — the edit may no longer claim it, and a pin is an imposition
+    *    other nodes tie-break around, not re-derivable knowledge;
+    *  - tombstones: STICK by design, so they are the state that could bias a
+    *    re-negotiation — drop those whose recorded retracting node is in the
+    *    closure, plus (conservatively) any unowned ones when anything
+    *    changed at all;
+    *  - source schemas / raw-catalog keys: keep — grown knowledge the
+    *    error-driven loop re-verifies on every node anyway.
+    *
+    * Returns Some((changedNodes, invalidatedClosure)) when the cache was
+    * usable (possibly with zero changes = plain full warm start); None when
+    * the caller must run cold (missing/legacy cache, env change — macros,
+    * seeds, vars or mode — or any read problem). Like loadCache, the seed is
+    * a head start, never a correctness input: over-invalidation only costs
+    * re-discovery iterations.
+    */
+  def loadCacheIncremental(synth: Synth, path: Path,
+                           currentNodeHashes: Map[String, String],
+                           envHash: String,
+                           downstreamOf: Set[String] => Set[String]): Option[(Set[String], Set[String])] = try {
+    if (!Files.exists(path)) return None
+    val rows = synth.spark.read.parquet(path.toString)
+      .collect().sortBy(_.getAs[Long]("seq"))
+    def kindOf(r: Row) = r.getAs[String]("kind")
+    def nodeOf(r: Row) = String.valueOf(r.getAs[String]("node"))
+    val cachedEnv = rows.find(kindOf(_) == "envhash").map(_.getAs[String]("dt"))
+    val cachedHashes = rows.filter(kindOf(_) == "nodehash")
+      .map(r => nodeOf(r) -> r.getAs[String]("dt")).toMap
+    if (cachedHashes.isEmpty || !cachedEnv.contains(envHash)) {
+      System.err.println("[corpus] warm-start cache is legacy/env-mismatched — running cold")
+      return None
+    }
+    val changed = (cachedHashes.keySet ++ currentNodeHashes.keySet)
+      .filter(n => cachedHashes.get(n) != currentNodeHashes.get(n))
+    val closure = if (changed.isEmpty) Set.empty[String] else downstreamOf(changed)
+    // owner forms: "node", "~ambig:node" (tie-break keep), and
+    // "snapshot-strategy:node"; an empty owner is unattributable state —
+    // drop it whenever anything changed (over-invalidation only costs
+    // re-discovery iterations, under-invalidation could bias convergence)
+    def owned(owner: String): Boolean = {
+      val o = owner.stripPrefix("~ambig:").stripPrefix("snapshot-strategy:")
+      closure.contains(o) || (o.isEmpty && changed.nonEmpty)
+    }
+    // pins dropped by invalidation also narrow the seeded schema: collect
+    // them first (rows are kind-ordered: schemas precede pins in seq, so a
+    // single streaming pass could not see the drops in time)
+    val droppedPins: Set[((String, String), String)] = rows.iterator
+      .filter(r => kindOf(r) == "pinned" && owned(nodeOf(r)))
+      .map(r => ((r.getAs[String]("db"), r.getAs[String]("tbl")), r.getAs[String]("name")))
+      .toSet
+    for (r <- rows) {
+      val key = (r.getAs[String]("db"), r.getAs[String]("tbl"))
+      val name = r.getAs[String]("name")
+      kindOf(r) match {
+        case "schema" => DataType.fromJson(r.getAs[String]("dt")) match {
+          case st: StructType =>
+            val dropped = st.fields.filterNot(f => droppedPins.contains((key, f.name)) ||
+              droppedPins.exists { case (k, c) => k == key && c.equalsIgnoreCase(f.name) })
+            synth.schemas(key) = StructType(dropped)
+          case _ =>
+        }
+        case "tombstone" =>
+          if (!owned(nodeOf(r))) {
+            synth.tombstones += ((key, name))
+            if (nodeOf(r).nonEmpty) synth.tombstoneOwner((key, name)) = nodeOf(r)
+          }
+        case "pinned" =>
+          if (!droppedPins.contains((key, name))) synth.pinned((key, name)) = nodeOf(r)
+        case "rawkey" => synth.rawCatalogKeys += key; synth.dirtyCatalog += key
+        case "overlay" =>
+          if (!closure.contains(nodeOf(r))) {
+            val m = synth.overlays.getOrElseUpdate(
+              (nodeOf(r), key), mutable.LinkedHashMap.empty)
+            m(name.split(overlaySep).toSeq) = DataType.fromJson(r.getAs[String]("dt"))
+          }
+        case _ =>
+      }
+    }
+    synth.flushCatalog()
+    Some((changed, closure))
+  } catch { case scala.util.control.NonFatal(e) =>
+    System.err.println(s"[corpus] incremental warm-start load failed (running cold): " +
+      String.valueOf(e.getMessage).take(160))
+    None
   }
 
   // ---- rendered-SQL introspection ----------------------------------------
@@ -715,7 +864,8 @@ object CorpusExecute {
       // force: a literal alias-qualified occurrence IS a qualified claim —
       // unless the alias is shadowed by a subquery/CTE of the same name
       val force = !shadowed.contains(alias)
-      for (p <- paths.sortBy(-_.length)) synth.addPath(key, p, force = force)
+      for (p <- paths.sortBy(-_.length))
+        synth.addPath(key, p, force = force, by = synth.currentNode)
     }
   }
 
@@ -3809,21 +3959,39 @@ object CorpusExecute {
     // GRAFT_CORPUS_COLD=1. `cacheOverride` forces an explicit path (and
     // bypasses the subset guard) — the sbt-gated warm-start test uses it
     // to pin the cold→warm protocol end-to-end on a small closure.
+    // execution mode is part of the key: a TxLog run and a parquet run
+    // negotiate the same schemas but must not share (and overwrite) one
+    // cache file — tombstones stick by design, so cross-mode seeding
+    // would silently warm-start the second mode measured from the
+    // first mode's state and bias every cold/warm comparison
+    val modeVars = vars + ("__graft_mode_logfmt" -> wh.logFormatEnabled.toString)
     val cacheFile: Option[Path] = cacheOverride.orElse {
       if (only.isDefined || sys.env.get("GRAFT_CORPUS_COLD").contains("1")) None
-      else Some(cachePath(corpusHash(
-        Seq(modelsDir, macrosDir, snapshotsDir, seedsDir),
-        // execution mode is part of the key: a TxLog run and a parquet run
-        // negotiate the same schemas but must not share (and overwrite) one
-        // cache file — tombstones stick by design, so cross-mode seeding
-        // would silently warm-start the second mode measured from the
-        // first mode's state and bias every cold/warm comparison
-        vars + ("__graft_mode_logfmt" -> wh.logFormatEnabled.toString))))
+      else Some(cachePath(stableCacheKey(
+        Seq(modelsDir, macrosDir, snapshotsDir, seedsDir), modeVars)))
+    }
+    // per-node content hashes + env hash: the incremental warm start's
+    // change detector (see loadCacheIncremental — a one-model edit pays only
+    // its downstream closure's re-negotiation, not the full cold run)
+    val nodeHashes: Map[String, String] = nodes.map(n => n.name -> sha16(n.rawSql)).toMap
+    val envHash = envHashOf(macrosDir, seedsDir, modeVars)
+    def downstreamOf(changedNodes: Set[String]): Set[String] = {
+      val seen = mutable.Set.empty[String]
+      def add(n: String): Unit =
+        if (seen.add(n)) dependents.getOrElse(n, Nil).foreach(add)
+      changedNodes.foreach(add)
+      seen.toSet
     }
     for (p <- cacheFile if Files.exists(p))
-      if (loadCache(synth, p))
-        System.err.println(s"[corpus] warm start: ${synth.schemas.size} source schemas, " +
-          s"${synth.overlays.size} overlay sets, ${synth.tombstones.size} tombstones from $p")
+      loadCacheIncremental(synth, p, nodeHashes, envHash, downstreamOf) match {
+        case Some((changed, closure)) =>
+          System.err.println(s"[corpus] warm start: ${synth.schemas.size} source schemas, " +
+            s"${synth.overlays.size} overlay sets, ${synth.tombstones.size} tombstones from $p" +
+            (if (changed.nonEmpty)
+              s"; INCREMENTAL: ${changed.size} changed -> ${closure.size}-node closure invalidated"
+            else ""))
+        case None => // cold: missing/legacy cache, env change, or read failure
+      }
 
     var passes = 0
     var grew = true
@@ -3894,7 +4062,7 @@ object CorpusExecute {
     }
 
     for (p <- cacheFile) try {
-      saveCache(synth, p)
+      saveCache(synth, p, nodeHashes, envHash)
       System.err.println(s"[corpus] saved warm-start cache: ${synth.schemas.size} " +
         s"source schemas -> $p")
     } catch { case scala.util.control.NonFatal(e) =>
