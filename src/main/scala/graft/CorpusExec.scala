@@ -25,9 +25,14 @@ object CorpusExec {
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     val only = if (args.isEmpty) None else Some(args.toSet)
+    // GRAFT_CORPUS_DIR: run against a corpus COPY — the changed-only dev-loop
+    // measurement edits one model file and reruns, which the read-only
+    // reference checkout cannot host (the incremental warm-start cache is
+    // keyed by corpus location, so a copy gets its own cache lineage)
+    val base = sys.env.getOrElse("GRAFT_CORPUS_DIR", "/root/reference")
     val report = graft.runtime.CorpusExecute.run(spark,
-      Paths.get("/root/reference/models"), Paths.get("/root/reference/macros"),
-      Paths.get("/root/reference/snapshots"), Paths.get("/root/reference/seeds"),
+      Paths.get(s"$base/models"), Paths.get(s"$base/macros"),
+      Paths.get(s"$base/snapshots"), Paths.get(s"$base/seeds"),
       only = only)
     println(report.describe)
     println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
