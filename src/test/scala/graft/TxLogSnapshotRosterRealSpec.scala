@@ -2,7 +2,7 @@ package graft
 
 import graft.runtime._
 
-/** Grows the hand-verified snapshot roster to 20 — seven more reference
+/** Grows the hand-verified snapshot roster to 21 distinct files — more reference
   * snapshot files executed VERBATIM, each on a LOG-ENABLED warehouse (all
   * seven pin `file_format='delta'`, so every SCD2 advance lands as TxLog
   * commits) and each with a time-travel `VERSION AS OF 0` read-back pinning
@@ -30,6 +30,12 @@ import graft.runtime._
   *  - snapshots/spark/b2b_mart/scd2_customer_plans_snapshot.sql — the
   *    SYNTHESIZED composite key (`uid||tp AS unique_key`): a tp change
   *    mints a new key and hard-deletes the old one.
+  *  - snapshots/spark/b2b_mart/scd2_mongo_published_product.sql — 13-column
+  *    rename projection with BOTH created/updated millis conversions and
+  *    hard deletes DEFAULT (vanished product stays open).
+  *  - snapshots/spark/b2b_mart/scd2_merchant_attributes_snapshot.sql —
+  *    SELECT * with update_ts_msk derived from the camelCase raw
+  *    updatedTimeMs (not utms).
   */
 class TxLogSnapshotRosterRealSpec extends SparkSpec {
   import spark.implicits._
@@ -335,6 +341,82 @@ class TxLogSnapshotRosterRealSpec extends SparkSpec {
       ("u1m", "platinum", "2024-03-01 04:00:00", None),
       ("u2m", "silver", "2024-03-01 03:00:00", Some("2024-03-03 00:00:00")),
       ("u2y", "silver", "2024-03-01 04:00:00", None)), h.toString)
+    pinV0(wh, snap.name, 2)
+  }
+
+  test("REAL b2b_mart/scd2_mongo_published_product.sql: 13-col rename " +
+    "projection, dual millis conversions, DEFAULT keep-open deletes") {
+    val snap = snapOf("b2b_mart/scd2_mongo_published_product.sql")
+    assert(snap.materialization == Materialization.Snapshot("product_id",
+      Scd2Strategy.Timestamp("update_ts_msk"), invalidateHardDeletes = false))
+
+    val (ctx, wh) = logCtx("graft_wh_pubprod")
+    def plant(rows: Seq[(String, String, Long)]): Unit =
+      ctx.sources.register("mongo", "b2b_product_published_products_daily_snapshot")(s =>
+        s.sql(rows.map { case (id, nm, utms) =>
+          s"""SELECT '$id' AS _id, 'cat1' AS categoryId,
+             |  ${msOfMsk("2024-02-01 03:00:00")}L AS createdTimeMs,
+             |  CAST(NULL AS STRING) AS dangerousKind, 'm1' AS merchantId,
+             |  'desc' AS origDescription, ARRAY('u1') AS origExtraImageUrls,
+             |  'img' AS origMainImageUrl, '$nm' AS origName, 'url' AS origUrl,
+             |  'sku-$id' AS sku, 'st1' AS storeId, ${utms}L AS updatedTimeMs""".stripMargin
+        }.mkString("\nUNION ALL\n")))
+
+    plant(Seq(("pp1", "Widget", msOfMsk("2024-03-01 03:00:00")),
+      ("pp2", "Gadget", msOfMsk("2024-03-01 03:00:00"))))
+    runDag(ctx, Seq(snap), "2024-03-02 00:00:00")
+
+    // pp1 renamed (close at NEW update_ts_msk); pp2 vanishes — DEFAULT
+    // config keeps its open row
+    plant(Seq(("pp1", "Widget Pro", msOfMsk("2024-03-01 04:00:00"))))
+    runDag(ctx, Seq(snap), "2024-03-03 00:00:00")
+    val h = ctx.ref(snap.name)
+      .selectExpr("product_id", "orig_name", "sku",
+        "CAST(created_ts_msk AS STRING)",
+        "CAST(dbt_valid_from AS STRING)", "CAST(dbt_valid_to AS STRING)")
+      .as[(String, String, String, String, String, Option[String])].collect().toSet
+    assert(h == Set(
+      ("pp1", "Widget", "sku-pp1", "2024-02-01 03:00:00",
+        "2024-03-01 03:00:00", Some("2024-03-01 04:00:00")),
+      ("pp1", "Widget Pro", "sku-pp1", "2024-02-01 03:00:00",
+        "2024-03-01 04:00:00", None),
+      ("pp2", "Gadget", "sku-pp2", "2024-02-01 03:00:00",
+        "2024-03-01 03:00:00", None)), h.toString)
+    pinV0(wh, snap.name, 2)
+  }
+
+  test("REAL b2b_mart/scd2_merchant_attributes_snapshot.sql: SELECT * with " +
+    "update_ts_msk from the camelCase raw updatedTimeMs") {
+    val snap = snapOf("b2b_mart/scd2_merchant_attributes_snapshot.sql")
+    assert(snap.materialization == Materialization.Snapshot("_id",
+      Scd2Strategy.Timestamp("update_ts_msk"), invalidateHardDeletes = true))
+
+    val (ctx, wh) = logCtx("graft_wh_mattr")
+    def plant(rows: Seq[(String, String, Long)]): Unit =
+      ctx.sources.register("mongo", "b2b_core_merchant_attributes_daily_snapshot")(s =>
+        s.sql(rows.map { case (id, tier, utms) =>
+          s"SELECT '$id' AS _id, '$tier' AS tier, ${utms}L AS updatedTimeMs"
+        }.mkString("\nUNION ALL\n")))
+
+    plant(Seq(("ma1", "basic", msOfMsk("2024-03-01 03:00:00")),
+      ("ma2", "pro", msOfMsk("2024-03-01 03:00:00"))))
+    runDag(ctx, Seq(snap), "2024-03-02 00:00:00")
+
+    // ma1 upgrades (close at NEW ts); ma2 vanishes — invalidate=True closes
+    // it at run_ts; the raw camelCase updatedTimeMs column survives SELECT *
+    plant(Seq(("ma1", "enterprise", msOfMsk("2024-03-01 04:00:00"))))
+    runDag(ctx, Seq(snap), "2024-03-03 00:00:00")
+    val h = ctx.ref(snap.name)
+      .selectExpr("_id", "tier", "CAST(updatedTimeMs AS LONG)",
+        "CAST(dbt_valid_from AS STRING)", "CAST(dbt_valid_to AS STRING)")
+      .as[(String, String, Long, String, Option[String])].collect().toSet
+    assert(h == Set(
+      ("ma1", "basic", msOfMsk("2024-03-01 03:00:00"),
+        "2024-03-01 03:00:00", Some("2024-03-01 04:00:00")),
+      ("ma1", "enterprise", msOfMsk("2024-03-01 04:00:00"),
+        "2024-03-01 04:00:00", None),
+      ("ma2", "pro", msOfMsk("2024-03-01 03:00:00"),
+        "2024-03-01 03:00:00", Some("2024-03-03 00:00:00"))), h.toString)
     pinV0(wh, snap.name, 2)
   }
 }
