@@ -79,6 +79,14 @@ object CorpusExecute {
       * changed-file closure is dropped from the seed (tombstones stick by
       * design, so an unowned stale one would bias re-negotiation) */
     val tombstoneOwner = mutable.Map.empty[((String, String), String), String]
+    /** which node's analysis first PLANTED each pin — invalidation
+      * provenance ONLY, deliberately separate from [[pinned]]'s VALUE: the
+      * ambiguity tie-break reads pinned values (own-claim / ~ambig: / raw
+      * node forms) and retraction preferences must not change because the
+      * warm start wants to know who to invalidate (feeding currentNode into
+      * the pinned value flipped production_sales_stream_metrics's order_id
+      * war onto a different keep and broke its negotiation) */
+    val pinOwner = mutable.Map.empty[((String, String), String), String]
     /** raw-catalog keys whose backing table needs a re-save */
     val dirtyCatalog = mutable.Set.empty[(String, String)]
     val rawCatalogKeys = mutable.Set.empty[(String, String)]
@@ -223,7 +231,10 @@ object CorpusExecute {
         tombstones -= ((key, path.head))
         tombstoneOwner -= ((key, path.head))
       }
-      if (force) pinned.getOrElseUpdate((key, path.head), by)
+      if (force) {
+        pinned.getOrElseUpdate((key, path.head), by)
+        if (currentNode.nonEmpty) pinOwner.getOrElseUpdate((key, path.head), currentNode)
+      }
       val st = schemas.getOrElseUpdate(key, StructType(Nil))
       // deepening through an ESTABLISHED non-string scalar (another node's
       // negotiated numeric/timestamp/…) is the shared-source conflict case:
@@ -494,27 +505,7 @@ object CorpusExecute {
 
   // ---- warm-start schema cache --------------------------------------------
 
-  /** Content hash of the corpus inputs (every model/macro/snapshot/seed file
-    * plus the run vars): the warm-start cache key. An unchanged corpus
-    * negotiates deterministic source schemas, so a previous run's converged
-    * catalog is a valid pass-1 seed; ANY file or var change produces a new
-    * key and a cold run. */
-  def corpusHash(dirs: Seq[Path], vars: Map[String, String]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
-    for (dir <- dirs if Files.isDirectory(dir)) {
-      val walk = Files.walk(dir)
-      val files =
-        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
-        finally walk.close()
-      for (p <- files) {
-        feed(dir.relativize(p).toString); feed("\u0000")
-        md.update(Files.readAllBytes(p)); feed("\u0000")
-      }
-    }
-    for ((k, v) <- vars.toSeq.sorted) { feed(k); feed("="); feed(v); feed("\u0000") }
-    md.digest().map("%02x".format(_)).mkString.take(16)
-  }
+
 
   def cachePath(hash: String): Path =
     java.nio.file.Paths.get(
@@ -570,7 +561,10 @@ object CorpusExecute {
       synth.schemas.toSeq.map { case ((db, t), st) => ("schema", "", db, t, "", st.json) } ++
       synth.tombstones.toSeq.map { case ((db, t), c) =>
         ("tombstone", synth.tombstoneOwner.getOrElse(((db, t), c), ""), db, t, c, "") } ++
-      synth.pinned.toSeq.map { case (((db, t), c), node) => ("pinned", node, db, t, c, "") } ++
+      // pinned rows: node = the pin VALUE (tie-break semantics), dt = the
+      // PLANTING node (invalidation provenance; see Synth.pinOwner)
+      synth.pinned.toSeq.map { case (((db, t), c), v) =>
+        ("pinned", v, db, t, c, synth.pinOwner.getOrElse(((db, t), c), "")) } ++
       synth.rawCatalogKeys.toSeq.map { case (db, t) => ("rawkey", "", db, t, "", "") } ++
       synth.overlays.toSeq.flatMap { case ((node, (db, t)), m) =>
         m.toSeq.map { case (segs, dt) =>
@@ -604,7 +598,10 @@ object CorpusExecute {
           synth.tombstones += ((key, name))
           val owner = r.getAs[String]("node")
           if (owner != null && owner.nonEmpty) synth.tombstoneOwner((key, name)) = owner
-        case "pinned" => synth.pinned((key, name)) = r.getAs[String]("node")
+        case "pinned" =>
+          synth.pinned((key, name)) = r.getAs[String]("node")
+          val po = r.getAs[String]("dt")
+          if (po != null && po.nonEmpty) synth.pinOwner((key, name)) = po
         case "rawkey" => synth.rawCatalogKeys += key; synth.dirtyCatalog += key
         case "overlay" =>
           val m = synth.overlays.getOrElseUpdate(
@@ -676,11 +673,17 @@ object CorpusExecute {
       val o = owner.stripPrefix("~ambig:").stripPrefix("snapshot-strategy:")
       closure.contains(o) || (o.isEmpty && changed.nonEmpty)
     }
+    // a pin's invalidation owner: the PLANTING node (dt column) when
+    // recorded, else whatever node form the pin VALUE carries
+    def pinOwnerOf(r: Row): String = {
+      val po = r.getAs[String]("dt")
+      if (po != null && po.nonEmpty) po else nodeOf(r)
+    }
     // pins dropped by invalidation also narrow the seeded schema: collect
     // them first (rows are kind-ordered: schemas precede pins in seq, so a
     // single streaming pass could not see the drops in time)
     val droppedPins: Set[((String, String), String)] = rows.iterator
-      .filter(r => kindOf(r) == "pinned" && owned(nodeOf(r)))
+      .filter(r => kindOf(r) == "pinned" && owned(pinOwnerOf(r)))
       .map(r => ((r.getAs[String]("db"), r.getAs[String]("tbl")), r.getAs[String]("name")))
       .toSet
     for (r <- rows) {
@@ -700,7 +703,11 @@ object CorpusExecute {
             if (nodeOf(r).nonEmpty) synth.tombstoneOwner((key, name)) = nodeOf(r)
           }
         case "pinned" =>
-          if (!droppedPins.contains((key, name))) synth.pinned((key, name)) = nodeOf(r)
+          if (!droppedPins.contains((key, name))) {
+            synth.pinned((key, name)) = nodeOf(r)
+            val po = r.getAs[String]("dt")
+            if (po != null && po.nonEmpty) synth.pinOwner((key, name)) = po
+          }
         case "rawkey" => synth.rawCatalogKeys += key; synth.dirtyCatalog += key
         case "overlay" =>
           if (!closure.contains(nodeOf(r))) {
@@ -864,8 +871,7 @@ object CorpusExecute {
       // force: a literal alias-qualified occurrence IS a qualified claim —
       // unless the alias is shadowed by a subquery/CTE of the same name
       val force = !shadowed.contains(alias)
-      for (p <- paths.sortBy(-_.length))
-        synth.addPath(key, p, force = force, by = synth.currentNode)
+      for (p <- paths.sortBy(-_.length)) synth.addPath(key, p, force = force)
     }
   }
 

@@ -95,6 +95,24 @@ class IncrementalWarmStartSpec extends SparkSpec {
     assert(CorpusExecute.loadCacheIncremental(c, legacy, hashes, "env1", identity).isEmpty)
   }
 
+  test("preSeed records pin provenance WITHOUT touching the pin value") {
+    // the ambiguity tie-break reads pinned VALUES ("own claims" =
+    // pinned == the warring node): if preSeed wrote currentNode there, a
+    // node's own unqualified plants would win every war it later enters —
+    // the regression that flipped production_sales_stream_metrics's
+    // order_id keep and broke its negotiation. Provenance for the warm
+    // start lives in pinOwner instead.
+    val synth = new CorpusExecute.Synth(spark)
+    val key = ("probe_db", "probe_tbl")
+    synth.currentNode = "some_model"
+    CorpusExecute.preSeed(
+      "SELECT t.amount FROM probe_db.probe_tbl AS t", Map("t" -> key), synth)
+    assert(synth.pinned.get((key, "amount")).contains(""),
+      "preSeed pin VALUE must stay empty (tie-break semantics)")
+    assert(synth.pinOwner.get((key, "amount")).contains("some_model"),
+      "preSeed must record the planting node in pinOwner")
+  }
+
   // ---- end-to-end: edit one mid-DAG model, rerun ---------------------------
 
   private def writeCorpus(dir: Path, bReads: String): Unit = {
