@@ -639,6 +639,19 @@ object CorpusExecute {
     *  - source schemas / raw-catalog keys: keep — grown knowledge the
     *    error-driven loop re-verifies on every node anyway.
     *
+    * LOCALITY RULE: pin/tombstone invalidation applies ONLY to keys no
+    * node OUTSIDE the closure reads (`outsideReaders`). Negotiation state on
+    * a shared relation is GLOBAL war-resolution knowledge: the first
+    * real-corpus measurement dropped gold_orders' claims on shared mongo/
+    * mart tables (gold_orders sat in the edited model's closure) and
+    * re-kindled the product_id plant⇄retract war for product_nf_segment /
+    * product_rating_segment — two nodes NOWHERE NEAR the closure — which
+    * then exhausted their 200-iteration budgets against the asymmetric
+    * partial seed (cold 475 executed -> incremental-warm 473, with a 6-key
+    * retype oscillation across passes 3-8). Shared-key state kept stale is
+    * at worst extra width the loop re-verifies; shared-key state DROPPED
+    * re-fights wars whose choreography assumed the full cold sequence.
+    *
     * Returns Some((changedNodes, invalidatedClosure)) when the cache was
     * usable (possibly with zero changes = plain full warm start); None when
     * the caller must run cold (missing/legacy cache, env change — macros,
@@ -649,7 +662,9 @@ object CorpusExecute {
   def loadCacheIncremental(synth: Synth, path: Path,
                            currentNodeHashes: Map[String, String],
                            envHash: String,
-                           downstreamOf: Set[String] => Set[String]): Option[(Set[String], Set[String])] = try {
+                           downstreamOf: Set[String] => Set[String],
+                           outsideReaders: Set[String] => Set[(String, String)] =
+                             _ => Set.empty): Option[(Set[String], Set[String])] = try {
     if (!Files.exists(path)) return None
     val rows = synth.spark.read.parquet(path.toString)
       .collect().sortBy(_.getAs[Long]("seq"))
@@ -665,6 +680,10 @@ object CorpusExecute {
     val changed = (cachedHashes.keySet ++ currentNodeHashes.keySet)
       .filter(n => cachedHashes.get(n) != currentNodeHashes.get(n))
     val closure = if (changed.isEmpty) Set.empty[String] else downstreamOf(changed)
+    // keys read by any node OUTSIDE the closure: shared-relation state is
+    // exempt from invalidation (see the locality rule in the scaladoc)
+    val sharedKeys: Set[(String, String)] =
+      if (closure.isEmpty) Set.empty else outsideReaders(closure)
     // owner forms: "node", "~ambig:node" (tie-break keep), and
     // "snapshot-strategy:node"; an empty owner is unattributable state —
     // drop it whenever anything changed (over-invalidation only costs
@@ -683,7 +702,8 @@ object CorpusExecute {
     // them first (rows are kind-ordered: schemas precede pins in seq, so a
     // single streaming pass could not see the drops in time)
     val droppedPins: Set[((String, String), String)] = rows.iterator
-      .filter(r => kindOf(r) == "pinned" && owned(pinOwnerOf(r)))
+      .filter(r => kindOf(r) == "pinned" && owned(pinOwnerOf(r)) &&
+        !sharedKeys.contains((r.getAs[String]("db"), r.getAs[String]("tbl"))))
       .map(r => ((r.getAs[String]("db"), r.getAs[String]("tbl")), r.getAs[String]("name")))
       .toSet
     for (r <- rows) {
@@ -698,7 +718,7 @@ object CorpusExecute {
           case _ =>
         }
         case "tombstone" =>
-          if (!owned(nodeOf(r))) {
+          if (!owned(nodeOf(r)) || sharedKeys.contains(key)) {
             synth.tombstones += ((key, name))
             if (nodeOf(r).nonEmpty) synth.tombstoneOwner((key, name)) = nodeOf(r)
           }
@@ -3988,8 +4008,14 @@ object CorpusExecute {
       changedNodes.foreach(add)
       seen.toSet
     }
+    // shared-key exemption (locality rule): every source/raw key in the
+    // transitive read set of any node OUTSIDE the closure
+    def outsideReaders(closure: Set[String]): Set[(String, String)] =
+      nodes.iterator.filterNot(n => closure.contains(n.name))
+        .flatMap(n => n.ownSources ++ n.rawReads ++ closures.getOrElse(n.name, Nil))
+        .toSet
     for (p <- cacheFile if Files.exists(p))
-      loadCacheIncremental(synth, p, nodeHashes, envHash, downstreamOf) match {
+      loadCacheIncremental(synth, p, nodeHashes, envHash, downstreamOf, outsideReaders) match {
         case Some((changed, closure)) =>
           System.err.println(s"[corpus] warm start: ${synth.schemas.size} source schemas, " +
             s"${synth.overlays.size} overlay sets, ${synth.tombstones.size} tombstones from $p" +

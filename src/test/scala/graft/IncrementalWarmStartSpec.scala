@@ -86,6 +86,27 @@ class IncrementalWarmStartSpec extends SparkSpec {
     assert(b.overlays.keySet.map(_._1) == Set("probe_d"))
     assert(b.rawCatalogKeys == Set(kA))
 
+    // LOCALITY RULE: when kB is also read by a node OUTSIDE the closure,
+    // its pins/tombstones are shared war-resolution state and survive the
+    // owner-based invalidation (only overlays — node-scoped — still drop)
+    val shared = new CorpusExecute.Synth(spark)
+    val rShared = CorpusExecute.loadCacheIncremental(shared, p,
+      hashes + ("probe_b" -> "h2x"), "env1",
+      changed => changed.flatMap(c =>
+        if (c == "probe_b") Set("probe_b", "probe_c") else Set(c)),
+      outsideReaders = _ => Set(kB))
+    assert(rShared.contains((Set("probe_b"), Set("probe_b", "probe_c"))))
+    assert(shared.schemas(kB).fieldNames.toSet ==
+      Set("user_id", "city", "unpinned_extra"), "shared-key schema must not narrow")
+    assert(shared.pinned.contains((kB, "user_id")) && shared.pinned.contains((kB, "city")),
+      "shared-key pins must survive")
+    assert(shared.tombstones.contains((kB, "dropped_col")),
+      "shared-key tombstones must survive")
+    assert(!shared.pinned.contains((kA, "amount")),
+      "exclusive-key pin of a closure owner still drops")
+    assert(shared.overlays.keySet.map(_._1) == Set("probe_d"),
+      "closure overlays drop regardless of key sharing")
+
     // legacy cache (no node hashes): unusable -> cold
     val legacy = Paths.get(graft.runtime.TempDirs.create("graft_inc_legacy").toString,
       "synth.parquet")
