@@ -116,6 +116,22 @@ class IncrementalWarmStartSpec extends SparkSpec {
     assert(CorpusExecute.loadCacheIncremental(c, legacy, hashes, "env1", identity).isEmpty)
   }
 
+  test("cache key separates execution modes and locations") {
+    // a TxLog run and a parquet run of the same corpus must not share (and
+    // overwrite) one cache file — tombstones stick by design, so cross-mode
+    // seeding would bias every cold/warm comparison (r15 ADVICE #1)
+    val dirs = Seq(Paths.get("/tmp/corpA"))
+    val vars = Map("run_ts" -> "2025-10-01 00:00:00")
+    val parquetKey = CorpusExecute.stableCacheKey(dirs, vars + ("__graft_mode_logfmt" -> "false"))
+    val txlogKey = CorpusExecute.stableCacheKey(dirs, vars + ("__graft_mode_logfmt" -> "true"))
+    assert(parquetKey != txlogKey, "modes must get distinct cache files")
+    assert(CorpusExecute.stableCacheKey(Seq(Paths.get("/tmp/corpB")), vars) != parquetKey,
+      "locations must get distinct cache files")
+    // and the key is CONTENT-independent: that is what makes the
+    // incremental warm start possible (content diffs happen inside, per-node)
+    assert(CorpusExecute.stableCacheKey(dirs, vars) == CorpusExecute.stableCacheKey(dirs, vars))
+  }
+
   test("preSeed records pin provenance WITHOUT touching the pin value") {
     // the ambiguity tie-break reads pinned VALUES ("own claims" =
     // pinned == the warring node): if preSeed wrote currentNode there, a
