@@ -71,15 +71,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // the `__alt` dual-formulation outputs ARE machine-checkable: Verify has
-    // already enforced alt == primary (exceptAll, primary deleted on any
-    // divergence), so the DuckDB oracle for an alt row is simply the primary
-    // parquet itself — the driver's hash compare then re-proves the
-    // equivalence and the CORRECTNESS artifact carries zero `no_oracle` rows
+    // the `__alt` dual-formulation outputs get the PRIMARY query's genuine
+    // DuckDB oracle (not a read-back of our own primary parquet): Verify has
+    // already enforced alt == primary in-JVM (exceptAll, primary deleted on
+    // any divergence), and the driver then independently recomputes the
+    // oracle against the alt output too — so the alt rows stay verified even
+    // if a future alt's primary were somehow mis-staged. Enforced: every alt
+    // key MUST have a genuine oracle; a new alt without one fails loudly
+    // here instead of silently emitting a circular self-read oracle.
     val altOracles: Map[String, String] =
       AltFormulations.alt.keys.filter(selected).map { name =>
-        s"${name}__alt" ->
-          s"SELECT * FROM read_parquet('$outDir/$name/*.parquet')"
+        val genuine = SparkEntry.oracleSql.getOrElse(name,
+          sys.error(s"AltFormulations key '$name' has no genuine " +
+            "SparkEntry.oracleSql entry — alt rows must not be circular"))
+        s"${name}__alt" -> genuine
       }.toMap
     // subset runs (`only` non-empty) emit oracle SQL ONLY for the selected
     // queries: unselected q33/q34/q39/q56 entries would otherwise point the

@@ -232,8 +232,15 @@ object CorpusExecute {
         tombstoneOwner -= ((key, path.head))
       }
       if (force) {
+        // provenance ONLY on actual insertion: a node that merely re-touches
+        // a pre-existing pin must not become its recorded planter (wrong
+        // owner => future incremental runs invalidate the pin when the
+        // WRONG node changes). A pin with no recorded owner is simply never
+        // closure-invalidated — conservative, like the locality rule.
+        val inserted = !pinned.contains((key, path.head))
         pinned.getOrElseUpdate((key, path.head), by)
-        if (currentNode.nonEmpty) pinOwner.getOrElseUpdate((key, path.head), currentNode)
+        if (inserted && currentNode.nonEmpty)
+          pinOwner.getOrElseUpdate((key, path.head), currentNode)
       }
       val st = schemas.getOrElseUpdate(key, StructType(Nil))
       // deepening through an ESTABLISHED non-string scalar (another node's
@@ -523,6 +530,10 @@ object CorpusExecute {
     * the cache — [[loadCacheIncremental]] diffs per-node content hashes
     * stored inside it and invalidates only the changed closure. */
   def stableCacheKey(dirs: Seq[Path], vars: Map[String, String]): String =
+    // separators below are INVISIBLE NUL bytes (\u0000), not spaces — NUL
+    // cannot appear in paths, var names, or var values, so the join is
+    // unambiguous (r17: a reviewer misread them as plain ' '; this comment
+    // prevents the next misread, same story as AnnDeterminismSpec's \u0001)
     sha16(dirs.map(_.toAbsolutePath.toString).mkString(" ") + " " +
       vars.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
 
@@ -538,8 +549,13 @@ object CorpusExecute {
         try walk.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
         finally walk.close()
       for (p <- files) {
+        // NUL-separated (invisible \u0000, not spaces) + LENGTH-PREFIXED
+        // content: even a file whose bytes contain NUL cannot alias a
+        // neighboring (path, content) split
+        val bytes = Files.readAllBytes(p)
         feed(dir.relativize(p).toString); feed(" ")
-        md.update(Files.readAllBytes(p)); feed(" ")
+        feed(bytes.length.toString); feed(":")
+        md.update(bytes); feed(" ")
       }
     }
     for ((k, v) <- vars.toSeq.sorted) { feed(k); feed("="); feed(v); feed(" ") }

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
 import graft.queries.NorthStarQueries
 
 /** Machine-checks the float-margin assumption q39's DuckDB oracle rests on.
@@ -41,11 +40,13 @@ class AnnMarginSpec extends SparkSpec {
     Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  // the exact centroid set q39 trains (deterministic: fixed seed sample)
+  // the exact centroid set q39 USES: read from the stage q39AnnIvf writes
+  // (regenerated here with q39's own code path, so a future parameter
+  // change in q39AnnIvf can never leave this spec measuring stale geometry
+  // while the oracle uses the new one)
   private lazy val cents: DataFrame = {
-    val e = Tables(spark, sfDir, "embeddings")
-    Similarity.kmeansOnSample(e,
-        e.filter(col("vec_id") % 31 === 0).limit(16), sampleSize = 1024, iters = 25)
+    NorthStarQueries.q39AnnIvf(spark, sfDir) // writes q39StagePath(sfDir)
+    spark.read.parquet(NorthStarQueries.q39StagePath(sfDir))
       .select(col("vec_id").as("cent_id"), col("embedding").cast("array<double>").as("cv"))
   }
 

@@ -3,7 +3,7 @@
 # /proc/stat steal% at 5 s intervals for the duration, run graft.Bench via
 # plain java (no sbt lock/overhead), save the JSON line. Usage:
 #   tools/bench_attempt.sh <tag>     # writes /tmp/bench_<tag>.json + .steal
-set -eu
+set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG="${1:?usage: bench_attempt.sh <tag>}"
 if [ ! -d target/scala-2.13/classes ]; then
@@ -36,4 +36,10 @@ java $OPENS -Xmx"${SPARK_DRIVER_MEM:-16g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$SNAP:/opt/spark/jars/*" graft.Bench 2>/dev/null \
   | grep -F '"metric"' | tee "/tmp/bench_${TAG}.json"
+# pipefail catches a crashed Bench upstream of tee; an empty capture file
+# (grep matched nothing) must also fail, not pose as an attempt result
+if [ ! -s "/tmp/bench_${TAG}.json" ]; then
+  echo "error: bench produced no JSON line (crash or changed output format)" >&2
+  exit 1
+fi
 echo "steal samples (max / p95): $(sort -n "$STEAL" | tail -1) / $(sort -n "$STEAL" | awk '{a[NR]=$1} END{print a[int(NR*0.95)]}')"
