@@ -30,10 +30,17 @@ object CorpusExec {
     // reference checkout cannot host (the incremental warm-start cache is
     // keyed by corpus location, so a copy gets its own cache lineage)
     val base = sys.env.getOrElse("GRAFT_CORPUS_DIR", "/root/reference")
+    // GRAFT_CORPUS_WAREHOUSE: persistent warehouse root — tables survive the
+    // JVM so a later changed-only run can reuse them.
+    // GRAFT_CHANGED_ONLY=1: execute only changed nodes + their transitive
+    // children (run.sh --changed-only semantics); everything else is reused
+    // from the persistent warehouse. Needs BOTH flags + a prior full run.
     val report = graft.runtime.CorpusExecute.run(spark,
       Paths.get(s"$base/models"), Paths.get(s"$base/macros"),
       Paths.get(s"$base/snapshots"), Paths.get(s"$base/seeds"),
-      only = only)
+      only = only,
+      changedOnly = sys.env.get("GRAFT_CHANGED_ONLY").contains("1"),
+      warehouseDir = sys.env.get("GRAFT_CORPUS_WAREHOUSE").map(Paths.get(_)))
     println(report.describe)
     println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     // persist the full report (all items incl. executed) for offline analysis;
@@ -42,6 +49,7 @@ object CorpusExec {
     val lines = report.items.map(i =>
       f"${i.status}%s\t${i.name}%s\t${i.kind}%s\t${i.iterations}%d\t${i.detail}%s\t${i.secs}%.1f")
     val suffix = (if (only.isDefined) "_subset" else "") +
+      (if (sys.env.get("GRAFT_CHANGED_ONLY").contains("1")) "_changedonly" else "") +
       (if (sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1")) "_logfmt" else "")
     val out = s"target/corpus_exec_report$suffix.tsv"
     java.nio.file.Files.writeString(Paths.get(out), lines.mkString("\n") + "\n")

@@ -54,7 +54,7 @@ object CorpusExecute {
       for ((s, n) <- byStatus.toSeq.sortBy(-_._2)) sb ++= s"  $s: $n\n"
       sb ++= s"incremental second-run executed: ${incrementalExecuted.size}\n"
       sb ++= s"synthesized source tables: ${sourceCatalog.size}, columns: ${sourceCatalog.valuesIterator.map(_.size).sum}\n"
-      for (i <- items if i.status != "executed")
+      for (i <- items if i.status != "executed" && i.status != "reused")
         sb ++= s"  [${i.status}] ${i.name}: ${i.detail.take(200)}\n"
       sb.result()
     }
@@ -3752,46 +3752,22 @@ object CorpusExecute {
         "(?![A-Za-z0-9_])")
       .matcher(sqlLower).find()
 
-  def run(spark: SparkSession, modelsDir: Path, macrosDir: Path,
-          snapshotsDir: Path, seedsDir: Path,
-          vars: Map[String, String] = CorpusSweep.defaultVars ++ Map(
-            "run_ts" -> "2025-10-01 00:00:00", "run_dow" -> "1"),
-          maxIter: Int = 200, maxPasses: Int = 8,
-          only: Option[Set[String]] = None,
-          cacheOverride: Option[Path] = None): Report = {
-    val macros = CorpusSweep.loadMacros(macrosDir)
-    val synth = new Synth(spark)
-    // attribute the log-format tax: TxLog wall time shows up in Prof.summary
-    // alongside materialize/incremental (parquet runs record ~nothing here)
-    graft.plans.TxLog.profiler = (k, s) => Prof.add(k, s)
-    // GRAFT_CORPUS_LOGFMT=1 runs the whole EXECUTE phase on the
-    // transaction-log warehouse: the corpus's 197 `file_format='delta'`
-    // models (incl. the 54 snapshots' merge patterns) then exercise
-    // log-backed create / dynamic-partition overwrite / append / merge
-    // (reference: macros/spark_adapter_patch/create_table.sql:29-34)
-    val wh = new Warehouse(spark, TempDirs.create("graft_corpus_exec"),
-      logFormatEnabled = sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1"))
-    val ctx = Ctx(spark, wh, synth.registry, vars, macros = macros)
-    graft.functions.TimeFunctions.register(spark)
-
-    // seeds: real CSVs, loaded up front — every ref() to a seed resolves
-    if (Files.isDirectory(seedsDir)) {
-      val walk = Files.walk(seedsDir)
-      val seedFiles =
-        try walk.iterator().asScala.filter(p =>
-          p.toString.endsWith(".csv") && Files.isRegularFile(p)).toList.sortBy(_.toString)
-        finally walk.close()
-      for (p <- seedFiles) {
-        val n = p.getFileName.toString.stripSuffix(".csv")
-        try Seeds.load(ctx, n, p.toString)
-        catch { case scala.util.control.NonFatal(_) => }
-      }
-    }
-
-    // nodes: unique-named, defect-free models + every snapshot block
+  /** The corpus node graph EXACTLY as the EXECUTE phase runs it:
+    * unique-named defect-free models + every snapshot block, restricted to
+    * `only`'s dependency closure when given, with raw `schema.node_name`
+    * reads promoted to real dependency edges (so producers materialize
+    * first and the TABLE_OR_VIEW patch can mirror their output). Factored
+    * out of run() so the changed-only execution subset is testable against
+    * the real manifest with the same edges. */
+  final case class Graph(sweep: CorpusSweep.Report, nodes: Seq[Node],
+                         nodeSchemas: Map[String, String])
+  def corpusGraph(spark: SparkSession, modelsDir: Path, macrosDir: Path,
+                  snapshotsDir: Path, seedsDir: Path,
+                  macros: Map[String, SqlTemplater.MacroDef],
+                  vars: Map[String, String],
+                  only: Option[Set[String]] = None): Graph = {
     val sweep = CorpusSweep.sweep(spark, modelsDir, macrosDir, vars,
       extraRefTargets = CorpusSweep.refTargets(snapshotsDir, seedsDir))
-    val skipNames = sweep.failed.map(_.name).toSet
     val modelNodes = sweep.passed.map { r =>
       val sql = Files.readString(java.nio.file.Paths.get(r.path))
       Node(r.name, "model", sql, r.refs,
@@ -3826,9 +3802,6 @@ object CorpusExecute {
       "(?i)schema\\s*=\\s*['\"](\\w+)['\"]".r.findFirstMatchIn(n.rawSql)
         .map(m => n.name -> m.group(1))
     }.toMap
-    // models also read other nodes by raw `schema.node_name` (no ref()):
-    // make those real dependency edges so producers materialize first and
-    // the TABLE_OR_VIEW patch can mirror their REAL output into the catalog
     val rawRefRe = "(?<![\\w.`'\"])([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)".r
     val nodes = nodes0.map { n =>
       val rawDeps = rawRefRe.findAllMatchIn(n.rawSql)
@@ -3840,6 +3813,78 @@ object CorpusExecute {
         .toSeq.distinct.filterNot(n.deps.contains)
       if (rawDeps.isEmpty) n else n.copy(deps = n.deps ++ rawDeps)
     }
+    Graph(sweep, nodes, nodeSchemas)
+  }
+
+  /** Changed nodes + every transitive dependent — the changed-only
+    * execution subset (reference `--changed-only` + all_children,
+    * infra/dbtjoom/find.py:9-15; descendant-closed, so find.py's
+    * fill_gaps pass adds nothing on it). */
+  def descendantClosure(nodes: Seq[Node], changed: Set[String]): Set[String] = {
+    val known = nodes.map(_.name).toSet
+    val dependents = nodes.flatMap(n => n.deps.filter(known.contains).map(_ -> n.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seen = mutable.Set.empty[String]
+    def add(n: String): Unit =
+      if (seen.add(n)) dependents.getOrElse(n, Nil).foreach(add)
+    changed.foreach(add)
+    seen.toSet
+  }
+
+  def run(spark: SparkSession, modelsDir: Path, macrosDir: Path,
+          snapshotsDir: Path, seedsDir: Path,
+          vars: Map[String, String] = CorpusSweep.defaultVars ++ Map(
+            "run_ts" -> "2025-10-01 00:00:00", "run_dow" -> "1"),
+          maxIter: Int = 200, maxPasses: Int = 8,
+          only: Option[Set[String]] = None,
+          cacheOverride: Option[Path] = None,
+          changedOnly: Boolean = false,
+          warehouseDir: Option[Path] = None): Report = {
+    val macros = CorpusSweep.loadMacros(macrosDir)
+    val synth = new Synth(spark)
+    // attribute the log-format tax: TxLog wall time shows up in Prof.summary
+    // alongside materialize/incremental (parquet runs record ~nothing here)
+    graft.plans.TxLog.profiler = (k, s) => Prof.add(k, s)
+    // GRAFT_CORPUS_LOGFMT=1 runs the whole EXECUTE phase on the
+    // transaction-log warehouse: the corpus's 197 `file_format='delta'`
+    // models (incl. the 54 snapshots' merge patterns) then exercise
+    // log-backed create / dynamic-partition overwrite / append / merge
+    // (reference: macros/spark_adapter_patch/create_table.sql:29-34)
+    // a PERSISTENT warehouse root (changed-only dev loop: the previous
+    // deploy's tables back the nodes this run does not re-execute); default
+    // stays a throwaway temp dir (full-corpus validation runs)
+    val whRoot = warehouseDir match {
+      case Some(p) => Files.createDirectories(p); p.toAbsolutePath.toString
+      case None => TempDirs.create("graft_corpus_exec")
+    }
+    val wh = new Warehouse(spark, whRoot,
+      logFormatEnabled = sys.env.get("GRAFT_CORPUS_LOGFMT").contains("1"))
+    val ctx = Ctx(spark, wh, synth.registry, vars, macros = macros)
+    graft.functions.TimeFunctions.register(spark)
+
+    // seeds: real CSVs, loaded up front — every ref() to a seed resolves
+    if (Files.isDirectory(seedsDir)) {
+      val walk = Files.walk(seedsDir)
+      val seedFiles =
+        try walk.iterator().asScala.filter(p =>
+          p.toString.endsWith(".csv") && Files.isRegularFile(p)).toList.sortBy(_.toString)
+        finally walk.close()
+      for (p <- seedFiles) {
+        val n = p.getFileName.toString.stripSuffix(".csv")
+        try Seeds.load(ctx, n, p.toString)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
+
+    // nodes: the corpus graph, factored into corpusGraph() so the
+    // changed-only subset computation is pinned on the REAL manifest by
+    // ChangedOnlySpec against the very same edges EXECUTE runs with
+    val g = corpusGraph(spark, modelsDir, macrosDir, snapshotsDir, seedsDir,
+      macros, vars, only)
+    val sweep = g.sweep
+    val skipNames = sweep.failed.map(_.name).toSet
+    val nodes = g.nodes
+    val nodeSchemas = g.nodeSchemas
     val byName = nodes.map(n => n.name -> n).toMap
 
     // combined Kahn order over models + snapshots (snapshots both ref models
@@ -4017,22 +4062,19 @@ object CorpusExecute {
     // its downstream closure's re-negotiation, not the full cold run)
     val nodeHashes: Map[String, String] = nodes.map(n => n.name -> sha16(n.rawSql)).toMap
     val envHash = envHashOf(macrosDir, seedsDir, modeVars)
-    def downstreamOf(changedNodes: Set[String]): Set[String] = {
-      val seen = mutable.Set.empty[String]
-      def add(n: String): Unit =
-        if (seen.add(n)) dependents.getOrElse(n, Nil).foreach(add)
-      changedNodes.foreach(add)
-      seen.toSet
-    }
+    def downstreamOf(changedNodes: Set[String]): Set[String] =
+      descendantClosure(nodes, changedNodes)
     // shared-key exemption (locality rule): every source/raw key in the
     // transitive read set of any node OUTSIDE the closure
     def outsideReaders(closure: Set[String]): Set[(String, String)] =
       nodes.iterator.filterNot(n => closure.contains(n.name))
         .flatMap(n => n.ownSources ++ n.rawReads ++ closures.getOrElse(n.name, Nil))
         .toSet
+    var warmInfo: Option[(Set[String], Set[String])] = None
     for (p <- cacheFile if Files.exists(p))
       loadCacheIncremental(synth, p, nodeHashes, envHash, downstreamOf, outsideReaders) match {
-        case Some((changed, closure)) =>
+        case r @ Some((changed, closure)) =>
+          warmInfo = r
           System.err.println(s"[corpus] warm start: ${synth.schemas.size} source schemas, " +
             s"${synth.overlays.size} overlay sets, ${synth.tombstones.size} tombstones from $p" +
             (if (changed.nonEmpty)
@@ -4040,6 +4082,63 @@ object CorpusExecute {
             else ""))
         case None => // cold: missing/legacy cache, env change, or read failure
       }
+
+    // CHANGED-ONLY EXECUTION (the reference's `run.sh --changed-only` dev
+    // loop: run_dev selects changed models + all transitive children and
+    // re-runs ONLY those; unchanged tables are reused from the previous
+    // deploy — infra/dbtjoom/find.py:9-46, infra/get_tables_to_copy_from_prod.py).
+    // Our selection = downstreamOf(changed), which INCLUDES the changed
+    // nodes and is descendant-closed, so find.py's fill_gaps pass is a
+    // no-op on it (any path between two selected nodes consists of
+    // descendants of the first — already selected).
+    // Requires a usable warm cache (the change detector) — without one
+    // every node counts as changed and this degrades to the full run.
+    val execSubset: Option[Set[String]] =
+      if (!changedOnly) None
+      else warmInfo match {
+        case Some((changed, _)) => Some(downstreamOf(changed.filter(known.contains)))
+        case None =>
+          System.err.println("[corpus] changed-only requested but no usable warm cache — full run")
+          None
+      }
+
+    // changed-only reuse pre-pass (topo order): every node OUTSIDE the
+    // execution subset keeps its previous deploy's table (persistent
+    // warehouse root) — by descendant-closure no reused node can depend on
+    // a subset node, so reads stay consistent. Views have no on-disk
+    // materialization: re-register their builders (analysis only, no data
+    // write — the same thing their executeNode materialization does) and
+    // fall back to normal execution if the build/analysis throws.
+    for (es <- execSubset) {
+      var reusedTables = 0; var reusedViews = 0
+      for (name <- order if !es.contains(name)) {
+        val node = byName(name)
+        def markReused(detail: String): Unit = {
+          passResults += name -> Item(name, node.kind, "reused", detail)
+          lastRunVersion(name) = synth.version
+        }
+        if (ctx.warehouse.tableExists(name)) {
+          markReused("changed-only:on-disk"); reusedTables += 1
+        } else {
+          val savedNode = synth.currentNode
+          try {
+            synth.currentNode = name
+            val m = node.model()
+            m.materialization match {
+              case Materialization.View =>
+                new DagRunner(Seq(m)).materialize(ctx, m)
+                ctx.warehouse.read(name).schema // force analysis NOW, not in a reader
+                markReused("changed-only:view-reregistered"); reusedViews += 1
+              case _ => // table missing on disk: execute normally below
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          finally synth.currentNode = savedNode
+        }
+      }
+      System.err.println(s"[corpus] changed-only: subset=${es.size} " +
+        s"reused-tables=$reusedTables reused-views=$reusedViews " +
+        s"to-execute=${known.size - passResults.size}")
+    }
 
     var passes = 0
     var grew = true
@@ -4054,7 +4153,8 @@ object CorpusExecute {
       val results = mutable.Map.empty[String, Item]
       for (name <- order) {
         val node = byName(name)
-        val unchanged = passResults.get(name).exists(_.status == "executed") &&
+        val unchanged = passResults.get(name)
+          .exists(i => i.status == "executed" || i.status == "reused") &&
           closureKeysOf(name).forall(k =>
             synth.keyVersions.getOrElse(k, 0L) <= lastRunVersion.getOrElse(name, -1L)) &&
           // a mid-pass refresh may have dropped this node's table and then
@@ -4080,7 +4180,8 @@ object CorpusExecute {
             closures.getOrElse(name, Nil), refreshUpstreams,
             depsSql = depsSqlOf(node),
             nodeSchemas = nodeSchemas, refreshNode = refreshNamed,
-            previouslyExecuted = passResults.get(name).exists(_.status == "executed")))
+            previouslyExecuted = passResults.get(name)
+              .exists(i => i.status == "executed" || i.status == "reused")))
           val secs = (System.nanoTime() - t0) / 1e9
           attempted += 1
           if (secs > 10) System.err.println(f"[corpus]   $name: ${item.status} in $secs%.1f s")
