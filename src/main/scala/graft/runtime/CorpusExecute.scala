@@ -37,6 +37,11 @@ import org.apache.spark.sql.types._
   * negotiation happens once per deploy, not per byte.
   */
 object CorpusExecute {
+  /** Test-only: disables the shared-key (locality-rule) exemption in
+    * incremental invalidation so WarLocalitySpec can assert the rule is
+    * load-bearing. Never set outside tests. */
+  private[graft] var testDisableLocalityRule = false
+
 
   final case class Item(name: String, kind: String, status: String,
                         detail: String = "", iterations: Int = 0,
@@ -537,13 +542,16 @@ object CorpusExecute {
     sha16(dirs.map(_.toAbsolutePath.toString).mkString(" ") + " " +
       vars.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
 
-  /** Hash of everything that affects EVERY node's rendering/negotiation but
-    * is not any single node's file: macro + seed file contents, vars, mode.
-    * A change here makes the whole cache unusable (full cold run). */
-  def envHashOf(macrosDir: Path, seedsDir: Path, vars: Map[String, String]): String = {
+  /** Hash of the CORE environment that affects every node's rendering and
+    * has no finer-grained owner: seed file contents, vars, mode. A change
+    * here makes the whole cache unusable (full cold run). Macro contents
+    * are NOT fed here since r17 — they are tracked per-macro
+    * ([[macroHashesOf]]) so a macro edit invalidates only its callers'
+    * closure instead of cold-starting the corpus. */
+  def envHashOf(seedsDir: Path, vars: Map[String, String]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
-    for (dir <- Seq(macrosDir, seedsDir) if Files.isDirectory(dir)) {
+    for (dir <- Seq(seedsDir) if Files.isDirectory(dir)) {
       val walk = Files.walk(dir)
       val files =
         try walk.iterator().asScala.filter(Files.isRegularFile(_)).toVector.sortBy(_.toString)
@@ -562,6 +570,41 @@ object CorpusExecute {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Per-macro content hashes (name-level: nodes call macros by NAME, and
+    * one file may define several). Input to the macro-granular incremental
+    * warm start. */
+  def macroHashesOf(macros: Map[String, SqlTemplater.MacroDef]): Map[String, String] =
+    macros.map { case (name, d) =>
+      name -> sha16(d.params.mkString(" ") + "" + d.body)
+    }
+
+  /** Which nodes a set of edited macros reaches: first close over
+    * macro-in-macro references (a caller of an affected macro is affected),
+    * then select every node whose raw SQL mentions an affected macro as a
+    * call. Conservative by construction: a textual mention without a real
+    * call only costs re-negotiation of that node's closure. NB the two
+    * joins in macroHashesOf are invisible control chars (NUL / U+0001). */
+  def nodesUsingMacros(changedMacros: Set[String],
+                       macros: Map[String, SqlTemplater.MacroDef],
+                       nodes: Seq[Node]): Set[String] = {
+    if (changedMacros.isEmpty) return Set.empty
+    def callRe(name: String) =
+      ("(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+    val affected = mutable.Set.empty[String] ++ changedMacros
+    var grew = true
+    while (grew) {
+      grew = false
+      for ((name, d) <- macros if !affected.contains(name)
+           if affected.exists(a => callRe(a).findFirstIn(d.body).isDefined)) {
+        affected += name; grew = true
+      }
+    }
+    val res = affected.toSet
+    nodes.iterator.filter(n =>
+      res.exists(a => callRe(a).findFirstIn(n.rawSql).isDefined))
+      .map(_.name).toSet
+  }
+
   private val overlaySep = "\u0001" // a control char never present in identifiers
 
   /** Persist the converged negotiation state: source schemas, tombstones,
@@ -570,7 +613,8 @@ object CorpusExecute {
     * overlay insertion order — which applyOverlays relies on — survives. */
   def saveCache(synth: Synth, path: Path,
                 nodeHashes: Map[String, String] = Map.empty,
-                envHash: String = ""): Unit = {
+                envHash: String = "",
+                macroHashes: Map[String, String] = Map.empty): Unit = {
     val spark = synth.spark
     import spark.implicits._
     val rows: Seq[(String, String, String, String, String, String)] =
@@ -588,6 +632,7 @@ object CorpusExecute {
       // per-node content hashes + the env hash: what loadCacheIncremental
       // diffs to decide which nodes' negotiation state is still valid
       nodeHashes.toSeq.map { case (n, h) => ("nodehash", n, "", "", "", h) } ++
+      macroHashes.toSeq.map { case (n, h) => ("macrohash", n, "", "", "", h) } ++
       (if (envHash.nonEmpty) Seq(("envhash", "", "", "", "", envHash)) else Nil)
     Files.createDirectories(path.getParent)
     rows.zipWithIndex.map { case ((k, n, d, t, c, j), i) => (i.toLong, k, n, d, t, c, j) }
@@ -680,6 +725,9 @@ object CorpusExecute {
                            envHash: String,
                            downstreamOf: Set[String] => Set[String],
                            outsideReaders: Set[String] => Set[(String, String)] =
+                             _ => Set.empty,
+                           currentMacroHashes: Map[String, String] = Map.empty,
+                           nodesUsingMacros: Set[String] => Set[String] =
                              _ => Set.empty): Option[(Set[String], Set[String])] = try {
     if (!Files.exists(path)) return None
     val rows = synth.spark.read.parquet(path.toString)
@@ -693,8 +741,26 @@ object CorpusExecute {
       System.err.println("[corpus] warm-start cache is legacy/env-mismatched — running cold")
       return None
     }
-    val changed = (cachedHashes.keySet ++ currentNodeHashes.keySet)
+    val nodeChanged = (cachedHashes.keySet ++ currentNodeHashes.keySet)
       .filter(n => cachedHashes.get(n) != currentNodeHashes.get(n))
+    // macro-granular invalidation (r17): a macro edit marks only its
+    // callers' nodes changed (transitively through macro-in-macro calls)
+    // instead of cold-starting the whole corpus. A cache that carries no
+    // macrohash rows while the current corpus HAS macros is pre-r17 —
+    // run cold once rather than silently skipping macro invalidation.
+    val cachedMacroHashes = rows.filter(kindOf(_) == "macrohash")
+      .map(r => nodeOf(r) -> r.getAs[String]("dt")).toMap
+    if (cachedMacroHashes.isEmpty && currentMacroHashes.nonEmpty) {
+      System.err.println("[corpus] warm-start cache predates macro hashes — running cold")
+      return None
+    }
+    val changedMacros = (cachedMacroHashes.keySet ++ currentMacroHashes.keySet)
+      .filter(n => cachedMacroHashes.get(n) != currentMacroHashes.get(n))
+    val macroNodes = nodesUsingMacros(changedMacros)
+    if (changedMacros.nonEmpty)
+      System.err.println(s"[corpus] macro edit: ${changedMacros.size} macro(s) " +
+        s"changed -> ${macroNodes.size} caller node(s) marked changed")
+    val changed = nodeChanged ++ macroNodes
     val closure = if (changed.isEmpty) Set.empty[String] else downstreamOf(changed)
     // keys read by any node OUTSIDE the closure: shared-relation state is
     // exempt from invalidation (see the locality rule in the scaladoc)
@@ -4061,18 +4127,24 @@ object CorpusExecute {
     // change detector (see loadCacheIncremental — a one-model edit pays only
     // its downstream closure's re-negotiation, not the full cold run)
     val nodeHashes: Map[String, String] = nodes.map(n => n.name -> sha16(n.rawSql)).toMap
-    val envHash = envHashOf(macrosDir, seedsDir, modeVars)
+    val envHash = envHashOf(seedsDir, modeVars)
+    val macroHashes = macroHashesOf(macros)
     def downstreamOf(changedNodes: Set[String]): Set[String] =
       descendantClosure(nodes, changedNodes)
     // shared-key exemption (locality rule): every source/raw key in the
-    // transitive read set of any node OUTSIDE the closure
+    // transitive read set of any node OUTSIDE the closure.
+    // testDisableLocalityRule exists ONLY so WarLocalitySpec can prove the
+    // rule bites: with it set, shared-key pins/tombstones invalidate like
+    // exclusive ones and the spec's plant-retract war must fail to converge.
     def outsideReaders(closure: Set[String]): Set[(String, String)] =
-      nodes.iterator.filterNot(n => closure.contains(n.name))
+      if (testDisableLocalityRule) Set.empty
+      else nodes.iterator.filterNot(n => closure.contains(n.name))
         .flatMap(n => n.ownSources ++ n.rawReads ++ closures.getOrElse(n.name, Nil))
         .toSet
     var warmInfo: Option[(Set[String], Set[String])] = None
     for (p <- cacheFile if Files.exists(p))
-      loadCacheIncremental(synth, p, nodeHashes, envHash, downstreamOf, outsideReaders) match {
+      loadCacheIncremental(synth, p, nodeHashes, envHash, downstreamOf, outsideReaders,
+        macroHashes, changedMacros => nodesUsingMacros(changedMacros, macros, nodes)) match {
         case r @ Some((changed, closure)) =>
           warmInfo = r
           System.err.println(s"[corpus] warm start: ${synth.schemas.size} source schemas, " +
@@ -4211,7 +4283,7 @@ object CorpusExecute {
     }
 
     for (p <- cacheFile) try {
-      saveCache(synth, p, nodeHashes, envHash)
+      saveCache(synth, p, nodeHashes, envHash, macroHashes)
       System.err.println(s"[corpus] saved warm-start cache: ${synth.schemas.size} " +
         s"source schemas -> $p")
     } catch { case scala.util.control.NonFatal(e) =>

@@ -119,6 +119,73 @@ class ChangedOnlySpec extends SparkSpec {
     assert(byStatus(noop, "reused") == all, noop.describe)
   }
 
+  test("macro edit invalidates exactly its callers' closure (macro-granular " +
+    "env invalidation)") {
+    val corpus = Paths.get(graft.runtime.TempDirs.create("graft_co_macro").toString)
+    val cache = corpus.resolve("cache/synth.parquet")
+    val wh = corpus.resolve("warehouse")
+    def go(changedOnly: Boolean): CorpusExecute.Report = CorpusExecute.run(spark,
+      corpus.resolve("models"), corpus.resolve("macros"),
+      corpus.resolve("snapshots"), corpus.resolve("seeds"),
+      cacheOverride = Some(cache), changedOnly = changedOnly,
+      warehouseDir = Some(wh))
+    def byStatus(r: CorpusExecute.Report, st: String): Set[String] =
+      r.items.filter(_.status == st).map(_.name).toSet
+
+    writeCorpus(corpus, "b.city")
+    def writeMacro(body: String): Unit =
+      Files.writeString(corpus.resolve("macros/util.sql"),
+        s"{% macro pick_flag(t) %}$body{% endmacro %}\n")
+    writeMacro("{{ t }}.flag_v1")
+    // co_b now calls the macro; co_c stays its plain downstream
+    Files.writeString(corpus.resolve("models").resolve("co_b.sql"),
+      """{{ config(schema='probe', materialized='table', file_format='parquet') }}
+        |SELECT b.user_id, {{ pick_flag('b') }} AS flag, t.amount
+        |FROM {{ source('co_db', 'raw_b') }} AS b
+        |JOIN {{ ref('co_a') }} AS t ON b.user_id = t.order_id
+        |""".stripMargin)
+    val cold = go(changedOnly = true) // cold cache: degrades to full
+    assert(byStatus(cold, "executed").size == 6, cold.describe)
+    assert(cold.sourceCatalog(("co_db", "raw_b")).fieldNames
+      .map(_.toLowerCase).toSet.contains("flag_v1"))
+
+    // the macro edit: only co_b renders it, so only {co_b, co_c} re-run
+    writeMacro("{{ t }}.flag_v2")
+    val inc = go(changedOnly = true)
+    assert(byStatus(inc, "executed") == Set("co_b", "co_c"), inc.describe)
+    assert(byStatus(inc, "reused") == Set("co_a", "co_d", "co_v", "co_e"),
+      inc.describe)
+    assert(inc.sourceCatalog(("co_db", "raw_b")).fieldNames
+      .map(_.toLowerCase).toSet.contains("flag_v2"))
+
+    // seeds/vars stay whole-cache: touching a seed file still cold-starts
+    Files.writeString(corpus.resolve("seeds/some_seed.csv"), "id\n1\n")
+    val seedEdit = go(changedOnly = true)
+    assert(byStatus(seedEdit, "reused").isEmpty,
+      "a seed edit must invalidate the whole cache (core env)")
+  }
+
+  test("nodesUsingMacros closes over macro-in-macro calls") {
+    import graft.runtime.SqlTemplater.MacroDef
+    val macros = Map(
+      "leaf_fmt" -> MacroDef(Seq("x"), "CAST({{ x }} AS STRING)"),
+      "mid_wrap" -> MacroDef(Seq("x"), "UPPER(leaf_fmt(x = {{ x }}))"),
+      "unrelated" -> MacroDef(Nil, "1"))
+    def node(name: String, sql: String) =
+      CorpusExecute.Node(name, "model", sql, Nil, () => null)
+    val nodes = Seq(
+      node("uses_leaf", "SELECT {{ leaf_fmt(x = 'a') }} FROM t"),
+      node("uses_mid", "SELECT {{ mid_wrap(x = 'a') }} FROM t"),
+      node("uses_none", "SELECT 1"),
+      // leaf_fmt as a SUBSTRING of another identifier must not match
+      node("uses_similar", "SELECT my_leaf_fmt(a) FROM t"))
+    assert(CorpusExecute.nodesUsingMacros(Set("leaf_fmt"), macros, nodes) ==
+      Set("uses_leaf", "uses_mid"))
+    assert(CorpusExecute.nodesUsingMacros(Set("unrelated"), macros, nodes) ==
+      Set.empty)
+    assert(CorpusExecute.nodesUsingMacros(Set.empty, macros, nodes) == Set.empty)
+  }
+
   // ---- subset computation pinned on the real manifest ---------------------
 
   private lazy val refGraph: Seq[CorpusExecute.Node] = {
