@@ -104,6 +104,71 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // `txhist` arg (r17): the LONG-HISTORY probe — one table driven through
+    // ~1,000 MIXED commits (9 appends : 1 dynamic-partition overwrite, the
+    // remove+add shape an incremental pipeline produces daily), measuring
+    // at waypoints: latest-snapshot resolve, full read, and a mid-history
+    // VERSION AS OF read. The claim under test: resolve cost is bounded by
+    // (live manifest size + ≤checkpointInterval commit replays), i.e. FLAT
+    // in table age — at 100 TB a table accumulates thousands of commits per
+    // quarter and a linear replay would dominate planning. Closes with
+    // vacuum (expired pre-checkpoint data files dropped) + a post-vacuum
+    // latest read and a time-travel read inside the retention horizon.
+    if (args.contains("txhist")) {
+      import java.nio.file.Paths
+      import graft.plans.TxLog
+      val t = Paths.get(graft.runtime.TempDirs.create("graft_txhist")).resolve("t")
+      val commits = if (factor >= 100) factor else 1000
+      def slice(i: Int) = spark.range(i * 100L, i * 100L + 50)
+        .selectExpr("id", "CAST(id % 7 AS STRING) AS p")
+      TxLog.overwrite(t, slice(0), Seq("p"))
+      val waypoints = Set(10, 100, 250, 500, commits)
+      def bestOf3(f: => Long): Double = {
+        var best = Double.MaxValue
+        for (_ <- 1 to 3) {
+          val t0 = System.nanoTime(); f
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        best
+      }
+      for (i <- 1 to commits) {
+        if (i % 10 == 0) TxLog.overwritePartitions(t, slice(i), Seq("p"))
+        else TxLog.append(t, slice(i))
+        if (waypoints(i)) {
+          val files = TxLog.snapshot(t).files.size
+          val rs = bestOf3(TxLog.snapshot(t).version)
+          val rd = bestOf3(TxLog.read(spark, t).count())
+          val tt = bestOf3(TxLog.read(spark, t, asOf = i / 2).count())
+          println(f"SCALE txhist commits=$i%4d liveFiles=$files%5d " +
+            f"resolve=${rs}%.4f s read=${rd}%.3f s asOf(v${i / 2})=${tt}%.3f s")
+        }
+      }
+      // replay-distance micro-curve: resolving asOf at distance d from the
+      // preceding checkpoint replays exactly d commits — the worst case is
+      // checkpointInterval-1, which bounds resolve latency by design
+      for (d <- Seq(0, 3, 6, 9)) {
+        val v = (commits / 2 / 10) * 10 + d
+        val rs = bestOf3(TxLog.snapshot(t, asOf = v).version)
+        println(f"SCALE txhist replay-distance d=$d (asOf v$v): ${rs}%.4f s")
+      }
+      locally {
+        val before = TxLog.snapshot(t).files.size
+        val removed = TxLog.vacuum(t, retentionMs = 0L)
+        val rd = bestOf3(TxLog.read(spark, t).count())
+        // retention-0 vacuum deletes every tombstoned file, which is the
+        // retention CONTRACT: the latest snapshot stays fully readable,
+        // while time travel to versions referencing tombstoned files is
+        // destroyed (Delta's VACUUM has the same horizon semantics)
+        val ttLost =
+          try { TxLog.read(spark, t, asOf = commits - 2).count(); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        println(f"SCALE txhist vacuum: live=$before removedFiles=$removed " +
+          f"postVacuumRead=${rd}%.3f s timeTravelPastHorizon=" +
+          (if (ttLost) "destroyed-as-specified" else "still-readable"))
+      }
+      spark.stop(); return
+    }
+
     def replicate(name: String, keyCols: Seq[String], keySpan: Long): Unit = {
       val base = Tables(spark, src, name)
       val out = (0 until factor).map { i =>
@@ -146,9 +211,15 @@ object ScaleProbe {
       }
       def q72(dir: String) = queries.GoldOrdersWide.q72OrdersWide(spark, dir).count()
       def q74(dir: String) = queries.CampaignFunnels.q74CampaignFunnels(spark, dir).count()
+      // q30 (r17): the #3 wall-time heavyweight and the archetypal reference
+      // pipeline (view + incremental insert_overwrite by month, run twice,
+      // dup singular test) — orders x customer x nation x lineitem, one
+      // output row per order, so xfactor rows must scale exactly xfactor
+      def q30(dir: String) = queries.PipelineQueries.q30GoldOrdersPipeline(spark, dir).count()
       val counts = scala.collection.mutable.Map.empty[String, Long]
       for (r <- 1 to 2; (tag, dir) <- Seq(("sf0.1", src), (s"x$factor", big));
-           (qn, f) <- Seq(("q72_orders_wide", q72 _), ("q74_campaign_funnels", q74 _))) {
+           (qn, f) <- Seq(("q72_orders_wide", q72 _), ("q74_campaign_funnels", q74 _),
+             ("q30_gold_orders_pipeline", q30 _))) {
         timed(s"$qn $tag (r$r)") {
           val n = f(dir)
           // ×factor output must scale ×factor exactly (aligned key shifts
@@ -167,6 +238,11 @@ object ScaleProbe {
         val (b, g) = (counts("q72_orders_wide sf0.1"), counts(s"q72_orders_wide x$factor"))
         assert(g == b * factor,
           s"q72: x$factor rows $g != $factor * base rows $b — replication broke a join")
+      }
+      locally {
+        val (b, g) = (counts("q30_gold_orders_pipeline sf0.1"), counts(s"q30_gold_orders_pipeline x$factor"))
+        assert(g == b * factor,
+          s"q30: x$factor rows $g != $factor * base rows $b — replication broke a join")
       }
       locally {
         val (b, g) = (counts("q74_campaign_funnels sf0.1"), counts(s"q74_campaign_funnels x$factor"))
