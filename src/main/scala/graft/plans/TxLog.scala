@@ -246,6 +246,13 @@ object TxLog {
                     partitionBy: Seq[String]): Seq[AddFile] = prof("txlog.stage") {
     val stagingId = java.util.UUID.randomUUID().toString.take(8)
     val staging = table.resolve(s"_staging_$stagingId")
+    // NOTE (guide §6 file layout): stage writes `df` with whatever
+    // distribution the caller chose. Unclustered input to a partitioned
+    // write means every task writes a sliver into every partition directory
+    // it holds (tasks × partitions files per commit) — the Warehouse write
+    // paths repartition via distributeForWrite (including the hashSpread
+    // skew spread, which a forced repartition here would clobber); direct
+    // TxLog callers must cluster by the partition columns themselves.
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
     writer.mode("overwrite").parquet(staging.toString)
     Files.createDirectories(dataDir(table))

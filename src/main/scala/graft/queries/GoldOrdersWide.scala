@@ -168,7 +168,13 @@ object GoldOrdersWide {
       |        COUNT(*) AS n_items,
       |        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue_net,
       |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_gross,
-      |        MAX(DATE_FORMAT(l_shipdate, 'yyyy-MM-dd')) AS last_ship_date,
+      |        -- r17 opt (guide §1.2 per-task work): MAX over the DATE, format
+      |        -- after — MAX(DATE_FORMAT(d)) aggregates a STRING buffer, which
+      |        -- HashAggregate cannot hold (immutable buffer type), so the
+      |        -- whole lineitem aggregate fell to SortAggregate (two extra
+      |        -- 600k-row sorts). 'yyyy-MM-dd' is monotone non-decreasing in
+      |        -- the date, so max(format(d)) == format(max(d)) row-for-row.
+      |        DATE_FORMAT(MAX(l_shipdate), 'yyyy-MM-dd') AS last_ship_date,
       |        COUNT_IF(l_returnflag = 'R') AS n_returned_items,
       |        MAX(IF(l_returnflag = 'R', 1, 0)) = 1 AS has_return
       |    FROM {{ source('default', 'lineitem') }}

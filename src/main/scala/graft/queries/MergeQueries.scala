@@ -54,7 +54,10 @@ object MergeQueries {
       |    b.o_custkey AS customer_id,
       |    COALESCE(c.c_mktsegment, 'Other') AS mkt_segment,
       |    COUNT(*) AS order_count,
-      |    MAX(DATE_FORMAT(b.o_orderdate, 'yyyy-MM-dd')) AS last_order_date
+      |    -- r17 opt: format AFTER the max — a string MAX buffer forces the
+      |    -- whole aggregate to SortAggregate (see GoldOrdersWide.lineitem_agg);
+      |    -- 'yyyy-MM-dd' is monotone in the date so the result is identical
+      |    DATE_FORMAT(MAX(b.o_orderdate), 'yyyy-MM-dd') AS last_order_date
       |FROM base AS b
       |LEFT JOIN {{ source('default', 'customer') }} AS c ON b.o_custkey = c.c_custkey
       |GROUP BY 1, 2""".stripMargin

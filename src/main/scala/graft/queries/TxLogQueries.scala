@@ -30,15 +30,24 @@ object TxLogQueries {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
         col("o_orderdate"), col("order_month"))
 
+    // r17 (guide §6): cluster each commit by the partition column — the
+    // reference's DISTRIBUTE BY discipline, same as Warehouse writes. An
+    // unclustered partitioned write commits tasks × months files (one
+    // sub-8KB sliver per task-month pair at sf0.1), and both snapshot reads
+    // below then pay the per-file open cost. Same rows, same commit
+    // semantics — only the file layout changes.
     // v0: create with history data
     TxLog.overwrite(table,
-      base.filter(col("o_orderdate") < to_date(lit("1996-01-01"))), Seq("order_month"))
+      base.filter(col("o_orderdate") < to_date(lit("1996-01-01")))
+        .repartition(col("order_month")), Seq("order_month"))
     // v1: append the rest (schema + partitioning carried from the log meta)
-    TxLog.append(table, base.filter(col("o_orderdate") >= to_date(lit("1996-01-01"))))
+    TxLog.append(table, base.filter(col("o_orderdate") >= to_date(lit("1996-01-01")))
+      .repartition(col("order_month")))
     // v2: atomically re-publish the 1997 months without urgent orders
     TxLog.overwritePartitions(table,
       base.filter(col("order_month").startsWith("1997") &&
-        col("o_orderpriority") =!= "1-URGENT"),
+        col("o_orderpriority") =!= "1-URGENT")
+        .repartition(col("order_month")),
       Seq("order_month"))
 
     val live = TxLog.read(spark, table)

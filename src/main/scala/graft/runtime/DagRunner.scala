@@ -104,6 +104,11 @@ final class DagRunner(models: Seq[Model]) {
           case e: Exception =>
             failed += m.name
             m.name -> RunStatus.Failed(e.getMessage)
+        } finally {
+          // hot-CTE checkpoints are per-materialization scratch: the write
+          // above has already consumed them (or failed); release the temp
+          // views so the block-cached RDDs become collectable
+          CteMaterializer.release(ctx.spark, m.name)
         }
       }
     }

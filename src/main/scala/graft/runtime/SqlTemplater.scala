@@ -302,8 +302,16 @@ object SqlTemplater {
     Rendered(text, refs, sources, usesThis, rewriteLog.toSeq)
   }
 
-  /** Render + execute a dbt-style SQL body in `ctx`. */
-  def runSql(ctx: Ctx, modelName: String, sql: String): DataFrame = {
+  /** Render + execute a dbt-style SQL body in `ctx`.
+    *
+    * @param materializeCtes when true (table-backed model runs), hot repeated
+    *   CTEs are computed once per run via [[CteMaterializer]] instead of being
+    *   re-planned per reference (Spark inlines CTEs). Views keep it off: a
+    *   view's plan re-derives at every read, and a checkpoint captured inside
+    *   a lazily re-derived plan would pin the data of whichever read first
+    *   forced it. */
+  def runSql(ctx: Ctx, modelName: String, sql: String,
+             materializeCtes: Boolean = false): DataFrame = {
     TimeFunctions.register(ctx.spark)
 
     val r = renderText(modelName, sql, ctx.macros, ctx.vars, ctx.varOf, ctx.isIncremental)
@@ -315,7 +323,10 @@ object SqlTemplater {
     if (r.usesThis && ctx.warehouse.tableExists(modelName))
       ctx.warehouse.read(modelName).createOrReplaceTempView(r.thisView(modelName))
 
-    ctx.spark.sql(r.text)
+    val text =
+      if (materializeCtes) CteMaterializer.materializeHot(ctx.spark, modelName, r.text)
+      else r.text
+    ctx.spark.sql(text)
   }
 
   private def viewName(n: String): String = n.replaceAll("[^A-Za-z0-9_]", "_")
@@ -326,7 +337,9 @@ object SqlTemplater {
                tags: Set[String] = Set.empty,
                meta: Map[String, String] = Map.empty,
                fileFormat: String = "parquet"): Model =
-    Model(name, ctx => runSql(ctx, name, sql), materialization,
+    Model(name, ctx => runSql(ctx, name, sql,
+        materializeCtes = materialization != Materialization.View),
+      materialization,
       deps = extractRefs(sql), tags = tags, meta = meta, fileFormat = fileFormat)
 
   private val ConfigArgsRe = """(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
