@@ -52,9 +52,18 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     // join on the shingle's 64-bit hash, not the string: same join (collision
-    // odds ~|shingles|²/2⁶⁵), fixed-width shuffle keys instead of strings
+    // odds ~|shingles|²/2⁶⁵), fixed-width shuffle keys instead of strings.
+    // r18 opt (guide §5 cache-vs-recompute, the CteMaterializer trade for
+    // DataFrame operators): this relation is referenced THREE times below
+    // (sizes, id_a side, id_b side) and Spark re-plans the expensive native
+    // shingling scan per reference (the id_b side is a broadcast build, so
+    // no exchange reuse applies). A lazy localCheckpoint computes it once
+    // per invocation and block-caches it for the other references — plan-
+    // instance data only, nothing registers with the CacheManager, every
+    // run recomputes from parquet.
     val sh = shingleSet(docs, idCol, textCol, shingleSize)
       .select(col("id"), xxhash64(col("sh")).as("shh"))
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val shared = sh.toDF("id_a", "shh")
       .join(sh.toDF("id_b", "shh"), Seq("shh"))
@@ -144,10 +153,16 @@ object Dedup {
     val safeBuckets = buckets.join(oversized, Seq("band_id", "bucket"), "left_anti")
       .select(col("id"), col("band_id"), col("bucket")) // using-join put keys first; restore order for positional toDF below
 
+    // r18 opt (guide §5, same trade as ngramJaccard's checkpoint): the
+    // candidate pair set is referenced three times below (both candIds
+    // arms and the verification join) and each reference re-executed the
+    // whole banding self-join + distinct; one lazy checkpoint runs it once
+    // per invocation. Honesty contract identical to CteMaterializer's.
     val candidates = safeBuckets.toDF("id_a", "band_id", "bucket")
       .join(safeBuckets.toDF("id_b", "band_id", "bucket"), Seq("band_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(eager = false)
 
     // exact verification of candidates only (hashed shingle keys, as in
     // ngramJaccard). Semi-join the shingle relation down to ids that appear
@@ -157,8 +172,11 @@ object Dedup {
     // re-scanning everything twice and touching only suspected dups.
     val candIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    // referenced three times (sizes + both verification arms): checkpoint so
+    // the shingling scan and the candidate semi-join run once per invocation
     val shHashed = sh.select(col("id"), xxhash64(col("sh")).as("shh"))
       .join(candIds, Seq("id"), "left_semi")
+      .localCheckpoint(eager = false)
     val sizes = shHashed.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val shared = candidates
       .join(shHashed.toDF("id_a", "shh"), Seq("id_a"))

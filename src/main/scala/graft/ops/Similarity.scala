@@ -176,6 +176,10 @@ object Similarity {
     val dims = cents.headOption.map(_.v.size).getOrElse(0)
     var round = 0
     var moved = Double.MaxValue
+    // r18 hygiene (guide §5 "unpersist when done"): release the Lloyd scan
+    // cache even when a round throws — at 100 TB a leaked cache pins
+    // executor storage past the query (r17 VERDICT item 6)
+    try {
     while (round < iters && moved > tol) {
       round += 1
       val assigned = points.select(
@@ -201,7 +205,7 @@ object Similarity {
       moved = cents.iterator.flatMap(c => prev.get(c.id).map(p =>
         c.v.zip(p).map { case (a, b) => math.abs(a - b) }.max)).maxOption.getOrElse(0.0)
     }
-    points.unpersist()
+    } finally points.unpersist()
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       cents.map(c => org.apache.spark.sql.Row(c.id, c.v)).asJava,

@@ -165,7 +165,21 @@ object CampaignFunnels {
       |    SELECT
       |        device_id,
       |        session_num,
-      |        MIN_BY(platform, event_ts) AS session_platform,
+      |        -- r18 opt (guide §1.2 per-task work, same family as the r17
+      |        -- MAX(DATE_FORMAT) fix): MIN_BY over a STRING gives the
+      |        -- aggregate an immutable buffer, forcing the whole aggregate to
+      |        -- SortAggregate (an extra full sort per run). platform has the
+      |        -- closed 4-value domain produced by raw_events' CASE (never
+      |        -- NULL), so encode it as an INT inside the aggregate and decode
+      |        -- after: the winning row is picked by event_ts alone, and the
+      |        -- encode is a bijection on the domain, so the result is
+      |        -- identical row-for-row (the oracle still computes arg_min over
+      |        -- the string).
+      |        CASE MIN_BY(CASE platform WHEN 'desktop' THEN 0 WHEN 'mobile' THEN 1
+      |                                  WHEN 'apps' THEN 2 ELSE 3 END, event_ts)
+      |            WHEN 0 THEN 'desktop' WHEN 1 THEN 'mobile'
+      |            WHEN 2 THEN 'apps' WHEN 3 THEN 'unknown'
+      |        END AS session_platform,
       |        MIN(event_ts) AS session_start_ts,
       |        MAX(event_ts) AS session_end_ts,
       |        COUNT(*) AS session_events,
@@ -224,7 +238,16 @@ object CampaignFunnels {
       |        pv.platform,
       |        pv.product_id,
       |        ctg.name AS category_name,
-      |        MIN_BY(se.source_type, se.event_ts) AS source_type
+      |        -- r18 opt: same int-encode as session_platform (string MIN_BY
+      |        -- buffer → SortAggregate over the whole range-join output).
+      |        -- source_type has the closed 3-value domain of source_events'
+      |        -- literals; the NULL of an unmatched LEFT JOIN row encodes to
+      |        -- NULL and decodes to NULL (no ELSE), preserving the
+      |        -- COALESCE(..., 'organic') downstream.
+      |        CASE MIN_BY(CASE se.source_type WHEN 'signup' THEN 0 WHEN 'promo' THEN 1
+      |                                        WHEN 'external' THEN 2 END, se.event_ts)
+      |            WHEN 0 THEN 'signup' WHEN 1 THEN 'promo' WHEN 2 THEN 'external'
+      |        END AS source_type
       |    FROM product_views AS pv
       |    LEFT JOIN source_events AS se
       |        ON

@@ -13,10 +13,12 @@ import graft.runtime._
   * the body), then oracle-gated.
   *
   * Structural mirror, piece by piece:
-  *  - four parallel ROW_NUMBER numbering CTEs merged by a LEFT JOIN USING
-  *    chain (gold_orders.sql:22-68 device/product/user/real_user numbering;
-  *    numbering CTEs are deliberately UNfiltered in incremental runs so the
-  *    global order numbers stay stable — same as the reference);
+  *  - four ROW_NUMBER numberings (gold_orders.sql:22-68 device/product/user/
+  *    real_user numbering; numbering CTEs are deliberately UNfiltered in
+  *    incremental runs so the global order numbers stay stable — same as the
+  *    reference). r18: fused into one multi-window CTE equivalent to the
+  *    reference's LEFT JOIN USING chain of four scans (see the `numbers`
+  *    comment); the oracle still computes the original four-CTE join form;
   *  - a JSON-guard CTE marking flagged entities
   *    (gold_orders.sql:70-82 merchant_order_notes / pickup_fault, map access
   *    re-expressed over the events props JSON);
@@ -107,21 +109,24 @@ object GoldOrdersWide {
       |    LEFT JOIN month_orders_number USING (order_id)
       |),
       |
-      |flagged_customers AS (
+      |-- r18 opt (guide §2.3 "aggregate before you shuffle" / one scan instead
+      |-- of two): flagged_customers and support_tickets each scanned events;
+      |-- fused into one conditional aggregate over the union of both filters.
+      |-- Per join use the semantics are unchanged: a user absent from the old
+      |-- support_tickets has ticket_id NULL here (COALESCE sees NULL either
+      |-- way), and a user absent from old flagged_customers has flag_event_id
+      |-- NULL here (`IS NOT NULL` is FALSE either way). Referenced 3× below,
+      |-- so the CTE materializer executes the events scan exactly once.
+      |customer_event_flags AS (
       |    SELECT
       |        user_id AS customer_id,
-      |        MAX(event_id) AS flag_event_id
-      |    FROM {{ source('default', 'events') }}
-      |    WHERE event_type = 'purchase' AND CAST(GET_JSON_OBJECT(props, '$.k') AS INT) > 80
-      |    GROUP BY user_id
-      |),
-      |
-      |support_tickets AS (
-      |    SELECT
-      |        user_id AS customer_id,
-      |        MAX(event_id) AS ticket_id
+      |        MAX(IF(event_type = 'error', event_id, CAST(NULL AS BIGINT))) AS ticket_id,
+      |        MAX(IF(event_type = 'purchase'
+      |                AND CAST(GET_JSON_OBJECT(props, '$.k') AS INT) > 80,
+      |               event_id, CAST(NULL AS BIGINT))) AS flag_event_id
       |    FROM {{ source('default', 'events') }}
       |    WHERE event_type = 'error'
+      |       OR (event_type = 'purchase' AND CAST(GET_JSON_OBJECT(props, '$.k') AS INT) > 80)
       |    GROUP BY user_id
       |),
       |
@@ -228,8 +233,8 @@ object GoldOrdersWide {
       |        a.*,
       |        COALESCE(b.ticket_id, c.ticket_id) AS support_ticket_id
       |    FROM orders_ext1 AS a
-      |    LEFT JOIN support_tickets AS b ON a.customer_id = b.customer_id
-      |    LEFT JOIN support_tickets AS c ON a.order_id % 150 = c.customer_id
+      |    LEFT JOIN customer_event_flags AS b ON a.customer_id = b.customer_id
+      |    LEFT JOIN customer_event_flags AS c ON a.order_id % 150 = c.customer_id
       |),
       |
       |orders_ext3 AS (
@@ -285,7 +290,7 @@ object GoldOrdersWide {
       |        a.*,
       |        f.flag_event_id IS NOT NULL AS is_flagged_customer
       |    FROM orders_ext6 AS a
-      |    LEFT JOIN flagged_customers AS f ON a.customer_id = f.customer_id
+      |    LEFT JOIN customer_event_flags AS f ON a.customer_id = f.customer_id
       |)
       |
       |SELECT

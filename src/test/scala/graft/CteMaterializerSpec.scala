@@ -22,7 +22,7 @@ class CteMaterializerSpec extends AnyFunSuite {
     val sql =
       """-- leading comment with AS ( inside
         |WITH a AS (SELECT 1 AS x, '(' AS s),  -- trailing note
-        |  b (y) AS (SELECT x FROM a WHERE s <> ') , c AS ('),
+        |  b AS (SELECT x AS y FROM a WHERE s <> ') , c AS ('),
         |  c AS (SELECT y FROM b JOIN a ON a.x = b.y)
         |SELECT * FROM c""".stripMargin
     val p = CteMaterializer.parse(sql).get
@@ -32,12 +32,47 @@ class CteMaterializerSpec extends AnyFunSuite {
     assert(sql.substring(p.tailStart).trim == "SELECT * FROM c")
   }
 
-  test("parse bails on RECURSIVE, no-WITH, duplicate names") {
+  test("parse bails on RECURSIVE, no-WITH, duplicate names, column-alias lists") {
     assert(CteMaterializer.parse("SELECT 1").isEmpty)
     assert(CteMaterializer.parse(
       "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r").isEmpty)
     assert(CteMaterializer.parse(
       "WITH a AS (SELECT 1), a AS (SELECT 2) SELECT * FROM a").isEmpty)
+    // r18 (ADVICE): a rebuilt `name (c1, c2) AS (...)` would drop the alias
+    // list and expose the body's original column names — bail out instead
+    assert(CteMaterializer.parse(
+      "WITH a (y) AS (SELECT 1 AS x) SELECT * FROM a").isEmpty)
+  }
+
+  test("non-determinism: RANDOM alias and transitive upstream both block") {
+    // random() (the rand() alias NonDetRe previously missed)
+    val rnd =
+      """WITH a AS (SELECT random() AS r, 1 AS g GROUP BY 1, 2)
+        |SELECT * FROM a UNION ALL SELECT * FROM a""".stripMargin
+    assert(CteMaterializer.materializeHot(spark, "m_rnd", rnd) eq rnd)
+    // deterministic hot CTE built ON a non-det upstream: splitting it into a
+    // separate statement would evaluate the upstream twice — must stay inline
+    val trans =
+      """WITH src AS (SELECT rand() AS r FROM RANGE(10)),
+        |  agg AS (SELECT COUNT(*) AS n FROM src GROUP BY r)
+        |SELECT * FROM agg UNION ALL SELECT * FROM agg""".stripMargin
+    assert(CteMaterializer.materializeHot(spark, "m_trans", trans) eq trans)
+  }
+
+  test("comma-list FROM references count toward hotness") {
+    // agg is referenced ONLY as the non-first entry of bare comma lists
+    // (`FROM dims, agg` twice): both must count, making agg hot (r18,
+    // VERDICT item 6). dims (2 direct refs, no expensive op) stays inline.
+    val sql =
+      """WITH agg AS (SELECT id % 2 AS k, COUNT(*) AS n FROM RANGE(50) GROUP BY id % 2),
+        |  dims AS (SELECT 0 AS k UNION ALL SELECT 1 AS k)
+        |SELECT dims.k, agg.n FROM dims, agg WHERE dims.k = agg.k
+        |UNION ALL
+        |SELECT dims.k, agg.n FROM dims, agg WHERE dims.k = agg.k""".stripMargin
+    val out = CteMaterializer.materializeHot(spark, "m_comma", sql)
+    assert(out != sql, "comma-list entries must count as references")
+    assert(out.contains("dims AS (SELECT 0 AS k UNION ALL SELECT 1 AS k)"))
+    CteMaterializer.release(spark, "m_comma")
   }
 
   test("materializeHot: unchanged when nothing qualifies") {
@@ -63,12 +98,16 @@ class CteMaterializerSpec extends AnyFunSuite {
     val out = CteMaterializer.materializeHot(spark, "m_hot", sql)
     assert(out != sql)
     // agg referenced by `single` + the tail = 2 refs + GROUP BY -> hot
-    assert(out.contains("agg AS (SELECT * FROM __graft_cte_m_hot_agg)"))
+    // (view names carry a model-name hash since r18 — match by pattern)
+    assert("""agg AS \(SELECT \* FROM __graft_cte_[0-9a-f]+_m_hot_agg\)""".r
+      .findFirstIn(out).isDefined, out)
     // base: 1 ref; single: 1 ref -> untouched
     assert(out.contains("base AS (SELECT id, id % 3 AS k FROM RANGE(100))"))
     assert(out.contains("single AS (SELECT n + 1 AS m FROM agg)"))
+    val view = """__graft_cte_[0-9a-f]+_m_hot_agg""".r.findFirstIn(out).get
+    assert(spark.catalog.tableExists(view))
     CteMaterializer.release(spark, "m_hot")
-    assert(spark.catalog.tableExists("__graft_cte_m_hot_agg") == false)
+    assert(spark.catalog.tableExists(view) == false)
   }
 
   test("end-to-end: q74-shaped repeated window chain — identical rows") {
@@ -125,7 +164,8 @@ class CteMaterializerSpec extends AnyFunSuite {
     val rows = ctx.ref("cte_tbl").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows == Set((0L, 5L, 5L), (1L, 5L, 5L)))
-    // release ran inside DagRunner: the scratch view must be gone
-    assert(!spark.catalog.tableExists("__graft_cte_cte_tbl_g"))
+    // release ran inside DagRunner: no scratch view for this model survives
+    assert(!spark.catalog.listTables().collect()
+      .exists(t => t.name.startsWith("__graft_cte_") && t.name.endsWith("_cte_tbl_g")))
   }
 }

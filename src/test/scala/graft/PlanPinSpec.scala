@@ -86,6 +86,25 @@ class PlanPinSpec extends SparkSpec {
           "a dim join was demoted to sort-merge/shuffle")
     }
 
+  private def sortAggs(p: String): Int =
+    finalSection(p).linesIterator.count(_.contains("SortAggregate"))
+
+  /** r18: pin the immutable-buffer fixes (MIN_BY/MAX_BY/MIN over strings →
+    * int-encoded) — a regression that reintroduces a string aggregate buffer
+    * falls back to SortAggregate and fails here before it costs a bench sort. */
+  private def pinSortAgg(name: String, maxSortAggPerJob: Int): Unit =
+    test(s"$name: ≤$maxSortAggPerJob SortAggregates/job") {
+      val plans = plansDuring {
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      }
+      assert(plans.nonEmpty, "listener captured no executed plans")
+      val worst = plans.map(sortAggs).max
+      info(s"$name: ${plans.size} jobs, max SortAggregates/job=$worst")
+      assert(worst <= maxSortAggPerJob,
+        s"$name worst job has $worst SortAggregates (budget $maxSortAggPerJob):\n" +
+          plans.maxBy(sortAggs))
+    }
+
   // budgets: measured at sf0.001 (see info lines) + headroom of 1-2
   pin("q30_gold_orders_pipeline", maxExchangesPerJob = 3, minBroadcastJoins = 4)
   pin("q62_append_overwrite", maxExchangesPerJob = 5, minBroadcastJoins = 1)
@@ -97,4 +116,14 @@ class PlanPinSpec extends SparkSpec {
     maxBnljPerJob = 1)
   pin("q74_campaign_funnels", maxExchangesPerJob = 25, minBroadcastJoins = 15)
   pin("q76_incremental_merge", maxExchangesPerJob = 4, minBroadcastJoins = 6)
+
+  // r18 immutable-buffer pins: q73/q53/q60/q80 staging aggregates and q72's
+  // lineitem_agg must stay hash-based; q74 keeps exactly the tiny
+  // MIN(manufacturer) dict pair (partial+final over ≤100 rows, deliberate)
+  pinSortAgg("q73_scd2_bucketed", maxSortAggPerJob = 0)
+  pinSortAgg("q53_scd2_pipeline", maxSortAggPerJob = 0)
+  pinSortAgg("q60_scd2_check", maxSortAggPerJob = 0)
+  pinSortAgg("q80_snapshot_file", maxSortAggPerJob = 0)
+  pinSortAgg("q72_orders_wide", maxSortAggPerJob = 0)
+  pinSortAgg("q74_campaign_funnels", maxSortAggPerJob = 2)
 }
