@@ -127,6 +127,10 @@ object Profile {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       recording = false
+      // listener delivery is async: an event that read `recording` just
+      // before the flip may still append while we iterate — give the bus a
+      // moment to drain and snapshot the synchronized lists under their lock
+      Thread.sleep(500)
       val rows = {
         import scala.jdk.CollectionConverters._
         jobs.values.asScala.toSeq.sortBy(_.id)
@@ -136,14 +140,15 @@ object Profile {
       println("  --- executions (QueryExecutionListener, ordered) ---")
       locally {
         import scala.jdk.CollectionConverters._
-        execRows.asScala.foreach { case (fn, ms, tag) =>
+        val snap = execRows.synchronized(execRows.asScala.toList)
+        snap.foreach { case (fn, ms, tag) =>
           println(f"  ${ms / 1000.0}%8.3f s  $fn%-18s $tag")
         }
       }
       println("  --- top stages by wall (stageId, wall s, executorRun s, tasks, site) ---")
       locally {
         import scala.jdk.CollectionConverters._
-        val ss = stages.asScala.toSeq
+        val ss = stages.synchronized(stages.asScala.toList)
         println(f"  stage-wall-sum=${ss.map(_._2).sum / 1e3}%.3f s, stage-run-sum=${ss.map(_._3).sum / 1e3}%.3f s, ${ss.size} stages")
         ss.sortBy(-_._2).take(25).foreach { case (id, w, r, n, nm) =>
           println(f"  s$id%-5d ${w / 1e3}%7.3f ${r / 1e3}%8.3f  x$n%-4d $nm")

@@ -36,18 +36,23 @@ object TxLogQueries {
     // sub-8KB sliver per task-month pair at sf0.1), and both snapshot reads
     // below then pay the per-file open cost. Same rows, same commit
     // semantics — only the file layout changes.
+    // r18: explicit partition count (the conf-driven shuffle-partition knob)
+    // — without it AQE coalesces each commit's exchange to 1-2 tasks, which
+    // then create every month directory's file serially (see
+    // Warehouse.writeParallelism for the full Profile evidence).
+    val writeN = spark.sessionState.conf.numShufflePartitions
     // v0: create with history data
     TxLog.overwrite(table,
       base.filter(col("o_orderdate") < to_date(lit("1996-01-01")))
-        .repartition(col("order_month")), Seq("order_month"))
+        .repartition(writeN, col("order_month")), Seq("order_month"))
     // v1: append the rest (schema + partitioning carried from the log meta)
     TxLog.append(table, base.filter(col("o_orderdate") >= to_date(lit("1996-01-01")))
-      .repartition(col("order_month")))
+      .repartition(writeN, col("order_month")))
     // v2: atomically re-publish the 1997 months without urgent orders
     TxLog.overwritePartitions(table,
       base.filter(col("order_month").startsWith("1997") &&
         col("o_orderpriority") =!= "1-URGENT")
-        .repartition(col("order_month")),
+        .repartition(writeN, col("order_month")),
       Seq("order_month"))
 
     val live = TxLog.read(spark, table)

@@ -131,13 +131,28 @@ final class Warehouse(val spark: SparkSession, val root: String,
     Files.writeString(schemaPath(name), schema.json)
   }
 
+  /** r18 (guide §6 / §2, Profile finding): `repartition(cols)` without an
+    * explicit count is AQE-coalescible, and for the aggregate-sized outputs
+    * most models write, AQE merges the whole exchange into ONE task — which
+    * then creates every partition directory's file SERIALLY (q62's
+    * fact_cells: one 2.5 s task opening ~160 parquet files; q30/q47/q66/q81
+    * same shape). An explicit count pins write parallelism: each partition
+    * VALUE still hashes to exactly one task (files per directory unchanged,
+    * no small-file regression), but distinct values spread across tasks so
+    * the per-file open/footer latency is paid in parallel. The count is the
+    * session's shuffle-partition conf — the cluster-tuned knob, not a local
+    * constant (the bench sets it to the core count; a 100 TB run sets it to
+    * the cluster's reducer count). */
+  private def writeParallelism: Int = spark.sessionState.conf.numShufflePartitions
+
   private def distributeForWrite(df: DataFrame, partitionBy: Seq[String],
                                  hashSpread: Option[(String, Int)]): DataFrame =
     (partitionBy, hashSpread) match {
       case (Nil, _) => df
-      case (cols, None) => df.repartition(cols.map(col): _*)
+      case (cols, None) => df.repartition(writeParallelism, cols.map(col): _*)
       case (cols, Some((spreadCol, n))) =>
-        df.repartition((cols.map(col) :+ (abs(hash(col(spreadCol))) % n)): _*)
+        df.repartition(writeParallelism,
+          (cols.map(col) :+ (abs(hash(col(spreadCol))) % n)): _*)
     }
 
   /** Full-rebuild CTAS (reference: materialized='table').
