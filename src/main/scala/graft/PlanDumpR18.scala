@@ -116,7 +116,8 @@ object PlanDumpR18 {
     for (n <- Seq("q32_ngram_jaccard", "q33_minhash_lsh", "q34_simhash_neardup",
                   "q56_ann_lsh_neardup", "q3_revenue_by_region_month",
                   "q43_generators", "q64_skew_join", "q67_bucketed_join",
-                  "q18_word_pairs", "q1_pricing_summary", "q40_embed_neardup"))
+                  "q18_word_pairs", "q1_pricing_summary", "q40_embed_neardup",
+                  "q16_first_last_per_user"))
       dump(n, SparkEntry.queries(n)(spark, dir))
 
     spark.stop()
